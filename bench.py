@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark runner: every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The per-query number is wall-clock for plan construction + execution
+(results drained via count(); nothing collected to the driver). One
+warm SparkSession is shared — the driver's metric is query latency, not
+JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from odoo_batch_processing_spark.registry import all_queries
+    from odoo_batch_processing_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    next(iter(queries.values()))(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_total, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "all_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

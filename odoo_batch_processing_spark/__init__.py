@@ -1,0 +1,23 @@
+"""odoo_batch_processing_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the data semantics of the reference
+repo sipsak/Odoo-Batch-Processing (a browser userscript that bulk-edits
+Odoo list views; see SURVEY.md) as idiomatic Spark DataFrame / SQL /
+Structured Streaming programs, extended with the LLM-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal column
+plumbing) required for 100 TB-scale training-data work.
+
+Layout:
+    session     SparkSession construction + engine-wide configuration
+    schemas     explicit StructTypes for every source table
+    sources     batch loaders + the synthesized ``listview`` fixture
+    operators   bulk-update (R-ops), dedup, similarity, text, approx,
+                windows, multimodal
+    functions   reusable column expressions (vector math, coercion)
+    plans       whole analytic queries (star-schema flagship et al.)
+    streaming   throttled micro-batch update, change source, progress
+    registry    the queries()/oracle_sql() catalog consumed by
+                __spark_entry__.py
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,207 @@
+"""Star-schema analytic plans (X1 in SURVEY.md §2.3).
+
+The reference has no analytical queries beyond counts
+(Odoo-Batch-Processing.user.js:202-208); these plans are the
+driver-mandated extension surface: TPC-H-shaped queries over the
+fixture star schema (lineitem fact; orders/customer/nation/region/
+part/supplier dimensions).
+
+Scale posture: every dimension join is explicitly ``F.broadcast`` —
+at the fixture scale factors all dims fit well under the broadcast
+threshold, so the star joins are shuffle-free map-side hash joins and
+the only shuffle in each plan is the final partial→final aggregation
+on the (tiny) group-by key space. At true 100 TB, customer/part
+outgrow broadcast; the same plans then rely on AQE to pick
+shuffled-hash/sort-merge with skew splitting (session.RUNTIME_CONFS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.functions.exprs import avg_as_double, charge, dec, money_sum, revenue
+from odoo_batch_processing_spark.sources.loader import load_table
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Exercises: parquet scan with predicate pushdown, partial+final
+    aggregation, 8 aggregates over 2 grouping keys (6 groups → the
+    shuffle moves ~48 values per map partition).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(dec("l_quantity"), "sum_qty"),
+            money_sum(dec("l_extendedprice"), "sum_base_price"),
+            money_sum(revenue(), "sum_disc_price"),
+            money_sum(charge(), "sum_charge"),
+            avg_as_double(dec("l_quantity"), F.count(F.lit(1)), "avg_qty"),
+            avg_as_double(dec("l_extendedprice"), F.count(F.lit(1)), "avg_price"),
+            avg_as_double(dec("l_discount"), F.count(F.lit(1)), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1) AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1) AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1) AS avg_disc,
+    COUNT(1) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (X1): revenue by nation for one region and date window.
+
+    TPC-H-Q5-shaped star join
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region → groupBy(n_name).
+
+    Plan shape (verified via .explain("formatted")): lineitem scans with
+    no pushed filter (fact side is the probe), orders scans with the
+    o_orderdate range pushed to parquet, every dimension is broadcast,
+    aggregation is partial→final on 25 keys max. Single shuffle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(money_sum(revenue(), "revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+ORACLE_Q05 = """
+SELECT
+    n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: top-10 orders by revenue for one market segment.
+
+    Exercises: broadcast semi-star join + agg + deterministic top-N
+    (ties broken by the unique o_orderkey so the oracle picks the same
+    rows).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        lineitem.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(revenue(), "order_revenue"))
+        .orderBy(F.col("order_revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q03 = """
+SELECT
+    o_orderkey,
+    o_orderdate,
+    o_orderpriority,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS order_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1997-06-01'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY order_revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: supplier-nation profit by year.
+
+    Exercises the supplier leg of the star plus a date-part grouping.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(money_sum(revenue(), "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_Q09 = """
+SELECT
+    n_name AS nation,
+    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_revenue_by_nation": q05_revenue_by_nation,
+    "q09_profit_by_nation_year": q09_profit_by_nation_year,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q03_top_orders": ORACLE_Q03,
+    "q05_revenue_by_nation": ORACLE_Q05,
+    "q09_profit_by_nation_year": ORACLE_Q09,
+}

@@ -1,0 +1,140 @@
+"""Explicit StructType schemas for every source table.
+
+The reference discovers types dynamically from DOM editor widgets at
+write time (Odoo-Batch-Processing.user.js:586-590, 624-664); the engine
+inverts that into schema-on-read: every parquet scan declares its
+schema so a bad file fails fast and the scan never pays an inference
+pass (at 100 TB an inference pass is a full extra read of the footer
+set). Column types verified against the driver fixtures' parquet
+footers (FIXTURES.md §A).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: events.ts is physically TIMESTAMP(NANOS) which Spark 4 cannot read as
+#: a timestamp; with spark.sql.legacy.parquet.nanosAsLong=true it reads
+#: as int64 nanoseconds and the loader converts (session.py doc).
+EVENTS_TS_IS_NANOS = True
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    # ts declared Long (raw nanoseconds); loader converts to TimestampType.
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLE_NAMES: tuple[str, ...] = tuple(SCHEMAS)
+
+#: Dimension tables small enough to broadcast at every scale factor the
+#: fixtures ship (region 5 rows, nation 25, supplier ~10/sf). customer
+#: and part grow with sf but stay far below the 64 MB broadcast
+#: threshold even at sf0.1; at true 100 TB scale customer/part leave
+#: this set and the star joins fall back to shuffled hash joins on the
+#: AQE-planned side.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+#: The reference treats DOM row order as load-bearing (SURVEY.md §1.1);
+#: DataFrames are unordered, so positional operators (R1/R9/R10) derive
+#: an ordinal with row_number() over these per-table sort keys.
+ORDINAL_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}

@@ -1,0 +1,85 @@
+"""SparkSession construction and engine-wide runtime configuration.
+
+Two entry paths exist:
+
+* our own tests / bench build a session via :func:`get_spark`;
+* the driver harness hands us an already-built session (``entry(spark)``
+  in ``__spark_entry__.py``), so everything that MUST hold for
+  correctness is applied idempotently by :func:`configure`, which every
+  loader call routes through.
+
+Settings rationale (100 TB posture, tested on local mode):
+
+* ``spark.sql.adaptive.enabled`` — AQE re-plans joins/shuffles at
+  runtime: skew-join splitting and dynamic coalescing are the first
+  line of defense at 1000-executor scale.
+* ``spark.sql.session.timeZone=UTC`` — parquet timestamps in the
+  fixtures are naive wall-clock; DuckDB (the correctness oracle) treats
+  them as UTC-naive. Pinning UTC makes collected values bit-identical.
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table
+  stores TIMESTAMP(NANOS), which Spark 4 refuses to read natively
+  ([PARQUET_TYPE_ILLEGAL]). We read ns as int64 and convert with
+  ``timestamp_micros(ts div 1000)`` (floor), exactly matching DuckDB's
+  ns→µs truncation.
+* shuffle partitions default to the local core count — 200 would
+  over-parallelize the local runs; real deployments override via
+  ``spark.sql.shuffle.partitions`` at submit time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and required) to set on a running session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the runtime confs the engine depends on.
+
+    Called by every loader so correctness holds even when the session
+    was built by an external harness with different defaults.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - immutable conf on some builds
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "odoo-batch-processing-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local-mode session sized to this machine."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

@@ -1,0 +1,48 @@
+"""Batch source loaders for the driver-generated parquet fixtures.
+
+Reference analog: the single DOM table scan
+(Odoo-Batch-Processing.user.js:172, 202, 432 — R1 in SURVEY.md §2).
+Here a "scan" is ``spark.read.parquet`` with an explicit schema, which
+gives the engine columnar vectorized reads, predicate pushdown, and
+column pruning for free — the reference's row-major iteration is
+deliberately NOT emulated (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.schemas import SCHEMAS, TABLE_NAMES
+from odoo_batch_processing_spark.session import configure
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its declared schema.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); it arrives as int64
+    nanoseconds (see session.RUNTIME_CONFS) and is floor-converted to a
+    microsecond TimestampType here — the same truncation DuckDB applies,
+    so oracle comparisons see identical instants.
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    configure(spark)
+    df = spark.read.schema(SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """All ten fixture tables, keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view for the SQL API path."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
