@@ -1,0 +1,581 @@
+"""Reference-parity bulk-update operators (R1–R16, R20 in SURVEY.md §2).
+
+The reference iterates the visible rows of one DOM table and commits a
+constant or a positional value list into one column, skipping read-only
+cells and accumulating per-row outcomes
+(Odoo-Batch-Processing.user.js:392-551). Here every semantic becomes a
+pure ``(DataFrame, params) → DataFrame`` transformation:
+
+* row order (load-bearing in the DOM, user.js:447-452) → an explicit
+  ordinal via ``row_number()`` over a declared key (R1);
+* "visible rows" (``style.display !== 'none'``, user.js:203,434) → an
+  ordinary filter predicate (R2);
+* the in-place cell write loop → one functional
+  ``when(pred, new).otherwise(old)`` column rewrite (R7/R11/R12) —
+  no driver-side loop, no collect, fully whole-stage-codegen'd;
+* the value-list zip (user.js:484-486) → an ordinal equi-join (R9);
+* success/error tallies (user.js:443-444,493,497) → a single-pass
+  conditional aggregation (R15/R16), not accumulators, so the counts
+  are exact under task retries (Spark accumulators double-count on
+  retry — a deliberate departure documented here).
+
+Scale notes: the only shuffle any of these introduce is the global
+``row_number()`` ordinal (a total order is inherently a single-window
+sort). Where the reference's positional semantics aren't required,
+callers should join/update on real keys instead; the ordinal path
+exists for parity and is windowed over the table's declared sort key so
+AQE can plan the sort once and reuse it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from odoo_batch_processing_spark.sources.loader import load_table
+
+ORD_COL = "row_ord"
+
+
+# ---------------------------------------------------------------------------
+# R1 — ordered scan: DataFrames are unordered; materialize the ordinal.
+# ---------------------------------------------------------------------------
+def with_ordinal(df: DataFrame, order_cols: Sequence[str], ord_col: str = ORD_COL) -> DataFrame:
+    """Attach a 1-based ordinal mirroring the DOM row position (user.js:172).
+
+    A global row_number() implies a total sort — acceptable because the
+    reference's positional ops are page-scoped; at 100 TB positional
+    assignment over an unkeyed table is an anti-pattern and callers
+    should prefer keyed joins (see zip_join_update docstring).
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(ord_col, F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# R2 — visibility filter (user.js:203, 434)
+# ---------------------------------------------------------------------------
+def visibility_filter(df: DataFrame, visible: Column) -> DataFrame:
+    return df.filter(visible)
+
+
+# ---------------------------------------------------------------------------
+# R3/R4 — column resolution + positional cell projection (user.js:126-128, 461)
+# ---------------------------------------------------------------------------
+def resolve_column(df: DataFrame, index: int | None = None, name: str | None = None) -> tuple[int, str]:
+    """Header click → (columnIndex, columnName); accepts either handle."""
+    if index is None and name is None:
+        raise ValueError("need a column index or name")
+    if index is None:
+        index = df.columns.index(name)  # raises ValueError like the DOM lookup returning null
+    name = df.columns[index]
+    return index, name
+
+
+def project_positional(df: DataFrame, indexes: Sequence[int]) -> DataFrame:
+    """row.querySelectorAll('td')[i] for a set of i (user.js:177-179)."""
+    return df.select(*[df.columns[i] for i in indexes])
+
+
+# ---------------------------------------------------------------------------
+# R5 — column read-only probe: boolean ANY aggregate (user.js:167-188)
+# ---------------------------------------------------------------------------
+def column_is_readonly(df: DataFrame, readonly: Column) -> bool:
+    """True if ANY row flags the column read-only; empty table → False
+    (user.js:169,173 return false on missing/empty table)."""
+    row = df.agg(F.coalesce(F.bool_or(readonly), F.lit(False)).alias("any_ro")).head()
+    return bool(row["any_ro"])
+
+
+# ---------------------------------------------------------------------------
+# R6 — row counts: COUNT(*) + COUNT(*) FILTER (visible) in ONE pass
+# (user.js:202-208 walks the row array twice; one aggregation here)
+# ---------------------------------------------------------------------------
+def row_counts(df: DataFrame, visible: Column) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("all_rows"),
+        F.sum(F.when(visible, 1).otherwise(0)).cast("bigint").alias("visible_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7 + R11/R12 — broadcast constant update with editability guards
+# (user.js:488-489 apply; user.js:477-480, 558-570 guards)
+# ---------------------------------------------------------------------------
+def broadcast_update(
+    df: DataFrame,
+    column: str,
+    value,
+    visible: Column | None = None,
+    editable: Column | None = None,
+    readonly: Column | None = None,
+) -> DataFrame:
+    """Set ``column`` to one constant for every visible, editable,
+    non-readonly row; leave every other row's value untouched.
+
+    The reference *skips* guarded rows (continue, user.js:477-480); the
+    functional rewrite keeps them with the old value — same final table.
+    """
+    pred = F.lit(True)
+    if visible is not None:
+        pred = pred & visible
+    if editable is not None:
+        pred = pred & editable
+    if readonly is not None:
+        pred = pred & ~readonly
+    old = F.col(column)
+    new = F.lit(value).cast(df.schema[column].dataType)
+    return df.withColumn(column, F.when(pred, new).otherwise(old))
+
+
+# ---------------------------------------------------------------------------
+# R8 — multi-line value parse: split + drop blank lines (user.js:297-298)
+# ---------------------------------------------------------------------------
+def parse_multiline(blob: str) -> list[str]:
+    """Driver-side form, exact reference semantics: split('\\n') then
+    drop lines that are blank AFTER trim — kept lines stay untrimmed."""
+    return [line for line in blob.split("\n") if line.strip() != ""]
+
+
+def split_values(col: Column, sep: str = "\n") -> Column:
+    """Column form: ArrayType of non-blank segments (kept untrimmed)."""
+    return F.filter(F.split(col, sep), lambda x: F.trim(x) != "")
+
+
+# ---------------------------------------------------------------------------
+# R9 — positional zip-join update (user.js:447-452, 484-486)
+# ---------------------------------------------------------------------------
+def zip_join_update(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    column: str,
+    values: DataFrame,
+    values_order_cols: Sequence[str],
+    values_col: str,
+    visible: Column | None = None,
+) -> DataFrame:
+    """Assign values[i] to the i-th visible row; rows beyond
+    min(len(values), len(rows)) keep their old value (the reference's
+    loop bound, user.js:451).
+
+    Spark shape: ordinal on both sides (row_number), LEFT join rows →
+    values on the ordinal, coalesce(new, old). The left join + coalesce
+    reproduces the min() truncation exactly: unmatched row ordinals
+    (values exhausted) fall back to the old value, and surplus values
+    (rows exhausted) drop out of the join.
+
+    100 TB note: both row_numbers are global sorts. This operator
+    mirrors reference semantics for parity; at scale, positional
+    assignment should be re-keyed (zip values to a real key first).
+    """
+    zip_ord = "__zip_ord"  # private: must not collide with caller columns
+    rows = with_ordinal(df if visible is None else df.filter(visible), order_cols, zip_ord)
+    vals = with_ordinal(
+        values.select(*values_order_cols, F.col(values_col).alias("__new_value")),
+        values_order_cols,
+        zip_ord,
+    ).select(zip_ord, "__new_value")
+    updated = (
+        rows.join(F.broadcast(vals), zip_ord, "left")
+        .withColumn(column, F.coalesce(F.col("__new_value").cast(df.schema[column].dataType), F.col(column)))
+        .drop("__new_value", zip_ord)
+    )
+    return updated
+
+
+# ---------------------------------------------------------------------------
+# R10 — limit: first N rows in table order (user.js:451, 454)
+# ---------------------------------------------------------------------------
+def limit_ordered(df: DataFrame, n: int, order_cols: Sequence[str]) -> DataFrame:
+    """Ordered top-N. Bare .limit(n) is order-nondeterministic in a
+    distributed plan; the reference's N is positional, so rank first."""
+    return with_ordinal(df, order_cols).filter(F.col(ORD_COL) <= n)
+
+
+# ---------------------------------------------------------------------------
+# R13 — checkbox boolean coercion (user.js:586-587)
+# ---------------------------------------------------------------------------
+def coerce_checkbox_boolean(col: Column) -> Column:
+    """Case-insensitive literal 'true' → True; EVERYTHING else → False.
+
+    Deliberately NOT cast('boolean'): Spark's cast maps 't','yes','1'
+    → true and garbage → null; the reference maps only
+    newValue.toLowerCase() === 'true' (no trim, so 'True ' → False).
+    """
+    return F.coalesce(F.lower(col) == F.lit("true"), F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# R14 — numeric validation + clamp (user.js:275, 287-290, 242-247)
+# ---------------------------------------------------------------------------
+def parse_wait_time(col: Column) -> Column:
+    """parseInt-with-NaN-guard: non-numeric → NULL (the reject path,
+    user.js:287-290); the live input clamp maps negatives to 0
+    (user.js:242-247). Truncation toward zero matches parseInt."""
+    parsed = col.try_cast("double")  # ANSI mode: plain cast throws on 'abc'
+    truncated = parsed.try_cast("int")
+    # greatest() ignores NULLs, which would turn the reject path into 0;
+    # keep NULL (= the reference's isNaN abort, user.js:287-290).
+    return F.when(truncated.isNotNull(), F.greatest(F.lit(0), truncated))
+
+
+# ---------------------------------------------------------------------------
+# R15 — success/error accumulation, one pass (user.js:443-444, 493, 497)
+# ---------------------------------------------------------------------------
+def outcome_counts(df: DataFrame, ok: Column, group_cols: Sequence[str] = ()) -> DataFrame:
+    agg = [
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("success_count"),
+        F.sum(F.when(~ok, 1).otherwise(0)).cast("bigint").alias("error_count"),
+    ]
+    return df.groupBy(*group_cols).agg(*agg) if group_cols else df.agg(*agg)
+
+
+# ---------------------------------------------------------------------------
+# R16 — 4-way outcome classification (user.js:502-513)
+# ---------------------------------------------------------------------------
+def classify_outcome(success_count: Column, error_count: Column, cancelled: Column) -> Column:
+    """cancelled → 'cancelled'; errors=0 → 'success'; both>0 →
+    'warning'; success=0 → 'error'. Same CASE order as the reference."""
+    return (
+        F.when(cancelled, F.lit("cancelled"))
+        .when(error_count == 0, F.lit("success"))
+        .when((success_count > 0) & (error_count > 0), F.lit("warning"))
+        .otherwise(F.lit("error"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R20 — coalesce-style editor discovery (user.js:624-664)
+# ---------------------------------------------------------------------------
+def coalesce_cascade(*candidates: Column) -> Column:
+    """First non-null of an ordered candidate list — the exact semantic
+    of the 6-stage findInputElement cascade (direct input → widget →
+    active cell → many2one → focused → modal)."""
+    return F.coalesce(*candidates)
+
+
+# ---------------------------------------------------------------------------
+# EP1 composite — the whole interactive bulk-update lifecycle
+# (SURVEY.md §3 EP1: filter → [zip] → guarded update → outcome counts)
+# ---------------------------------------------------------------------------
+@dataclass
+class BulkUpdateResult:
+    updated: DataFrame
+    all_rows: int
+    visible_rows: int
+    success_count: int
+    error_count: int
+    outcome: str
+
+
+def bulk_update_run(
+    df: DataFrame,
+    column: str,
+    value: str | list[str],
+    order_cols: Sequence[str],
+    visible: Column,
+    editable: Column,
+    readonly: Column,
+    spark: SparkSession | None = None,
+) -> BulkUpdateResult:
+    """EP1 end-to-end: one value (R7) or a value list (R9) applied to
+    the visible rows of ``df``, guard semantics as the reference, with
+    the run accounting computed in the same pass (single cache, two
+    actions: the counts and the caller's eventual write).
+    """
+    counts = df.agg(
+        F.count(F.lit(1)).alias("all"),
+        F.sum(visible.cast("int")).alias("vis"),
+    ).head()
+    all_rows, visible_rows = int(counts["all"]), int(counts["vis"] or 0)
+
+    applied = visible & editable & ~readonly
+    if isinstance(value, list):
+        if spark is None:
+            raise ValueError("value-list mode needs the SparkSession to build the value relation")
+        vals = spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(value)], "ord bigint, v string"
+        )
+        visible_updated = zip_join_update(
+            df.withColumn("__applied", applied),
+            order_cols,
+            column,
+            vals,
+            ["ord"],
+            "v",
+            visible=visible,
+        )
+        # rows hidden by the filter keep their original values
+        hidden = df.withColumn("__applied", F.lit(False)).filter(~visible)
+        updated = visible_updated.unionByName(hidden)
+    else:
+        updated = broadcast_update(
+            df.withColumn("__applied", applied), column, value,
+            visible=visible, editable=editable, readonly=readonly,
+        )
+
+    oc = outcome_counts(updated.filter(visible), F.col("__applied")).head()
+    success, error = int(oc["success_count"]), int(oc["error_count"])
+    outcome_row = (
+        updated.sparkSession.range(1)
+        .select(
+            classify_outcome(F.lit(success), F.lit(error), F.lit(False)).alias("o")
+        )
+        .head()
+    )
+    return BulkUpdateResult(
+        updated.drop("__applied"),
+        all_rows,
+        visible_rows,
+        success,
+        error,
+        outcome_row["o"],
+    )
+
+
+# ===========================================================================
+# Registry queries — each R-op expressed over the driver tables with a
+# DuckDB oracle. The driver star schema stands in for the Odoo list
+# view: o_orderstatus='O' plays "visible", '1-URGENT' plays "readonly".
+# ===========================================================================
+def _q_r01_scan_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return with_ordinal(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", ORD_COL
+    )
+
+
+def _q_r02_visibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return visibility_filter(orders, F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+def _q_r03_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    idx, name = resolve_column(customer, name="c_mktsegment")
+    return project_positional(customer, [0, idx])
+
+
+def _q_r05_readonly_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_or(F.col("l_discount") > 0.08).alias("any_readonly")
+    )
+
+
+def _q_r06_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return row_counts(orders, F.col("o_orderstatus") == "O")
+
+
+def _q_r07_broadcast_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    updated = broadcast_update(
+        orders,
+        "o_orderpriority",
+        "9-BULK-SET",
+        visible=F.col("o_orderstatus") == "O",
+        readonly=F.col("o_orderpriority") == "1-URGENT",
+    )
+    return updated.select("o_orderkey", "o_orderpriority")
+
+
+def _q_r08_multiline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = split_values(F.col("text"), " ")
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token")
+
+
+def _q_r09_zip_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    updated = zip_join_update(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        "l_returnflag",
+        part,
+        ["p_partkey"],
+        "p_name",
+        visible=F.col("l_linestatus") == "O",
+    )
+    return updated.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+def _q_r10_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return limit_ordered(li, 100, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", ORD_COL
+    )
+
+
+def _q_r13_bool_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # synthesize checkbox-ish input text from event_type, then coerce
+    raw = (
+        F.when(F.col("event_type") == "click", F.lit("TRUE"))
+        .when(F.col("event_type") == "view", F.lit("true"))
+        .when(F.col("event_type") == "signup", F.lit("True "))
+        .otherwise(F.col("event_type"))
+    )
+    return ev.select("event_id", coerce_checkbox_boolean(raw).alias("checked"))
+
+
+def _q_r14_numeric_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", parse_wait_time(F.col("value") - 50.0).alias("wait_ms"))
+
+
+def _q_r15_outcome_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return outcome_counts(li, F.col("l_discount") <= 0.05, ["l_returnflag"])
+
+
+def _q_r16_outcome_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = outcome_counts(
+        li, (F.col("l_discount") <= 0.05) & (F.col("l_quantity") < 45), ["l_returnflag", "l_linestatus"]
+    )
+    return per_group.select(
+        "l_returnflag",
+        "l_linestatus",
+        "success_count",
+        "error_count",
+        classify_outcome(
+            F.col("success_count"), F.col("error_count"), F.lit(False)
+        ).alias("outcome"),
+    )
+
+
+def _q_r20_coalesce_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        coalesce_cascade(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+            F.nullif(F.col("c_name"), F.lit("")),
+            F.lit("<unresolved>"),
+        ).alias("editor"),
+    )
+
+
+QUERIES = {
+    "r01_scan_ordinal": _q_r01_scan_ordinal,
+    "r02_visibility_filter": _q_r02_visibility_filter,
+    "r03_projection": _q_r03_projection,
+    "r05_readonly_any": _q_r05_readonly_any,
+    "r06_counts": _q_r06_counts,
+    "r07_broadcast_update": _q_r07_broadcast_update,
+    "r08_multiline_parse": _q_r08_multiline_parse,
+    "r09_zip_join_update": _q_r09_zip_join_update,
+    "r10_limit": _q_r10_limit,
+    "r13_bool_coercion": _q_r13_bool_coercion,
+    "r14_numeric_clamp": _q_r14_numeric_clamp,
+    "r15_outcome_counts": _q_r15_outcome_counts,
+    "r16_outcome_classify": _q_r16_outcome_classify,
+    "r20_coalesce_cascade": _q_r20_coalesce_cascade,
+}
+
+ORACLES = {
+    "r01_scan_ordinal": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS row_ord
+        FROM lineitem
+    """,
+    "r02_visibility_filter": """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "r03_projection": """
+        SELECT c_custkey, c_mktsegment FROM customer
+    """,
+    "r05_readonly_any": """
+        SELECT l_returnflag, bool_or(l_discount > 0.08) AS any_readonly
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "r06_counts": """
+        SELECT COUNT(1) AS all_rows,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS visible_rows
+        FROM orders
+    """,
+    "r07_broadcast_update": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' AND NOT (o_orderpriority = '1-URGENT')
+                    THEN '9-BULK-SET' ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+    """,
+    "r08_multiline_parse": """
+        SELECT doc_id,
+               CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+               unnest(toks) AS token
+        FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS toks
+            FROM documents WHERE doc_id < 50
+        )
+    """,
+    "r09_zip_join_update": """
+        WITH rows_ord AS (
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS ord
+            FROM lineitem WHERE l_linestatus = 'O'
+        ), vals_ord AS (
+            SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_partkey) AS ord
+            FROM part
+        )
+        SELECT r.l_orderkey, r.l_linenumber,
+               COALESCE(v.p_name, r.l_returnflag) AS l_returnflag
+        FROM rows_ord r LEFT JOIN vals_ord v USING (ord)
+    """,
+    "r10_limit": """
+        SELECT l_orderkey, l_linenumber, row_ord FROM (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS row_ord
+            FROM lineitem
+        ) WHERE row_ord <= 100
+    """,
+    "r13_bool_coercion": """
+        SELECT event_id,
+               COALESCE(lower(CASE WHEN event_type = 'click'  THEN 'TRUE'
+                                   WHEN event_type = 'view'   THEN 'true'
+                                   WHEN event_type = 'signup' THEN 'True '
+                                   ELSE event_type END) = 'true', FALSE) AS checked
+        FROM events
+    """,
+    "r14_numeric_clamp": """
+        SELECT event_id,
+               GREATEST(0, CAST(trunc(value - 50.0) AS INTEGER)) AS wait_ms
+        FROM events
+    """,
+    "r15_outcome_counts": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
+               CAST(SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "r16_outcome_classify": """
+        WITH counts AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CASE WHEN l_discount <= 0.05 AND l_quantity < 45 THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
+                   CAST(SUM(CASE WHEN NOT (l_discount <= 0.05 AND l_quantity < 45) THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, success_count, error_count,
+               CASE WHEN FALSE THEN 'cancelled'
+                    WHEN error_count = 0 THEN 'success'
+                    WHEN success_count > 0 AND error_count > 0 THEN 'warning'
+                    ELSE 'error' END AS outcome
+        FROM counts
+    """,
+    "r20_coalesce_cascade": """
+        SELECT c_custkey,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'),
+                        NULLIF(c_name, ''),
+                        '<unresolved>') AS editor
+        FROM customer
+    """,
+}

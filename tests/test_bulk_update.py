@@ -1,0 +1,168 @@
+"""Exact reference semantics for the R-operators (SURVEY.md §5
+supplement): things the DuckDB oracle can't pin down because it only
+proves SQL equivalence, not fidelity to the userscript's behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def listview(spark):
+    from odoo_batch_processing_spark.sources.listview import make_listview
+
+    return make_listview(spark, 200).cache()
+
+
+# --- R13: checkbox coercion golden cases (user.js:586-587) -----------------
+# 'true'/'TRUE' → True; 'True ' (trailing space, no trim) / 'yes' / '1' /
+# '' / NULL → False. Intentionally different from cast('boolean').
+R13_CASES = [
+    ("true", True),
+    ("TRUE", True),
+    ("tRuE", True),
+    ("True ", False),
+    ("yes", False),
+    ("1", False),
+    ("", False),
+    (None, False),
+]
+
+
+def test_r13_boolean_coercion_golden(spark):
+    from odoo_batch_processing_spark.operators.bulk_update import coerce_checkbox_boolean
+
+    df = spark.createDataFrame([(v,) for v, _ in R13_CASES], "raw string")
+    got = {
+        r["raw"]: r["coerced"]
+        for r in df.select("raw", coerce_checkbox_boolean(F.col("raw")).alias("coerced")).collect()
+    }
+    for raw, expected in R13_CASES:
+        assert got[raw] is expected, f"{raw!r}: got {got[raw]}, want {expected}"
+
+
+def test_r13_differs_from_spark_cast(spark):
+    # documents *why* we don't use cast('boolean'): 'yes'/'1' cast → true
+    df = spark.createDataFrame([("yes",), ("1",)], "raw string")
+    cast_vals = [r[0] for r in df.select(F.col("raw").cast("boolean")).collect()]
+    assert cast_vals == [True, True]  # Spark cast semantics...
+    from odoo_batch_processing_spark.operators.bulk_update import coerce_checkbox_boolean
+
+    ours = [r[0] for r in df.select(coerce_checkbox_boolean(F.col("raw"))).collect()]
+    assert ours == [False, False]  # ...reference semantics
+
+
+# --- R14: parseInt + NaN reject + negative clamp (user.js:275-290) ---------
+def test_r14_parse_clamp(spark):
+    from odoo_batch_processing_spark.operators.bulk_update import parse_wait_time
+
+    cases = [("400", 400), ("-3", 0), ("0", 0), ("2.9", 2), ("-2.9", 0), ("abc", None), (None, None)]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "raw string")
+    got = {r["raw"]: r["w"] for r in df.select("raw", parse_wait_time(F.col("raw")).alias("w")).collect()}
+    for raw, expected in cases:
+        assert got[raw] == expected, f"{raw!r}: got {got[raw]}, want {expected}"
+
+
+# --- R9: min-length truncation both directions (user.js:447-452) -----------
+def test_r9_fewer_values_than_rows(spark, listview):
+    from odoo_batch_processing_spark.operators.bulk_update import zip_join_update
+
+    values = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "ord int, v string")
+    visible = F.col("visible")
+    n_visible = listview.filter(visible).count()
+    assert n_visible > 5
+    out = zip_join_update(listview, ["row_ord"], "name", values, ["ord"], "v", visible=visible)
+    rows = {r["row_ord"]: r["name"] for r in out.collect()}
+    assert len(rows) == n_visible  # no rows dropped
+    updated = [v for v in rows.values() if v.startswith("v")]
+    assert sorted(updated) == ["v0", "v1", "v2", "v3", "v4"]  # exactly min(5, n)
+    untouched = [v for v in rows.values() if v.startswith("rec_")]
+    assert len(untouched) == n_visible - 5  # the rest keep old values
+
+
+def test_r9_more_values_than_rows(spark, listview):
+    from odoo_batch_processing_spark.operators.bulk_update import zip_join_update
+
+    n_visible = listview.filter(F.col("visible")).count()
+    values = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n_visible + 50)], "ord int, v string"
+    )
+    out = zip_join_update(listview, ["row_ord"], "name", values, ["ord"], "v", visible=F.col("visible"))
+    rows = out.collect()
+    assert len(rows) == n_visible  # surplus values dropped (min truncation)
+    assert all(r["name"].startswith("v") for r in rows)
+
+
+def test_r9_assignment_is_positional(spark, listview):
+    from odoo_batch_processing_spark.operators.bulk_update import zip_join_update
+
+    values = spark.createDataFrame([(1, "first"), (2, "second")], "ord int, v string")
+    out = zip_join_update(listview, ["row_ord"], "name", values, ["ord"], "v", visible=F.col("visible"))
+    # the first two VISIBLE rows in table order receive the two values
+    first_two = [
+        r["row_id"]
+        for r in listview.filter(F.col("visible")).orderBy("row_ord").limit(2).collect()
+    ]
+    by_id = {r["row_id"]: r["name"] for r in out.collect()}
+    assert by_id[first_two[0]] == "first" and by_id[first_two[1]] == "second"
+
+
+# --- R5: empty table → writable (user.js:169, 173) --------------------------
+def test_r5_empty_table_is_writable(spark, listview):
+    from odoo_batch_processing_spark.operators.bulk_update import column_is_readonly
+
+    assert column_is_readonly(listview.filter(F.lit(False)), F.col("readonly")) is False
+    assert column_is_readonly(listview, F.col("readonly")) is True  # fixture has ~10% readonly
+
+
+# --- R7 + guards: only visible & editable & ~readonly rows change ----------
+def test_r7_guarded_broadcast_update(listview):
+    from odoo_batch_processing_spark.operators.bulk_update import broadcast_update
+
+    out = broadcast_update(
+        listview, "name", "CONSTANT",
+        visible=F.col("visible"), editable=F.col("editable"), readonly=F.col("readonly"),
+    )
+    joined = out.alias("n").join(listview.alias("o"), "row_id").select(
+        F.col("o.visible"), F.col("o.editable"), F.col("o.readonly"),
+        F.col("n.name").alias("new"), F.col("o.name").alias("old"),
+    )
+    for r in joined.collect():
+        should_change = r["visible"] and r["editable"] and not r["readonly"]
+        assert (r["new"] == "CONSTANT") == should_change
+
+
+# --- EP1 composite: accounting matches the reference's run summary ---------
+def test_bulk_update_run_accounting(spark, listview):
+    from odoo_batch_processing_spark.operators.bulk_update import bulk_update_run
+
+    res = bulk_update_run(
+        listview, "name", "X",
+        order_cols=["row_ord"],
+        visible=F.col("visible"), editable=F.col("editable"), readonly=F.col("readonly"),
+        spark=spark,
+    )
+    assert res.all_rows == 200
+    assert res.visible_rows == listview.filter(F.col("visible")).count()
+    assert res.success_count + res.error_count == res.visible_rows
+    assert res.outcome in {"success", "warning", "error"}
+    n_const = res.updated.filter(F.col("name") == "X").count()
+    assert n_const == res.success_count
+
+
+def test_bulk_update_run_multivalue(spark, listview):
+    from odoo_batch_processing_spark.operators.bulk_update import bulk_update_run, parse_multiline
+
+    blob = "alpha\n\n  \nbeta\ngamma"
+    values = parse_multiline(blob)
+    assert values == ["alpha", "beta", "gamma"]  # blank lines dropped, no trim of kept lines
+    res = bulk_update_run(
+        listview, "name", values,
+        order_cols=["row_ord"],
+        visible=F.col("visible"), editable=F.col("editable"), readonly=F.col("readonly"),
+        spark=spark,
+    )
+    assert res.updated.count() == 200  # hidden rows retained
+    changed = res.updated.filter(F.col("name").isin(values)).count()
+    assert 0 < changed <= 3
