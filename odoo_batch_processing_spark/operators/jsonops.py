@@ -1,0 +1,76 @@
+"""JSON / semi-structured column handling (X6 in SURVEY.md §2.3).
+
+The reference has no JSON anywhere; the driver's ``events.props``
+column (a JSON blob in a string) mandates this surface. Everything is
+built-in (`from_json`, `get_json_object`) — JVM-side parsing, no UDFs.
+
+Scale note: `from_json` with an explicit schema is a single
+codegen'd projection; schema inference (`schema_of_json`) samples the
+data and is dev-path only, mirroring the engine's schema-on-read rule
+(schemas.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from odoo_batch_processing_spark.sources.loader import load_table
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
+
+
+def parse_props(props: Column) -> Column:
+    """Typed parse of the events.props blob."""
+    return F.from_json(props, PROPS_SCHEMA)
+
+
+def json_path_int(props: Column, path: str) -> Column:
+    """Stringly-typed extraction (the get_json_object route)."""
+    return F.get_json_object(props, path).try_cast("int")
+
+
+def _q_x6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = parse_props(F.col("props"))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        json_path_int(F.col("props"), "$.k").alias("k_pathed"),
+    )
+
+
+def _q_x6_json_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group by a value extracted from JSON — the parse must push into
+    the scan projection, then it's an ordinary partial/final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = parse_props(F.col("props")).getField("k")
+    return (
+        ev.select(F.pmod(k, F.lit(10)).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+QUERIES = {
+    "x6_json_extract": _q_x6_json_extract,
+    "x6_json_grouped": _q_x6_json_grouped,
+}
+
+ORACLES = {
+    "x6_json_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_pathed
+        FROM events
+    """,
+    "x6_json_grouped": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               COUNT(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+}

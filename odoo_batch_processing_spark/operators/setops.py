@@ -1,0 +1,65 @@
+"""Set operations (absent in the reference — SURVEY.md §2.2 'set ops:
+absent'; built-ins close the gap for the new engine's surface).
+
+All three are shuffle-on-key operators; INTERSECT/EXCEPT compile to
+semi/anti joins under Catalyst, so the usual join hygiene applies
+(broadcast the small side — here both sides are key projections, so
+the aggregate pushdown keeps them narrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.sources.loader import load_table
+
+
+def _q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two segment key sets."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return a.union(b).distinct()
+
+
+def _q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders in both 1996 and 1997 (INTERSECT → left
+    semi join under the hood)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (EXCEPT → left anti join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    with_orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.subtract(with_orders)  # subtract = EXCEPT DISTINCT
+
+
+QUERIES = {
+    "set_union": _q_set_union,
+    "set_intersect": _q_set_intersect,
+    "set_except": _q_set_except,
+}
+
+ORACLES = {
+    "set_union": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    "set_intersect": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    "set_except": """
+        SELECT DISTINCT c_custkey FROM customer
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders
+    """,
+}

@@ -1,0 +1,263 @@
+"""Text-analysis operators (X5 + the training-data-pipeline surface).
+
+The reference's only string functions are trim/split/toLowerCase/concat
+(Odoo-Batch-Processing.user.js:128, 273-274, 297-298, 587); this module
+is the driver-mandated extension (BASELINE.json north star): language
+identification, quality scoring, token counting, and document
+fingerprinting over the ``documents`` fixture — the per-document text
+featurization pass of an LLM data pipeline.
+
+All operators are pure built-in column expressions (JVM-side,
+whole-stage codegen; zero Python UDFs), so at 100 TB the pass is a
+single scan with no shuffle: every feature is computed per-row and the
+only shuffles below are the explicit groupBy queries (term frequency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.sources.loader import load_table
+
+# Stopword lists for the n-gram/stopword language heuristic. Tiny by
+# design: at 100 TB the lists live in a broadcast variable; here they
+# fold into the plan as literals.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist", "von"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, blanks dropped (the reference's own
+    split-and-filter idiom, user.js:297-298, applied to words)."""
+    return F.filter(F.split(text, " "), lambda x: F.trim(x) != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-like proxy count: word pieces of ≤4 chars — ceil(len/4)
+    summed over words. Counts sub-word units the way byte-pair
+    tokenizers roughly do, with zero dictionary state."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("bigint"),
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Distinct stopwords of ``lang`` present in the text."""
+    stoplist = STOPWORDS[lang]
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(text)),
+            F.array(*[F.lit(w) for w in stoplist]),
+        )
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Language-ID heuristic: CJK character ratio → 'zh'; otherwise the
+    language whose stopword list scores the most distinct hits, ties
+    broken in fixed order en > es > fr > de; no hits → 'und'."""
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    s = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    return (
+        F.when(cjk > 0, F.lit("zh"))
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] > 0), F.lit("fr"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features; each a single
+    deterministic double (one division — bit-identical across engines)."""
+    n_tok = token_count(text)
+    n_char = F.length(text).cast("bigint")
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", "")).cast("bigint")
+    n_stop = F.size(
+        F.filter(tokens(text), lambda x: x.isin(*STOPWORDS["en"]))
+    ).cast("bigint")
+    mean_word_len = (n_char - (n_tok - 1)).cast("double") / n_tok
+    return {
+        "n_chars": n_char,
+        "n_tokens": n_tok,
+        "punct_ratio": n_punct.cast("double") / n_char,
+        "stopword_ratio": n_stop.cast("double") / n_tok,
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Linear quality score over the features — the shape of a
+    Gopher/C4-style heuristic filter (public data-quality literature),
+    deterministic for oracle comparison."""
+    f = quality_features(text)
+    return (
+        F.lit(0.4) * f["stopword_ratio"]
+        + F.lit(0.3) * F.least(f["n_tokens"].cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(f["mean_word_len"] / 10.0, F.lit(1.0))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalization fingerprint: md5 of whitespace-collapsed,
+    lower-cased, trimmed text — the exact-dedup key (X2)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def rolling_hash(text: Column, modulus: int = 2**31 - 1, base: int = 31) -> Column:
+    """Polynomial rolling hash over tokens (Karp–Rabin shape) — kept
+    modulo a Mersenne prime so ANSI-mode bigint arithmetic can't
+    overflow. Spark-only (no SQL oracle; unit-tested)."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(7).cast("bigint"),
+        lambda acc, w: F.pmod(acc * base + F.xxhash64(w), F.lit(modulus)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry queries
+# ---------------------------------------------------------------------------
+def _q_x5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    f = quality_features(text)
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_pieces"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["mean_word_len"].alias("mean_word_len"),
+    )
+
+
+def _q_x5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_x5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_x5_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency + document frequency, top-20 terms.
+    The groupBy(token) shuffle is the classic wordcount — partial
+    aggregation makes the map-side combine, so shuffle volume is
+    O(vocabulary), not O(tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def _q_x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _stop_hits_sql(lang: str) -> str:
+    return (
+        "len(list_intersect(list_distinct(list_filter(string_split(text, ' '), "
+        f"x -> trim(x) <> '')), {_sql_list(STOPWORDS[lang])}))"
+    )
+
+
+QUERIES = {
+    "x5_token_stats": _q_x5_token_stats,
+    "x5_lang_id": _q_x5_lang_id,
+    "x5_quality_score": _q_x5_quality_score,
+    "x5_term_frequency": _q_x5_term_frequency,
+    "x5_fingerprint": _q_x5_fingerprint,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), x -> trim(x) <> '')"
+_NTOK = f"CAST(len({_TOKS}) AS BIGINT)"
+_NCHAR = "CAST(length(text) AS BIGINT)"
+_NSTOP = (
+    f"CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(STOPWORDS['en'])}, x))) AS BIGINT)"
+)
+_MEANWL = f"CAST({_NCHAR} - ({_NTOK} - 1) AS DOUBLE) / {_NTOK}"
+_STOPRATIO = f"CAST({_NSTOP} AS DOUBLE) / {_NTOK}"
+
+ORACLES = {
+    "x5_token_stats": f"""
+        SELECT doc_id,
+               {_NTOK} AS n_tokens,
+               CAST(list_sum(list_transform({_TOKS}, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_pieces,
+               {_STOPRATIO} AS stopword_ratio,
+               {_MEANWL} AS mean_word_len
+        FROM documents
+    """,
+    "x5_lang_id": f"""
+        SELECT doc_id, lang,
+               CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+                    WHEN {_stop_hits_sql('en')} >= {_stop_hits_sql('es')}
+                     AND {_stop_hits_sql('en')} >= {_stop_hits_sql('fr')}
+                     AND {_stop_hits_sql('en')} >= {_stop_hits_sql('de')}
+                     AND {_stop_hits_sql('en')} > 0 THEN 'en'
+                    WHEN {_stop_hits_sql('es')} >= {_stop_hits_sql('fr')}
+                     AND {_stop_hits_sql('es')} >= {_stop_hits_sql('de')}
+                     AND {_stop_hits_sql('es')} > 0 THEN 'es'
+                    WHEN {_stop_hits_sql('fr')} >= {_stop_hits_sql('de')}
+                     AND {_stop_hits_sql('fr')} > 0 THEN 'fr'
+                    WHEN {_stop_hits_sql('de')} > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred
+        FROM documents
+    """,
+    "x5_quality_score": f"""
+        SELECT doc_id,
+               0.4 * ({_STOPRATIO})
+             + 0.3 * least(CAST({_NTOK} AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * least(({_MEANWL}) / 10.0, 1.0) AS quality
+        FROM documents
+    """,
+    "x5_term_frequency": f"""
+        SELECT token, tf, df FROM (
+            SELECT unnest({_TOKS}) AS token, doc_id FROM documents
+        ) t
+        GROUP BY token
+        HAVING true
+        ORDER BY count(1) DESC, token
+        LIMIT 20
+    """,
+    "x5_fingerprint": """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    """,
+}
+
+# term_frequency oracle needs explicit aggregates matching column names
+ORACLES["x5_term_frequency"] = f"""
+    SELECT token,
+           COUNT(1) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 20
+"""

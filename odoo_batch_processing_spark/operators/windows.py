@@ -1,0 +1,176 @@
+"""Event-time windowed aggregation + window functions (X7 batch forms).
+
+The reference's only time construct is the inter-row throttle
+(Odoo-Batch-Processing.user.js:499) — rate, not event time. These are
+the driver-mandated event-time operators over ``events``: tumbling and
+sliding windows, sessionization, and per-group top-K. The streaming
+variants (withWatermark + the same window exprs) live in
+``streaming/windowed.py``; the batch forms here share the column
+expressions so batch and streaming stay semantically aligned.
+
+Determinism: `value` is an unconstrained double, so per-window sums go
+through DECIMAL(18,6) (double→decimal rounding of identical inputs is
+identical in Spark and DuckDB, and decimal addition is
+order-independent; see functions/exprs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from odoo_batch_processing_spark.sources.loader import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def _q_x7_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: groupBy(window(ts, '1 hour')).
+    window.start for epoch-aligned tumbling windows equals
+    date_trunc('hour') — which is what the oracle asserts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def _q_x7_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min — each event lands in exactly 2
+    windows; the oracle replicates via the two aligned starts
+    (floor30(ts) and floor30(ts) − 30min)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def _q_x7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30min gaps —
+    lag + cumulative sum of the new-session flag (the classic pattern;
+    the streaming analog is session_window(ts, gap)).
+
+    One shuffle: partitionBy(user_id). Order within user is (ts,
+    event_id) so duplicate timestamps can't flip session boundaries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        (F.col("ts").cast("long") - F.lag("ts").over(by_user).cast("long")) / 60.0
+    )
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1).otherwise(0),
+    )
+    with_id = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(by_user).cast("bigint")
+    )
+    return (
+        with_id.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (sort/top-K category —
+    absent in the reference, SURVEY.md §2.2). row_number over
+    (partitionBy custkey, orderBy price desc, key) — deterministic
+    under ties; the shuffle is the partitionBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order time (frame-bounded
+    window agg; decimal keeps the cumulative sum order-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+QUERIES = {
+    "x7_tumbling_hourly": _q_x7_tumbling_hourly,
+    "x7_sliding_windows": _q_x7_sliding_windows,
+    "x7_sessionize": _q_x7_sessionize,
+    "w_topk_per_group": _q_topk_per_group,
+    "w_running_total": _q_running_total,
+}
+
+ORACLES = {
+    "x7_tumbling_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "x7_sliding_windows": """
+        WITH starts AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+        )
+        SELECT window_start, COUNT(1) AS n_events
+        FROM starts GROUP BY 1
+    """,
+    "x7_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR (epoch(ts) - epoch(lag(ts) OVER w)) / 60.0 > 30
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               COUNT(1) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    """,
+    "w_topk_per_group": """
+        SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+    """,
+    "w_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+}

@@ -1,0 +1,84 @@
+"""M2 unit tests: Spark-only text paths the DuckDB oracle can't check,
+plus dedup survivor semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_rolling_hash_deterministic_and_order_sensitive(spark):
+    from odoo_batch_processing_spark.operators.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c",), ("c b a",)], "text string"
+    ).select(rolling_hash(F.col("text")).alias("h"))
+    h = [r["h"] for r in df.collect()]
+    assert h[0] == h[1]  # same text → same hash
+    assert h[0] != h[2]  # token order matters (rolling, not bag-of-words)
+    assert all(0 <= x < 2**31 for x in h)  # modulus respected (no ANSI overflow)
+
+
+def test_lang_id_cjk_and_stopwords(spark):
+    from odoo_batch_processing_spark.operators.text import lang_id
+
+    cases = [
+        ("the quick fox of the hill", "en"),
+        ("el que la de y", "es"),
+        ("le chat et les de", "fr"),
+        ("der hund und die katze", "de"),
+        ("你好 世界", "zh"),
+        ("xyzzy plugh", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_deterministic_dedup_survivor(spark):
+    from odoo_batch_processing_spark.operators.dedup import deterministic_dedup
+
+    df = spark.createDataFrame(
+        [(3, "k1"), (1, "k1"), (2, "k2"), (5, "k1")], "id bigint, k string"
+    )
+    out = deterministic_dedup(df, ["k"], "id").collect()
+    survivors = {r["k"]: r["id"] for r in out}
+    assert survivors == {"k1": 1, "k2": 2}  # min id per group, always
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    from odoo_batch_processing_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [("Hello  World",), ("  hello world ",), ("hello worlds",)], "text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_sessionize_gap_semantics(spark, tmp_path):
+    # 3 events 10min apart = one session; a 40min gap splits it
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+
+    def ns(minutes: int) -> int:  # fixture stores ts as int64 nanoseconds
+        return int((base + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000_000)
+
+    rows = [
+        (1, ns(0), 100, "click", 1.0, "{}"),
+        (2, ns(10), 100, "click", 1.0, "{}"),
+        (3, ns(20), 100, "click", 1.0, "{}"),
+        (4, ns(60), 100, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    )
+    # route through the same loader + expressions the registry query uses
+    from odoo_batch_processing_spark.operators import windows as W
+
+    sf_dir = str(tmp_path / "sf")
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    out = W._q_x7_sessionize(spark, sf_dir)
+    sess = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
+    assert sess == {(100, 1): 3, (100, 2): 1}
