@@ -16,9 +16,25 @@ operators/text.py) instead of the raw text keeps the shuffle narrow:
 16 bytes/row instead of the full document. At 100 TB that is the
 difference between shuffling ~2 TB of keys and shuffling the corpus.
 
-Near-dup (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine)
-lives in this module too — see the ``near_*`` functions below
-(added with the similarity stack).
+Near-dup (X3) — four complementary detectors, all pure DataFrame ops:
+
+* **n-gram Jaccard** — exact set overlap on 3-token shingles via an
+  inverted-index self-join (shingle → docs). The join key is the
+  shingle, so the shuffle is O(total shingles), and only documents
+  sharing a shingle ever pair up — never the O(n²) cross join.
+* **MinHash-LSH** — 12 md5-derived min-hashes, 4 bands × 3 rows;
+  documents sharing a band key become candidate pairs. md5 (not
+  xxhash64) because the DuckDB oracle reproduces it bit-for-bit.
+* **SimHash** — 16-bit fingerprint from per-token md5 bits, then
+  *banded* pairing (4 bands × 4 bits): a pair at Hamming distance ≤ 3
+  must agree on ≥ 1 band (pigeonhole), so banding loses NO recall
+  while cutting the pair space from O(n²) to bucket-local.
+* **embedding cosine** — nearest neighbor within an IVF-style coarse
+  partition (the label column stands in for a centroid id).
+
+At 100 TB the shared shape is: derive a compact key (shingle, band,
+cell) → shuffle on the key → pair only within buckets → verify
+exactly. No stage materializes the cross join.
 """
 
 from __future__ import annotations
@@ -27,8 +43,17 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from odoo_batch_processing_spark.operators.text import fingerprint
+from odoo_batch_processing_spark.functions.vector import cosine, to_double
+from odoo_batch_processing_spark.operators.text import fingerprint, tokens
 from odoo_batch_processing_spark.sources.loader import load_table
+
+SHINGLE_N = 3
+MINHASH_K = 12
+MINHASH_BANDS = 4  # 4 bands × 3 rows
+SIMHASH_BITS = 32  # 16 bits collides heavily (28k chance-pairs at 500 docs)
+SIMHASH_BANDS = 4  # 4 bands × 8 bits; exact for hamming ≤ 3
+HAMMING_MAX = 3
+JACCARD_MIN = 0.8
 
 
 def exact_dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -78,10 +103,210 @@ def _q_x2_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", "source").distinct()
 
 
+# ---------------------------------------------------------------------------
+# X3 near-dedup
+# ---------------------------------------------------------------------------
+def shingles(text: F.Column, n: int = SHINGLE_N) -> F.Column:
+    """Distinct n-token shingles ('w1 w2 w3' strings)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(doc_sh: DataFrame, threshold: float = JACCARD_MIN) -> DataFrame:
+    """Inverted-index self-join: docs sharing ≥1 shingle → intersection
+    counts → |A∩B| / (|A|+|B|−|A∩B|). Integer counts + one double
+    division keep the score oracle-exact."""
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = doc_sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = doc_sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_band_keys(doc_sh: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band, band_key): k md5 min-hash signatures folded into
+    ``bands`` band keys (rows-per-band = k/bands)."""
+    rows_per_band = k // bands
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k)])).alias("seed")
+    sig = (
+        doc_sh.select("doc_id", "sh", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh")))
+            ).alias("minh")
+        )
+    )
+    return (
+        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                        lambda x: x["minh"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Docs sharing any band key → distinct candidate pairs."""
+    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_expr(doc_tokens: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): per-token 60-bit md5-derived hash, bit-wise
+    majority vote over tokens (with multiplicity) → ``bits``-bit code."""
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    hashed = doc_tokens.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    code = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return per_doc.select("doc_id", code.cast("bigint").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sim: DataFrame, bits: int = SIMHASH_BITS, bands: int = SIMHASH_BANDS, max_hamming: int = HAMMING_MAX
+) -> DataFrame:
+    """Banded SimHash pairing: split the code into ``bands`` equal bit
+    bands; a pair within ``max_hamming`` (< bands) differs in at most
+    max_hamming bands, so it must MATCH on ≥1 band — banding is exact,
+    not approximate, for this threshold. Verify hamming on candidates.
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _q_x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
+
+
+def _q_x3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(minhash_band_keys(_doc_shingles(spark, sf_dir)))
+
+
+def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return simhash_neardup_pairs(simhash_expr(doc_tokens))
+
+
+def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest cosine neighbor per vector within its coarse partition
+    (label ≈ IVF cell) — the embedding near-dup candidate list."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("vec_id"), to_double(F.col("embedding")).alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("nn_id"), to_double(F.col("embedding")).alias("vb"))
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos_sim")
+    )
+
+
 QUERIES = {
     "x2_dedup_fingerprint": _q_x2_dedup_fingerprint,
     "x2_dedup_survivors": _q_x2_dedup_survivors,
     "x2_distinct_pairs": _q_x2_distinct_pairs,
+    "x3_ngram_jaccard": _q_x3_ngram_jaccard,
+    "x3_minhash_lsh": _q_x3_minhash_lsh,
+    "x3_simhash": _q_x3_simhash,
+    "x3_embedding_neardup": _q_x3_embedding_neardup,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -103,3 +328,97 @@ ORACLES = {
         SELECT DISTINCT lang, source FROM documents
     """,
 }
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+_DOC_SH = f"""
+    SELECT doc_id, unnest({_SHINGLES}) AS sh
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS toks
+          FROM documents)
+"""
+
+ORACLES["x3_ngram_jaccard"] = f"""
+    WITH doc_sh AS ({_DOC_SH}),
+    sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM doc_sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_inter
+        FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_MIN}
+"""
+
+ORACLES["x3_minhash_lsh"] = f"""
+    WITH doc_sh AS ({_DOC_SH}),
+    sig AS (
+        SELECT doc_id, seed,
+               MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minh
+        FROM doc_sh CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS seed) seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // {MINHASH_K // MINHASH_BANDS} AS INTEGER) AS band,
+               md5(string_agg(minh, '|' ORDER BY seed)) AS band_key
+        FROM sig GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_CODE = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+)
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+
+ORACLES["x3_simhash"] = f"""
+    WITH doc_tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> trim(x) <> '')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM doc_tok
+    ),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM hashed GROUP BY doc_id),
+    codes AS (SELECT doc_id, CAST({_SIMHASH_CODE} AS BIGINT) AS simhash FROM votes),
+    banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * {_SIMHASH_BAND_BITS})) & {_SIMHASH_MASK} AS band_val
+        FROM codes CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sim_a, b.simhash AS sim_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+"""
+
+ORACLES["x3_embedding_neardup"] = """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+    scored AS (
+        SELECT a.vec_id, b.vec_id AS nn_id,
+               list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cos_sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nn_id, cos_sim FROM (
+        SELECT vec_id, nn_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+"""

@@ -1,0 +1,165 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+North-star surface (BASELINE.json): a 100 TB training-data pipeline
+carries media as ``binary`` columns with typed metadata, decoding only
+inside Arrow-batched Python (mapInPandas), never row-at-a-time.
+
+This container has no media libraries (no PIL/librosa/av), so the
+DECODE step is stubbed: `decode_media` raises NotImplementedError when
+a real decoder is requested, and otherwise runs a deterministic fake
+decode that exercises the REAL plumbing — binary Arrow transfer,
+batch iteration, schema declaration, partition sizing. Swapping the
+fake for `PIL.Image.open(io.BytesIO(payload))` is a one-line change
+at the marked site.
+
+The fixtures ship no binary column; `attach_binary` synthesizes one
+from documents.text (utf-8 payload + modality/width/height metadata),
+which keeps every byte deterministic and lets the metadata query be
+oracle-checked in DuckDB.
+
+Scale notes: binary payloads inflate row size — the module keeps
+metadata in plain columns so filters (modality, dimensions) prune
+BEFORE any payload is decoded, and `decode_media` is mapInPandas so
+one task holds one Arrow batch of payloads, not the whole partition
+as Python objects. `spark.sql.files.maxPartitionBytes` (and at write
+time, row-group sizing) bound batch memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.sources.loader import load_table
+
+MODALITIES = ("image", "audio", "video")
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def attach_binary(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, modality, width, height, n_bytes, payload).
+
+    Deterministic synthetic media: payload = utf-8 bytes of the text,
+    modality/dimensions derived from stable columns.
+    """
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("modality"),
+        (16 + F.pmod(F.col("n_chars"), F.lit(64))).cast("int").alias("width"),
+        (16 + F.pmod(F.col("n_chars") * 7, F.lit(64))).cast("int").alias("height"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def decode_media(media: DataFrame, real_decoder: bool = False) -> DataFrame:
+    """Arrow-batched decode: (doc_id, modality, payload) → per-item
+    features. The fake decode is a byte-sum + 16-bin byte histogram —
+    deterministic stand-ins for pixel stats/spectrograms."""
+    if real_decoder:
+        # REAL DECODER SITE: replace with PIL/librosa/av per modality.
+        raise NotImplementedError(
+            "media decoding libraries are not available in this environment; "
+            "wire PIL.Image.open / librosa.load / av.open here"
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id bigint, modality string, n_bytes bigint, "
+        "byte_sum bigint, histogram array<bigint>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [int(a.size) for a in arrs],
+                    "byte_sum": [int(a.sum()) for a in arrs],
+                    "histogram": [
+                        np.bincount(a >> 4, minlength=16).astype("int64").tolist()
+                        for a in arrs
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "modality", "payload").mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """'Video' frame sampling: split payload into fixed-size frames,
+    keep every ``stride``-th — pure built-ins (substring on binary),
+    no Python in the loop."""
+    n_frames = F.ceil(F.col("n_bytes") / frame_bytes).cast("int")
+    frame_idx = F.sequence(F.lit(0), n_frames - 1)  # 0-based frame numbers
+    sampled_idx = F.filter(frame_idx, lambda i: i % stride == 0)
+    frames = F.transform(
+        sampled_idx,
+        lambda i: F.substring(F.col("payload"), (i * frame_bytes + 1).cast("int"), frame_bytes),
+    )
+    return media.select(
+        "doc_id",
+        "modality",
+        F.size(frames).cast("bigint").alias("n_sampled"),
+        frames.alias("frames"),
+    )
+
+
+def _q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection over the binary table — prunable without
+    touching payload bytes (oracle-checked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_binary(docs).select("doc_id", "modality", "width", "height", "n_bytes")
+
+
+def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path (rows-only check: Pandas UDFs are
+    outside DuckDB's reach; determinism is unit-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_binary(docs)).select(
+        "doc_id", "modality", "n_bytes", "byte_sum"
+    )
+
+
+def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs)
+    vids = media.filter(F.col("modality") == "video")
+    return sample_frames(vids).select("doc_id", "n_sampled")
+
+
+QUERIES = {
+    "mm_binary_meta": _q_mm_binary_meta,
+    "mm_decode_features": _q_mm_decode_features,
+    "mm_frame_sample": _q_mm_frame_sample,
+}
+
+ORACLES = {
+    "mm_binary_meta": """
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+               CAST(16 + n_chars % 64 AS INTEGER) AS width,
+               CAST(16 + (n_chars * 7) % 64 AS INTEGER) AS height,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "mm_frame_sample": """
+        SELECT doc_id,
+               CAST(len(list_filter(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INTEGER)),
+                        i -> i % 4 = 0)) AS BIGINT) AS n_sampled
+        FROM documents
+        WHERE doc_id % 3 = 2
+    """,
+    # mm_decode_features: rows-only (mapInPandas path; unit-tested).
+}

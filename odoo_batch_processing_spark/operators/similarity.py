@@ -1,0 +1,167 @@
+"""Vector similarity search (X4): brute-force and IVF-bucketed ANN.
+
+The reference has nothing remotely like this (its only join is the
+positional zip, SURVEY.md §2.2); this is the driver-mandated
+embedding-search surface over ``embeddings`` (ArrayType(Float), 64-d).
+
+Two plans, same scoring expression:
+
+* **brute force** — broadcast the (small) query set against every
+  candidate row: an embarrassingly parallel scan, exact answer. At
+  100 TB this is the per-batch scoring pattern (queries ≪ corpus); the
+  scan parallelizes across executors and the only shuffle is the final
+  per-query top-K (tiny: K rows per query per partition after the
+  window's partial rank pushdown).
+* **IVF-bucketed** — a coarse quantizer (here: the sign pattern of the
+  leading dimensions; in production: k-means centroid ids stored at
+  write time, bucketed/partitioned on disk) restricts scoring to the
+  query's cell. Trades recall for a ~2^b reduction in scored pairs —
+  the 100 TB scale path, where brute force is a full corpus scan per
+  query batch.
+
+Scoring is `functions/vector.cosine` — a sequential JVM fold matching
+DuckDB's list_dot_product accumulation order, so the oracle hash
+compares exact doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from odoo_batch_processing_spark.functions.vector import cosine, to_double
+from odoo_batch_processing_spark.sources.loader import load_table
+
+N_QUERIES = 5  # fixture query set: vec_id < 5
+TOP_K = 10
+
+
+def ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    queries/candidates carry (id_col, vec_col). Self-matches excluded.
+    Deterministic under score ties (secondary order on neighbor id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def ivf_bucket(vec: F.Column, bits: int = 3) -> F.Column:
+    """Coarse quantizer: sign bits of the first ``bits`` dimensions →
+    cell id in [0, 2^bits). Stands in for a k-means cell id; at write
+    time this would be a partition column so cell probes are partition
+    prunes, not scans."""
+    cell = F.lit(0)
+    for i in range(bits):
+        cell = cell + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << (bits - 1 - i))).otherwise(F.lit(0))
+    return cell
+
+
+def _q_x4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
+
+def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same queries, search restricted to the query's IVF cell."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell", ivf_bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        to_double(F.col("embedding")).alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double(F.col("embedding")).alias("cv"),
+        F.col("cell").alias("ccell"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("ccell") == F.col("qcell")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+QUERIES = {
+    "x4_cosine_topk": _q_x4_cosine_topk,
+    "x4_ivf_topk": _q_x4_ivf_topk,
+}
+
+_COS = (
+    "list_dot_product(q.qv, c.cv) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+
+ORACLES = {
+    "x4_cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id, {_COS} AS cos_sim
+            FROM c JOIN q ON c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    "x4_ivf_topk": f"""
+        WITH cells AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, cell AS qcell
+            FROM cells WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS neighbor_id, v AS cv, cell AS ccell FROM cells
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id, {_COS} AS cos_sim
+            FROM c JOIN q ON c.ccell = q.qcell AND c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+}

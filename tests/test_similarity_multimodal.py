@@ -1,0 +1,112 @@
+"""M3 unit tests: ANN semantics, near-dup recall on planted dups,
+multimodal decode determinism and the stubbed real-decoder path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_ann_topk_selfmatch_excluded_and_ranked(spark):
+    from odoo_batch_processing_spark.operators.similarity import ann_topk
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = ann_topk(emb.filter(F.col("vec_id") < 2), emb, k=5).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+    ranks = sorted(r["rank"] for r in out if r["query_id"] == 0)
+    assert ranks == [1, 2, 3, 4, 5]
+    # scores non-increasing with rank
+    per_q = sorted((r["rank"], r["cos_sim"]) for r in out if r["query_id"] == 0)
+    assert all(per_q[i][1] >= per_q[i + 1][1] for i in range(len(per_q) - 1))
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    """The sf0.01 fixture plants ~25 near-dup pairs (jaccard ≥ 0.8);
+    MinHash-LSH with 4 bands × 3 rows must recall high-jaccard pairs
+    (P[miss] = (1-s^3)^4 ≈ 0.2% at s=0.98)."""
+    from odoo_batch_processing_spark.operators.dedup import (
+        _doc_shingles,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    doc_sh = _doc_shingles(spark, sf).cache()
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(doc_sh, threshold=0.9).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_band_keys(doc_sh)).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    missed = truth - cand
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_neardups_cover_jaccard_dups(spark):
+    from odoo_batch_processing_spark.operators import dedup as D
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    doc_tokens = docs.select("doc_id", F.explode(D.tokens(F.col("text"))).alias("tok"))
+    pairs = D.simhash_neardup_pairs(D.simhash_expr(doc_tokens))
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(_cached_sh(spark, sf), threshold=0.98).collect()
+    }
+    # near-identical docs must land within hamming 3
+    assert truth <= got, f"simhash missed near-identical pairs: {truth - got}"
+
+
+def _cached_sh(spark, sf):
+    from odoo_batch_processing_spark.operators.dedup import _doc_shingles
+
+    return _doc_shingles(spark, sf)
+
+
+def test_decode_media_deterministic(spark):
+    from odoo_batch_processing_spark.operators.multimodal import attach_binary, decode_media
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = attach_binary(docs)
+    a = {r["doc_id"]: (r["byte_sum"], tuple(r["histogram"])) for r in decode_media(media).collect()}
+    b = {r["doc_id"]: (r["byte_sum"], tuple(r["histogram"])) for r in decode_media(media).collect()}
+    assert a == b  # Arrow-batched fake decode is deterministic
+    one = next(iter(a.values()))
+    assert sum(one[1]) > 0  # histogram bins sum to n_bytes
+    # byte_sum consistent with payload length times plausible byte values
+    assert one[0] > 0
+
+
+def test_decode_media_real_decoder_stubbed(spark):
+    from odoo_batch_processing_spark.operators.multimodal import attach_binary, decode_media
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(1)
+    with pytest.raises(NotImplementedError, match="decoding libraries"):
+        decode_media(attach_binary(docs), real_decoder=True)
+
+
+def test_sample_frames_stride(spark):
+    from odoo_batch_processing_spark.operators.multimodal import attach_binary, sample_frames
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    media = attach_binary(docs)
+    out = sample_frames(media, frame_bytes=64, stride=4)
+    for r in out.collect():
+        # frames are the every-4th 64-byte slices; all non-empty
+        assert r["n_sampled"] == len(r["frames"])
+        assert all(len(fr) > 0 for fr in r["frames"])
