@@ -1,0 +1,175 @@
+"""Bounded streaming runs exposed through the driver contract.
+
+Each callable drives a REAL Structured Streaming query (file source →
+trigger → sink) to completion on the fixture data and returns the
+result as a DataFrame, so the streaming machinery itself sits under
+the correctness gate: where the result is SQL-expressible the DuckDB
+oracle hash-checks it; un-expressible runs get the rows-only check.
+
+Scratch space: sinks/checkpoints live under <repo>/.scratch (gitignored)
+— each run gets a fresh directory; results are returned as reads over
+the written parquet, so nothing is collected driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.sources.loader import load_table
+from odoo_batch_processing_spark.streaming.progress import ProgressTracker
+from odoo_batch_processing_spark.streaming.sources import change_source
+from odoo_batch_processing_spark.streaming.throttle import ThrottledBulkUpdate
+from odoo_batch_processing_spark.streaming.windowed import hourly_counts
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+_MEMSINK_SEQ = [0]
+
+
+def _scratch_dir(prefix: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{prefix}-", dir=_SCRATCH)
+
+
+def _mem_name(prefix: str) -> str:
+    _MEMSINK_SEQ[0] += 1
+    return f"{prefix}_{os.getpid()}_{_MEMSINK_SEQ[0]}"
+
+
+def _events_dir(sf_dir: str) -> str:
+    """The streaming file source requires a DIRECTORY; the fixture is a
+    single parquet file. Stage a per-run scratch dir holding a symlink
+    to it (zero copy, fixtures untouched)."""
+    d = _scratch_dir("events-src")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-000.parquet"))
+    return d
+
+
+def _q_s_r22_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R22: file-arrival change source driving a streaming count by
+    type (complete mode memory sink, run to exhaustion)."""
+    stream = change_source(spark, _events_dir(sf_dir))
+    name = _mem_name("s_r22")
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _q_s_x7_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 streaming: watermarked hourly windows (complete mode so every
+    window emits and the batch oracle matches; the append-mode
+    late-drop behavior is unit-tested in tests/test_streaming.py)."""
+    stream = change_source(spark, _events_dir(sf_dir))
+    name = _mem_name("s_x7")
+    q = (
+        hourly_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _q_s_r18_throttled_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18/R15: trigger-paced micro-batch constant update via
+    foreachBatch; the committed sink is the returned relation."""
+    out_dir = _scratch_dir("r18-out")
+    ckpt = _scratch_dir("r18-ckpt")
+    run = ThrottledBulkUpdate(
+        column="event_type",
+        value="bulk",
+        out_dir=out_dir,
+        checkpoint_dir=ckpt,
+        visible=F.col("value") > 50.0,
+        readonly=F.col("event_type") == "error",
+    )
+    q = run.start(change_source(spark, _events_dir(sf_dir)), available_now=True)
+    q.awaitTermination()
+    assert run.success_count + run.error_count > 0
+    return spark.read.parquet(out_dir).select("event_id", "event_type")
+
+
+def _q_s_r17_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17: listener-derived progress rows for a single-batch run."""
+    total = load_table(spark, sf_dir, "events").count()
+    tracker = ProgressTracker(expected_total=total)
+    spark.streams.addListener(tracker)
+    try:
+        stream = change_source(spark, _events_dir(sf_dir))
+        name = _mem_name("s_r17")
+        q = (
+            stream.select("event_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        deadline = time.time() + 30
+        while time.time() < deadline and not tracker.batches:
+            time.sleep(0.1)  # listener bus is async
+    finally:
+        spark.streams.removeListener(tracker)
+    rows = [(b.batch_id, b.rows, b.cumulative_rows, b.pct) for b in tracker.batches]
+    df = spark.createDataFrame(rows, "batch_id bigint, rows bigint, cumulative_rows bigint, pct int")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum("rows").cast("bigint").alias("rows_seen"),
+        F.max("pct").cast("int").alias("final_pct"),
+    )
+
+
+QUERIES = {
+    "s_r22_change_counts": _q_s_r22_change_counts,
+    "s_x7_stream_hourly": _q_s_x7_stream_hourly,
+    "s_r18_throttled_update": _q_s_r18_throttled_update,
+    "s_r17_progress": _q_s_r17_progress,
+}
+
+ORACLES = {
+    "s_r22_change_counts": """
+        SELECT event_type, COUNT(1) AS n FROM events GROUP BY 1
+    """,
+    "s_x7_stream_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "s_r18_throttled_update": """
+        SELECT event_id,
+               CASE WHEN value > 50.0 AND NOT (event_type = 'error')
+                    THEN 'bulk' ELSE event_type END AS event_type
+        FROM events
+    """,
+    # s_r17_progress: single-file source → exactly one batch of all rows
+    "s_r17_progress": """
+        SELECT CAST(1 AS BIGINT) AS n_batches,
+               COUNT(1) AS rows_seen,
+               CAST(100 AS INTEGER) AS final_pct
+        FROM events
+    """,
+}

@@ -1,0 +1,45 @@
+"""Change-data source (R22 in SURVEY.md §2).
+
+Reference analog: a MutationObserver on document.body reacts to new
+`.o_list_view` nodes appearing (Odoo-Batch-Processing.user.js:145-163)
+— an unbounded source of "a new table arrived" events whose handler is
+a stub (user.js:191-193). The Spark-native equivalent is the file
+streaming source: a directory is the observed DOM, a new parquet file
+is a new list view, and each micro-batch processes the newly arrived
+rows.
+
+Scale notes: the file source tracks seen-files in the checkpoint; for
+100 TB ingest the options that matter are `maxFilesPerTrigger` (batch
+size control — the streaming form of rate limiting) and
+`latestFirst`. The directory listing itself is driver-side; at very
+high file counts production would front this with a notification
+queue, which swaps in as a different `format()` with the same
+downstream plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from odoo_batch_processing_spark.schemas import SCHEMAS
+from odoo_batch_processing_spark.session import configure
+
+
+def change_source(
+    spark: SparkSession,
+    directory: str,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a directory of parquet files (events-shaped by
+    default). New file ≈ new list view (R22)."""
+    configure(spark)
+    reader = spark.readStream.schema(schema or SCHEMAS["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(directory)
+    if schema is None:
+        # same ns→µs conversion as the batch loader
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,140 @@
+"""M4: streaming semantics the oracles can't check — cooperative
+cancellation keeping partial work (R19/§1.3), watermark late-data
+dropping (X7), and multi-batch progress tracking (R17)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _ns(minutes: int) -> int:
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    return int((base + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000_000)
+
+
+def _write_events_file(spark, path: str, rows):
+    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_r19_cancel_keeps_committed_batches(spark, tmp_path):
+    """Start a throttled run over many files with 1 file/trigger,
+    cancel mid-run: committed micro-batches survive, accounting
+    reflects only processed rows, outcome = 'cancelled'."""
+    from odoo_batch_processing_spark.streaming.sources import change_source
+    from odoo_batch_processing_spark.streaming.throttle import ThrottledBulkUpdate
+
+    src = str(tmp_path / "src")
+    n_files = 8
+    for i in range(n_files):
+        _write_events_file(
+            spark, src, [(i * 10 + j, _ns(i), 1, "click", 60.0, "{}") for j in range(5)]
+        )
+    run = ThrottledBulkUpdate(
+        column="event_type",
+        value="bulk",
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        visible=F.col("value") > 50.0,
+        trigger_ms=300,
+    )
+    q = run.start(change_source(spark, src, max_files_per_trigger=1))
+    deadline = time.time() + 60
+    while time.time() < deadline and run.success_count == 0:
+        time.sleep(0.05)
+    run.cancel()  # R19: flag + stop between batches
+    q.awaitTermination(30)
+
+    assert run.cancelled and run.outcome == "cancelled"
+    committed = spark.read.parquet(str(tmp_path / "out"))
+    n_committed = committed.count()
+    assert 0 < n_committed <= n_files * 5          # partial, not all-or-nothing
+    assert n_committed == run.success_count        # accounting matches sink
+    assert committed.filter(F.col("event_type") != "bulk").count() == 0
+
+
+def test_x7_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg: a row arriving after the watermark
+    passed its window is discarded (the late-data policy)."""
+    from odoo_batch_processing_spark.streaming.sources import change_source
+    from odoo_batch_processing_spark.streaming.windowed import hourly_counts
+
+    src = str(tmp_path / "src")
+    # batch 1: two on-time events in hour 0, then hour 3 (pushes watermark far past hour 0)
+    _write_events_file(
+        spark, src,
+        [(1, _ns(5), 1, "click", 1.0, "{}"),
+         (2, _ns(20), 1, "click", 1.0, "{}"),
+         (3, _ns(180), 1, "click", 1.0, "{}")],
+    )
+    name = "wm_test_sink"
+    q = (
+        hourly_counts(change_source(spark, src, max_files_per_trigger=1), watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for hour 0 (watermark is now ~02:50)
+        _write_events_file(spark, src, [(4, _ns(6), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # batch 3: advance watermark further so closed windows flush
+        _write_events_file(spark, src, [(5, _ns(400), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = {
+        (r["hour_start"].isoformat(), r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    # hour-0 window emitted with the 2 ON-TIME rows only; the late row 4 was dropped
+    assert ("2024-01-01T00:00:00", 2) in emitted
+    assert ("2024-01-01T00:00:00", 3) not in emitted
+
+
+def test_r17_progress_multi_batch(spark, tmp_path):
+    from odoo_batch_processing_spark.streaming.progress import ProgressTracker
+    from odoo_batch_processing_spark.streaming.sources import change_source
+
+    src = str(tmp_path / "src")
+    for i in range(4):
+        _write_events_file(
+            spark, src, [(i * 10 + j, _ns(i), 1, "view", 1.0, "{}") for j in range(25)]
+        )
+    tracker = ProgressTracker(expected_total=100)
+    spark.streams.addListener(tracker)
+    try:
+        q = (
+            change_source(spark, src, max_files_per_trigger=1)
+            .select("event_id")
+            .writeStream.format("memory")
+            .queryName("prog_test_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        deadline = time.time() + 30
+        while time.time() < deadline and tracker.rows_seen < 100:
+            time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(tracker)
+
+    assert tracker.rows_seen == 100
+    pcts = tracker.percentages
+    assert pcts and pcts[-1] == 100
+    assert pcts == sorted(pcts)  # monotone like the reference's bar (user.js:469)
+    assert len([p for p in pcts if p > 0]) >= 2  # genuinely multi-batch
