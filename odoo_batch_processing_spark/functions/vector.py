@@ -34,3 +34,11 @@ def cosine(a: Column, b: Column) -> Column:
     """dot/(‖a‖·‖b‖); dimensions and accumulation order fixed so the
     DuckDB oracle reproduces the exact double."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def normalized(vec: Column, nrm: Column) -> Column:
+    """vec / nrm, element-wise. Callers precompute ``nrm`` as a column
+    (withColumn) so the fold runs once per ROW, not once per pair —
+    the O(n) vs O(n²) difference in pairwise similarity plans. With
+    both sides pre-normalized, cosine degrades to a single dot()."""
+    return F.transform(vec, lambda x: x / nrm)

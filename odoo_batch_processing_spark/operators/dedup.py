@@ -157,33 +157,35 @@ def ngram_jaccard_pairs(doc_sh: DataFrame, threshold: float = JACCARD_MIN) -> Da
 
 def minhash_band_keys(doc_sh: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
     """(doc_id, band, band_key): k md5 min-hash signatures folded into
-    ``bands`` band keys (rows-per-band = k/bands)."""
+    ``bands`` band keys (rows-per-band = k/bands).
+
+    Shape note: the k hashes are k parallel MIN aggregates over the
+    (doc, shingle) relation — NOT a k× row explosion before the
+    shuffle. One groupBy(doc_id) with map-side partial mins moves
+    k×|docs| values, not k×|doc,shingle| rows (a 12× shuffle-volume
+    reduction here; the difference between feasible and not at 100 TB).
+    """
     rows_per_band = k // bands
-    seeds = F.explode(F.array(*[F.lit(s) for s in range(k)])).alias("seed")
-    sig = (
-        doc_sh.select("doc_id", "sh", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh")))
-            ).alias("minh")
-        )
+    sig = doc_sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("sh")))).alias(f"m{s}")
+            for s in range(k)
+        ]
     )
-    return (
-        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                        lambda x: x["minh"],
-                    ),
-                    "|",
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
@@ -283,13 +285,20 @@ def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label ≈ IVF cell) — the embedding near-dup candidate list."""
     from pyspark.sql import Window
 
+    from odoo_batch_processing_spark.functions.vector import dot, norm, normalized
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("vec_id"), to_double(F.col("embedding")).alias("va"))
-    b = emb.select("label", F.col("vec_id").alias("nn_id"), to_double(F.col("embedding")).alias("vb"))
+    unit = (
+        emb.select("label", "vec_id", to_double(F.col("embedding")).alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select("label", "vec_id", normalized(F.col("__v"), F.col("__n")).alias("uv"))
+    )
+    a = unit.select("label", "vec_id", F.col("uv").alias("va"))
+    b = unit.select("label", F.col("vec_id").alias("nn_id"), F.col("uv").alias("vb"))
     scored = (
         a.join(b, "label")
         .filter(F.col("vec_id") != F.col("nn_id"))
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", dot(F.col("va"), F.col("vb")))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
     return (
@@ -355,19 +364,24 @@ ORACLES["x3_ngram_jaccard"] = f"""
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_MIN}
 """
 
+_MINHASH_SIG_COLS = ", ".join(
+    f"MIN(md5('{s}' || '|' || sh)) AS m{s}" for s in range(MINHASH_K)
+)
+_MINHASH_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS band_key FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"m{b * (MINHASH_K // MINHASH_BANDS) + r}"
+            for r in range(MINHASH_K // MINHASH_BANDS)
+        ),
+    )
+    for b in range(MINHASH_BANDS)
+)
+
 ORACLES["x3_minhash_lsh"] = f"""
     WITH doc_sh AS ({_DOC_SH}),
-    sig AS (
-        SELECT doc_id, seed,
-               MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minh
-        FROM doc_sh CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS seed) seeds
-        GROUP BY doc_id, seed
-    ),
-    bands AS (
-        SELECT doc_id, CAST(seed // {MINHASH_K // MINHASH_BANDS} AS INTEGER) AS band,
-               md5(string_agg(minh, '|' ORDER BY seed)) AS band_key
-        FROM sig GROUP BY 1, 2
-    )
+    sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM doc_sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BAND_SELECTS})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -409,11 +423,14 @@ ORACLES["x3_simhash"] = f"""
 """
 
 ORACLES["x3_embedding_neardup"] = """
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS vec
+        FROM (SELECT vec_id, label, embedding::DOUBLE[] AS raw FROM embeddings)
+    ),
     scored AS (
         SELECT a.vec_id, b.vec_id AS nn_id,
-               list_dot_product(a.vec, b.vec)
-               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS cos_sim
+               list_dot_product(a.vec, b.vec) AS cos_sim
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, nn_id, cos_sim FROM (

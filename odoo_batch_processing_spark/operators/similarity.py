@@ -28,11 +28,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from odoo_batch_processing_spark.functions.vector import cosine, to_double
+from odoo_batch_processing_spark.functions.vector import dot, norm, normalized, to_double
 from odoo_batch_processing_spark.sources.loader import load_table
 
 N_QUERIES = 5  # fixture query set: vec_id < 5
 TOP_K = 10
+
+
+def _unit(df: DataFrame, id_alias: str, out: str, id_col: str, vec_col: str) -> DataFrame:
+    """Project to (id, unit-normalized double vector). Normalizing once
+    per row turns pairwise cosine into a bare dot product — 3× fewer
+    folds and O(n) norm work instead of O(n²)."""
+    dv = to_double(F.col(vec_col))
+    return (
+        df.select(F.col(id_col).alias(id_alias), dv.alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select(id_alias, normalized(F.col("__v"), F.col("__n")).alias(out))
+    )
 
 
 def ann_topk(
@@ -47,15 +59,11 @@ def ann_topk(
     queries/candidates carry (id_col, vec_col). Self-matches excluded.
     Deterministic under score ties (secondary order on neighbor id).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
-    )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
-    )
+    q = _unit(queries, "query_id", "qv", id_col, vec_col)
+    c = _unit(candidates, "neighbor_id", "cv", id_col, vec_col)
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -88,14 +96,20 @@ def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "cell", ivf_bucket(F.col("embedding"))
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    dv = to_double(F.col("embedding"))
+    unit = (
+        emb.select("vec_id", "cell", dv.alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select("vec_id", "cell", normalized(F.col("__v"), F.col("__n")).alias("uv"))
+    )
+    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        to_double(F.col("embedding")).alias("qv"),
+        F.col("uv").alias("qv"),
         F.col("cell").alias("qcell"),
     )
-    c = emb.select(
+    c = unit.select(
         F.col("vec_id").alias("neighbor_id"),
-        to_double(F.col("embedding")).alias("cv"),
+        F.col("uv").alias("cv"),
         F.col("cell").alias("ccell"),
     )
     scored = (
@@ -103,7 +117,7 @@ def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(q),
             (F.col("ccell") == F.col("qcell")) & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -118,20 +132,24 @@ QUERIES = {
     "x4_ivf_topk": _q_x4_ivf_topk,
 }
 
-_COS = (
-    "list_dot_product(q.qv, c.cv) / "
-    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))"
+# normalize-first, exactly like the Spark plan: unit = v / sqrt(v·v),
+# then cosine = unit_a · unit_b. Same operations in the same order →
+# bit-identical doubles.
+_UNIT = (
+    "SELECT vec_id, label,"
+    " list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS uv"
+    " FROM (SELECT vec_id, label, embedding::DOUBLE[] AS raw FROM embeddings)"
 )
 
 ORACLES = {
     "x4_cosine_topk": f"""
-        WITH q AS (
-            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-            FROM embeddings WHERE vec_id < {N_QUERIES}
+        WITH unit AS ({_UNIT}),
+        q AS (
+            SELECT vec_id AS query_id, uv AS qv FROM unit WHERE vec_id < {N_QUERIES}
         ), c AS (
-            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+            SELECT vec_id AS neighbor_id, uv AS cv FROM unit
         ), scored AS (
-            SELECT q.query_id, c.neighbor_id, {_COS} AS cos_sim
+            SELECT q.query_id, c.neighbor_id, list_dot_product(q.qv, c.cv) AS cos_sim
             FROM c JOIN q ON c.neighbor_id <> q.query_id
         )
         SELECT query_id, rank, neighbor_id, cos_sim FROM (
@@ -143,18 +161,19 @@ ORACLES = {
     """,
     "x4_ivf_topk": f"""
         WITH cells AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
+            SELECT vec_id,
+                   list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v,
                    (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
                   + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
                   + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
-            FROM embeddings
+            FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS raw FROM embeddings)
         ), q AS (
             SELECT vec_id AS query_id, v AS qv, cell AS qcell
             FROM cells WHERE vec_id < {N_QUERIES}
         ), c AS (
             SELECT vec_id AS neighbor_id, v AS cv, cell AS ccell FROM cells
         ), scored AS (
-            SELECT q.query_id, c.neighbor_id, {_COS} AS cos_sim
+            SELECT q.query_id, c.neighbor_id, list_dot_product(q.qv, c.cv) AS cos_sim
             FROM c JOIN q ON c.ccell = q.qcell AND c.neighbor_id <> q.query_id
         )
         SELECT query_id, rank, neighbor_id, cos_sim FROM (

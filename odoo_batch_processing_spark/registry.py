@@ -32,6 +32,7 @@ _MODULES = (
     "odoo_batch_processing_spark.operators.approx",
     "odoo_batch_processing_spark.operators.setops",
     "odoo_batch_processing_spark.operators.multimodal",
+    "odoo_batch_processing_spark.sources.sinks",
     "odoo_batch_processing_spark.streaming.queries",
 )
 
