@@ -1,0 +1,180 @@
+"""Advanced SQL surface: multi-dimensional aggregation (ROLLUP/CUBE/
+PIVOT), semi-join EXISTS shapes, correlated-aggregate joins, and
+scalar-function breadth.
+
+The reference has none of these (SURVEY.md §2.2: aggregation is
+'counts + boolean ANY'; set ops, window functions, date/array
+functions all absent) — this module closes the analytics gap the
+north star mandates. All built-ins; plan shapes noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.functions.exprs import dec, money_sum, revenue
+from odoo_batch_processing_spark.sources.loader import load_table
+
+
+def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag
+    subtotal, grand total — one pass, Expand + single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        money_sum(revenue(), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(dec("o_totalprice"), "total"),
+    )
+
+
+def _q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT linestatus into columns (explicit value list so the plan
+    needs no discovery pass — at scale an implicit pivot is an extra
+    distinct scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_finished"),
+    )
+
+
+def _q_q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS: orders having ≥1 lineitem shipped after
+    the order date, counted per priority. The EXISTS compiles to a
+    LEFT SEMI join — no duplicate inflation, no distinct needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sat = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return sat.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def _q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated aggregate: revenue from lineitems
+    whose quantity is below half the part's average. The correlated
+    scalar subquery is de-correlated by hand into a per-part aggregate
+    joined back (what Catalyst does for such subqueries anyway —
+    written explicitly so the broadcast of the tiny agg side is
+    guaranteed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = li.join(F.broadcast(per_part), "l_partkey").filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return small.agg(
+        money_sum(dec("l_extendedprice"), "total_price"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+def _q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/string/array scalar coverage in one projection (the
+    reference's entire scalar surface was trim/split/lower/concat —
+    SURVEY.md §2.2); every function here is JVM-side codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.upper("o_orderstatus").alias("status_u"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.translate("o_orderpriority", "-", "_").alias("prio_t"),
+        F.substring("o_orderpriority", 3, 6).alias("prio_word"),
+        F.reverse("o_orderstatus").alias("status_r"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.size(F.split("o_orderpriority", "-")).cast("bigint").alias("prio_parts"),
+        F.element_at(F.split("o_orderpriority", "-"), 1).alias("prio_rank"),
+    )
+
+
+QUERIES = {
+    "agg_rollup": _q_agg_rollup,
+    "agg_cube": _q_agg_cube,
+    "agg_pivot": _q_agg_pivot,
+    "q04_priority_exists": _q_q04_priority_exists,
+    "q17_small_qty": _q_q17_small_qty,
+    "scalar_breadth": _q_scalar_breadth,
+}
+
+ORACLES = {
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               COUNT(1) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "agg_pivot": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_finished
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q04_priority_exists": """
+        SELECT o_orderpriority, COUNT(1) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q17_small_qty": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+               COUNT(1) AS n_small
+        FROM lineitem JOIN per_part USING (l_partkey)
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "scalar_breadth": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+               last_day(o_orderdate) AS month_end,
+               upper(o_orderstatus) AS status_u,
+               lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+               translate(o_orderpriority, '-', '_') AS prio_t,
+               substr(o_orderpriority, 3, 6) AS prio_word,
+               reverse(o_orderstatus) AS status_r,
+               CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+               CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS prio_parts,
+               string_split(o_orderpriority, '-')[1] AS prio_rank
+        FROM orders
+    """,
+}

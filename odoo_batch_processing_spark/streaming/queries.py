@@ -141,11 +141,35 @@ def _q_s_r17_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op (applyInPandasWithState) run to exhaustion.
+    Single-file source → one micro-batch → the emitted running totals
+    equal the overall per-user totals, which the oracle asserts."""
+    from odoo_batch_processing_spark.streaming.stateful import running_totals
+
+    stream = change_source(spark, _events_dir(sf_dir))
+    name = _mem_name("s_state")
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("state-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "s_r22_change_counts": _q_s_r22_change_counts,
     "s_x7_stream_hourly": _q_s_x7_stream_hourly,
     "s_r18_throttled_update": _q_s_r18_throttled_update,
     "s_r17_progress": _q_s_r17_progress,
+    "s_stateful_totals": _q_s_stateful_totals,
 }
 
 ORACLES = {
@@ -171,5 +195,12 @@ ORACLES = {
                COUNT(1) AS rows_seen,
                CAST(100 AS INTEGER) AS final_pct
         FROM events
+    """,
+    "s_stateful_totals": """
+        SELECT user_id,
+               COUNT(1) AS n_events,
+               MIN(event_id) AS min_event_id,
+               MAX(event_id) AS max_event_id
+        FROM events GROUP BY user_id
     """,
 }

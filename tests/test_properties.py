@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the reference-semantics
+operators — SURVEY.md §7.1 M5: R13 coercion, R14 parse/clamp, R9
+truncation hold for arbitrary inputs, not just the golden cases."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(max_examples=8, deadline=None)
+
+
+# --- R13: coerced == (value is not None and value.lower() == 'true') -------
+@given(st.lists(st.text(max_size=12), min_size=1, max_size=40))
+@SETTINGS
+def test_r13_property(spark, raws):
+    from odoo_batch_processing_spark.operators.bulk_update import coerce_checkbox_boolean
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(raws)], "i int, raw string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", coerce_checkbox_boolean(F.col("raw")).alias("c")).collect()
+    }
+    for i, v in enumerate(raws):
+        assert got[i] is (v is not None and v.lower() == "true")
+
+
+# --- R14: model = trunc-toward-zero parse, clamp negatives, reject garbage -
+_NUMERIC = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)$")
+
+
+def _model_r14(s: str | None) -> int | None:
+    if s is None or not _NUMERIC.match(s.strip()):
+        return None  # the reject path (NaN guard)
+    value = float(s)
+    if value != value or abs(value) > 2**31 - 1:
+        return None
+    return max(0, int(value))  # int() truncates toward zero like parseInt
+
+
+num_strings = st.one_of(
+    st.integers(-10**6, 10**6).map(str),
+    st.floats(-1e6, 1e6, allow_nan=False).map(lambda x: f"{x:.3f}"),
+    st.text(alphabet="0123456789.-+ abc", max_size=8),
+)
+
+
+@given(st.lists(num_strings, min_size=1, max_size=40))
+@SETTINGS
+def test_r14_property(spark, raws):
+    from odoo_batch_processing_spark.operators.bulk_update import parse_wait_time
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(raws)], "i int, raw string")
+    got = {
+        r["i"]: r["w"]
+        for r in df.select("i", parse_wait_time(F.trim(F.col("raw"))).alias("w")).collect()
+    }
+    for i, v in enumerate(raws):
+        assert got[i] == _model_r14(v), f"input {v!r}: got {got[i]}, model {_model_r14(v)}"
+
+
+# --- R9: |output| == n_visible; |updated| == min(n_visible, n_values) ------
+@given(st.integers(0, 60), st.integers(0, 60))
+@SETTINGS
+def test_r9_truncation_property(spark, n_rows, n_values):
+    from odoo_batch_processing_spark.operators.bulk_update import zip_join_update
+
+    rows = spark.range(n_rows).select(
+        F.col("id").alias("ord"), F.lit("old").alias("val")
+    )
+    values = spark.createDataFrame(
+        [(i, f"new{i}") for i in range(n_values)] or [(None, None)],
+        "vord int, v string",
+    ).filter(F.col("vord").isNotNull())
+    out = zip_join_update(rows, ["ord"], "val", values, ["vord"], "v").collect()
+    assert len(out) == n_rows
+    n_updated = sum(1 for r in out if r["val"] != "old")
+    assert n_updated == min(n_rows, n_values)
