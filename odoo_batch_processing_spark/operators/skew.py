@@ -1,0 +1,84 @@
+"""Skew-safe aggregation: two-phase salted groupBy.
+
+At 100 TB a single hot key (one viral document source, one mega
+customer) turns a groupBy into one straggler task. The standard fix:
+salt the key with a random-ish shard, partially aggregate on
+(key, salt) — hot keys now spread over ``n_salts`` tasks — then merge
+the partials on the bare key. Twice the shuffles, each skew-free; the
+result is IDENTICAL to the plain groupBy, which is exactly what the
+oracle asserts (the plain SQL GROUP BY).
+
+The salt must be deterministic-per-row but uniform — derived from a
+row hash, NOT rand() (rand breaks retry idempotence: a retried task
+would re-salt differently and double-count).
+
+AQE's skew-join handling covers JOIN skew automatically
+(session.RUNTIME_CONFS); aggregation skew needs this explicit shape
+because partial aggregation alone can't help when the hot key's rows
+overwhelm even one map task's hash table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.sources.loader import load_table
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    n_salts: int = 16,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """SUM(value), COUNT(*) per key, shuffled in two skew-free phases.
+
+    ``value`` must be an exact (decimal/int) expression — the two-phase
+    regrouping reorders additions, which only decimal/integer sums can
+    absorb without changing the result.
+    """
+    salt = F.pmod(
+        F.xxhash64(salt_on if salt_on is not None else F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(value).alias("__psum"), F.count(F.lit(1)).alias("__pcnt"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__psum").alias("sum_value"),
+        F.sum("__pcnt").alias("n_rows"),
+    )
+
+
+def _q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per returnflag via the salted two-phase plan; oracle is
+    the PLAIN group-by — proving the rewrite is result-identical."""
+    from odoo_batch_processing_spark.functions.exprs import revenue
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li,
+        ["l_returnflag"],
+        revenue(),
+        salt_on=F.col("l_orderkey") * 7 + F.col("l_linenumber"),
+    )
+    return out.select(
+        "l_returnflag", F.col("sum_value").cast("double").alias("revenue"), "n_rows"
+    )
+
+
+QUERIES = {"skew_salted_agg": _q_skew_salted_agg}
+
+ORACLES = {
+    "skew_salted_agg": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               COUNT(1) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

@@ -192,16 +192,85 @@ ORDER BY nation, o_year DESC
 """
 
 
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: pure scan-and-aggregate with three range
+    predicates, all pushed to the parquet reader — the canonical
+    'filters belong in the scan' query (no join, no window, one
+    tiny shuffle for the final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(dec("l_extendedprice") * dec("l_discount"), "forecast_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: promo revenue share — conditional aggregation
+    over a broadcast dimension join; the ratio is one double division
+    of two exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(revenue()).cast("double")
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
     "q05_revenue_by_nation": q05_revenue_by_nation,
+    "q06_forecast_revenue": q06_forecast_revenue,
     "q09_profit_by_nation_year": q09_profit_by_nation_year,
+    "q14_promo_effect": q14_promo_effect,
 }
+
+ORACLE_Q06 = """
+SELECT
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS forecast_revenue,
+    COUNT(1) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLE_Q14 = """
+SELECT
+    100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_pct,
+    COUNT(1) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-06-01'
+"""
 
 ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
     "q03_top_orders": ORACLE_Q03,
     "q05_revenue_by_nation": ORACLE_Q05,
+    "q06_forecast_revenue": ORACLE_Q06,
     "q09_profit_by_nation_year": ORACLE_Q09,
+    "q14_promo_effect": ORACLE_Q14,
 }

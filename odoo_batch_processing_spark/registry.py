@@ -33,6 +33,8 @@ _MODULES = (
     "odoo_batch_processing_spark.operators.windows",
     "odoo_batch_processing_spark.operators.approx",
     "odoo_batch_processing_spark.operators.setops",
+    "odoo_batch_processing_spark.operators.skew",
+    "odoo_batch_processing_spark.operators.grouped",
     "odoo_batch_processing_spark.operators.multimodal",
     "odoo_batch_processing_spark.sources.sinks",
     "odoo_batch_processing_spark.streaming.queries",

@@ -164,12 +164,42 @@ def _q_s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via the built-in session_window (30min
+    gap) — the native form of operators/windows._q_x7_sessionize's
+    lag+cumsum batch plan. Output is (user, start, end, n) so the
+    batch-derived oracle compares without session ordinals."""
+    stream = change_source(spark, _events_dir(sf_dir))
+    name = _mem_name("s_sess")
+    q = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "s_r22_change_counts": _q_s_r22_change_counts,
     "s_x7_stream_hourly": _q_s_x7_stream_hourly,
     "s_r18_throttled_update": _q_s_r18_throttled_update,
     "s_r17_progress": _q_s_r17_progress,
     "s_stateful_totals": _q_s_stateful_totals,
+    "s_session_window": _q_s_session_window,
 }
 
 ORACLES = {
@@ -202,5 +232,27 @@ ORACLES = {
                MIN(event_id) AS min_event_id,
                MAX(event_id) AS max_event_id
         FROM events GROUP BY user_id
+    """,
+    # session_window(30min): session end = last event + gap (Spark's
+    # session_window.end semantics), reproduced with the lag+cumsum CTE
+    "s_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR (epoch(ts) - epoch(lag(ts) OVER w)) / 60.0 > 30
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(1) AS n_events
+        FROM numbered GROUP BY user_id, sid
     """,
 }

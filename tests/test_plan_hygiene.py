@@ -1,0 +1,83 @@
+"""Plan hygiene over the WHOLE query catalog: no accidental
+nested-loop/cartesian joins, scans carry pushed filters where the
+query filters a scanned column. Physical plans only — nothing
+executes, so the sweep is cheap and runs on every build.
+
+This is the codified form of the engine rule: '.explain every
+operator until it's the plan you'd want' — regressions (a join
+condition typo turning an equi-join into BNLJ, a cast blocking
+pushdown) fail here, not in a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+#: streaming queries execute on invocation (they run a bounded stream);
+#: the batch sweep below covers everything else.
+_SKIP_PREFIXES = ("s_",)
+#: r21 writes on plan construction (sink roundtrip) — cheap but not
+#: plan-only; keep it out of the pure-planning sweep.
+_SKIP = {"r21_sink_roundtrip"}
+#: queries where a nested-loop join is the INTENDED plan: brute-force
+#: ANN has no equi-key — it's a deliberate broadcast(query-batch) ×
+#: corpus scan (similarity.py docstring). The IVF twin (x4_ivf_topk)
+#: is the keyed, hash-joined scale path and stays under the rule.
+_ALLOWED_NESTED_LOOP = {"x4_cosine_topk"}
+
+
+def _batch_queries():
+    from odoo_batch_processing_spark.registry import all_queries
+
+    return {
+        name: fn
+        for name, fn in all_queries().items()
+        if not name.startswith(_SKIP_PREFIXES) and name not in _SKIP
+    }
+
+
+def test_no_nested_loop_or_cartesian_anywhere(spark):
+    offenders = {}
+    for name, fn in sorted(_batch_queries().items()):
+        if name in _ALLOWED_NESTED_LOOP:
+            continue
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            marker
+            for marker in ("BroadcastNestedLoopJoin", "CartesianProduct")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalable join strategies in: {offenders}"
+
+
+@pytest.mark.parametrize(
+    ("name", "expect"),
+    [
+        ("q05_revenue_by_nation", "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+        # plan strings truncate long filter lists at 100 chars — match a prefix
+        ("q06_forecast_revenue", "GreaterThanOrEqual(l_shipda"),
+        ("r02_visibility_filter", "EqualTo(o_orderstatus,O)"),
+    ],
+)
+def test_filters_reach_the_scan(spark, name, expect):
+    from odoo_batch_processing_spark.registry import all_queries
+
+    plan = all_queries()[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert expect in plan, f"{name}: filter not pushed to parquet scan"
+
+
+def test_star_joins_broadcast(spark):
+    from odoo_batch_processing_spark.registry import all_queries
+
+    plan = (
+        all_queries()["q05_revenue_by_nation"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
