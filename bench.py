@@ -36,12 +36,24 @@ def main() -> int:
     # Warm the JVM + parquet footers once so timings measure the queries.
     next(iter(queries.values()))(spark, sf_dir).count()
 
+    # Host timing is noisy (shared machine): take the best of N reps per
+    # query; one failing query reports -1 instead of killing the bench.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
     for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # surface per-query, keep benching
+                print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+                best = -1.0
+                break
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
     total = round(time.perf_counter() - t_total, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

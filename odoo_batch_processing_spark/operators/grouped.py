@@ -36,12 +36,48 @@ def _per_customer(pdf):
     )[["o_custkey", "o_orderkey", "value_rank", "value_normed"]]
 
 
-def customer_order_ranks(orders: DataFrame) -> DataFrame:
-    return (
-        orders.select("o_custkey", "o_orderkey", "o_totalprice")
-        .groupBy("o_custkey")
-        .applyInPandas(_per_customer, OUT_SCHEMA)
-    )
+def customer_order_ranks(orders: DataFrame, per_partition: bool = True) -> DataFrame:
+    """Two physical strategies, identical results:
+
+    * ``per_partition=False`` — classic ``applyInPandas``: one Python
+      invocation PER GROUP. Right when groups are large (the group
+      dominates the invocation overhead).
+    * ``per_partition=True`` — repartition on the key, then
+      ``mapInPandas`` with a pandas ``groupby`` inside: one Python
+      invocation PER PARTITION. For many tiny groups this is the
+      difference between 15k invocations and 32 (measured 28s → ~2s at
+      sf0.1). Partition contents are concatenated first because Arrow
+      may split a partition into several batches and a group must not
+      straddle the groupby — memory bound = one partition, same as any
+      mapInPandas.
+    """
+    projected = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    if not per_partition:
+        return projected.groupBy("o_custkey").applyInPandas(_per_customer, OUT_SCHEMA)
+
+    def per_part(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        # fully vectorized: no per-group Python at all (cumcount +
+        # groupby.transform), same arithmetic as _per_customer
+        pdf = pdf.sort_values(["o_custkey", "o_totalprice", "o_orderkey"]).reset_index(drop=True)
+        grp = pdf.groupby("o_custkey", sort=False)["o_totalprice"]
+        lo = grp.transform("min")
+        span = grp.transform("max") - lo
+        yield pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "value_rank": (grp.cumcount() + 1).astype("int32"),
+                "value_normed": np.where(span > 0, (pdf["o_totalprice"] - lo) / span, 0.0),
+            }
+        )
+
+    return projected.repartition("o_custkey").mapInPandas(per_part, OUT_SCHEMA)
 
 
 def _q_grouped_pandas_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -186,11 +186,52 @@ def _stop_hits_sql(lang: str) -> str:
     )
 
 
+def _q_x5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by a tf·idf-style score.
+
+    Uses the RATIONAL idf (N/df) instead of log(N/df): the score is
+    then (int·int)/int in doubles — bit-identical across engines,
+    whereas libm log() may differ in the last ulp between the JVM and
+    DuckDB. Ranking (and therefore the result set) is identical either
+    way since log is monotone.
+
+    Plan: doc-term counts (one shuffle) ⋈ broadcast(df counts, one
+    shuffle over the vocabulary) → per-doc top-K window. The vocabulary
+    side is tiny at any corpus scale; the doc-term side is the
+    wordcount shuffle.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_terms = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()  # scalar: fixed per sf_dir, folds into the plan
+    df_counts = doc_terms.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = doc_terms.join(F.broadcast(df_counts), "token").withColumn(
+        "tfidf",
+        F.col("tf").cast("double") * (F.lit(float(n_docs)) / F.col("df")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "token", "tfidf")
+    )
+
+
 QUERIES = {
     "x5_token_stats": _q_x5_token_stats,
     "x5_lang_id": _q_x5_lang_id,
     "x5_quality_score": _q_x5_quality_score,
     "x5_term_frequency": _q_x5_term_frequency,
+    "x5_tfidf_top_terms": _q_x5_tfidf_top_terms,
     "x5_fingerprint": _q_x5_fingerprint,
 }
 
@@ -250,6 +291,26 @@ ORACLES = {
         FROM documents
     """,
 }
+
+ORACLES["x5_tfidf_top_terms"] = f"""
+    WITH doc_terms AS (
+        SELECT doc_id, token, COUNT(1) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) t
+        GROUP BY doc_id, token
+    ),
+    dfc AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM doc_terms GROUP BY token),
+    n AS (SELECT CAST(COUNT(1) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               CAST(tf AS DOUBLE) * (n.n_docs / df) AS tfidf
+        FROM doc_terms JOIN dfc USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, rnk, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+"""
 
 # term_frequency oracle needs explicit aggregates matching column names
 ORACLES["x5_term_frequency"] = f"""

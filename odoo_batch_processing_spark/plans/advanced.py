@@ -112,12 +112,50 @@ def _q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: a disjunction of conjunctive brand/size/
+    quantity predicates across the join — the optimizer test is that
+    the OR-of-ANDs still leaves an equi-join (key match) with the
+    disjunction as a post-join filter, NOT a nested-loop join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return joined.filter(cond).agg(
+        money_sum(revenue(), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated MIN: per part, the supplier(s) whose
+    account balance equals the per-part maximum among its suppliers.
+    The correlated subquery de-correlates into a per-part aggregate
+    joined back (same pattern as Q17), ties broken deterministically
+    by supplier key in the output ordering columns."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+    best = pairs.groupBy("l_partkey").agg(F.max("s_acctbal").alias("best_bal"))
+    return (
+        pairs.join(F.broadcast(best), "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("best_bal"))
+        .select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
 QUERIES = {
     "agg_rollup": _q_agg_rollup,
     "agg_cube": _q_agg_cube,
     "agg_pivot": _q_agg_pivot,
+    "q02_min_cost_supplier": _q_q02_min_cost_supplier,
     "q04_priority_exists": _q_q04_priority_exists,
     "q17_small_qty": _q_q17_small_qty,
+    "q19_disjunctive": _q_q19_disjunctive,
     "scalar_breadth": _q_scalar_breadth,
 }
 
@@ -159,6 +197,27 @@ ORACLES = {
                COUNT(1) AS n_small
         FROM lineitem JOIN per_part USING (l_partkey)
         WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "q19_disjunctive": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               COUNT(1) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "q02_min_cost_supplier": """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        joined AS (
+            SELECT p.l_partkey, p.l_suppkey, s.s_name, s.s_acctbal
+            FROM pairs p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        ),
+        best AS (SELECT l_partkey, MAX(s_acctbal) AS best_bal FROM joined GROUP BY l_partkey)
+        SELECT j.l_partkey, j.l_suppkey AS s_suppkey, j.s_name, j.s_acctbal
+        FROM joined j JOIN best USING (l_partkey)
+        WHERE j.s_acctbal = best.best_bal
     """,
     "scalar_breadth": """
         SELECT o_orderkey,
