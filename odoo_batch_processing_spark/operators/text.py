@@ -87,12 +87,17 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_stop = F.size(
         F.filter(tokens(text), lambda x: x.isin(*STOPWORDS["en"]))
     ).cast("bigint")
-    mean_word_len = (n_char - (n_tok - 1)).cast("double") / n_tok
+    # empty/blank documents: ratios are NULL by definition (guarded —
+    # double 0/0 would give NaN in Spark but error paths differ across
+    # engines; NULL is the portable, filterable answer)
+    safe_tok = F.when(n_tok > 0, n_tok)
+    safe_char = F.when(n_char > 0, n_char)
+    mean_word_len = (n_char - (n_tok - 1)).cast("double") / safe_tok
     return {
         "n_chars": n_char,
         "n_tokens": n_tok,
-        "punct_ratio": n_punct.cast("double") / n_char,
-        "stopword_ratio": n_stop.cast("double") / n_tok,
+        "punct_ratio": n_punct.cast("double") / safe_char,
+        "stopword_ratio": n_stop.cast("double") / safe_tok,
         "mean_word_len": mean_word_len,
     }
 
@@ -241,8 +246,9 @@ _NCHAR = "CAST(length(text) AS BIGINT)"
 _NSTOP = (
     f"CAST(len(list_filter({_TOKS}, x -> list_contains({_sql_list(STOPWORDS['en'])}, x))) AS BIGINT)"
 )
-_MEANWL = f"CAST({_NCHAR} - ({_NTOK} - 1) AS DOUBLE) / {_NTOK}"
-_STOPRATIO = f"CAST({_NSTOP} AS DOUBLE) / {_NTOK}"
+# nullif guards mirror the Spark-side empty-document NULL semantics
+_MEANWL = f"CAST({_NCHAR} - ({_NTOK} - 1) AS DOUBLE) / nullif({_NTOK}, 0)"
+_STOPRATIO = f"CAST({_NSTOP} AS DOUBLE) / nullif({_NTOK}, 0)"
 
 ORACLES = {
     "x5_token_stats": f"""

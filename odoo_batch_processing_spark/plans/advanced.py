@@ -148,15 +148,77 @@ def _q_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-flag quantity columns back to long form
+    — `unpivot` is a zero-shuffle projection (each input row expands to
+    k output rows in place)."""
+    wide = _q_agg_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_open", "qty_finished"],
+        variableColumnName="metric",
+        valueColumnName="qty",
+    )
+
+
+def _q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag/lead/ntile/percent_rank over the
+    per-customer order sequence — the analytic-function surface the
+    reference entirely lacks (SURVEY.md §2.2 'window functions:
+    absent'). One shuffle (partitionBy), deterministic order via the
+    unique orderkey tie-break."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+def _q_q05_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query through the SQL-string API (temp views +
+    spark.sql) — Catalyst produces the same plan either way; this entry
+    pins that the engine's SQL surface matches its DataFrame surface."""
+    from odoo_batch_processing_spark.sources.loader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+        """
+    )
+
+
 QUERIES = {
     "agg_rollup": _q_agg_rollup,
     "agg_cube": _q_agg_cube,
     "agg_pivot": _q_agg_pivot,
+    "agg_unpivot": _q_agg_unpivot,
     "q02_min_cost_supplier": _q_q02_min_cost_supplier,
     "q04_priority_exists": _q_q04_priority_exists,
+    "q05_sql_api": _q_q05_sql_api,
     "q17_small_qty": _q_q17_small_qty,
     "q19_disjunctive": _q_q19_disjunctive,
     "scalar_breadth": _q_scalar_breadth,
+    "window_breadth": _q_window_breadth,
 }
 
 ORACLES = {
@@ -197,6 +259,39 @@ ORACLES = {
                COUNT(1) AS n_small
         FROM lineitem JOIN per_part USING (l_partkey)
         WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "agg_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_finished
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, qty
+        FROM wide UNPIVOT (qty FOR metric IN (qty_open, qty_finished))
+    """,
+    "window_breadth": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey, 1, -1) OVER w AS prev_order,
+               lead(o_orderkey, 1, -1) OVER w AS next_order,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               percent_rank() OVER w AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q05_sql_api": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC
     """,
     "q19_disjunctive": """
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,

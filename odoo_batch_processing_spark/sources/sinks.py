@@ -27,8 +27,27 @@ from pyspark.sql import DataFrame, SparkSession
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
 
+_SCRATCH_TTL_SECONDS = 24 * 3600
+
+
+def _sweep_stale(root: str) -> None:
+    """Best-effort removal of scratch dirs older than the TTL so
+    repeated rounds don't accumulate sink/checkpoint debris."""
+    import shutil
+    import time
+
+    try:
+        now = time.time()
+        for entry in os.scandir(root):
+            if entry.is_dir() and now - entry.stat().st_mtime > _SCRATCH_TTL_SECONDS:
+                shutil.rmtree(entry.path, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def scratch_dir(prefix: str) -> str:
     os.makedirs(_SCRATCH, exist_ok=True)
+    _sweep_stale(_SCRATCH)
     return tempfile.mkdtemp(prefix=f"{prefix}-", dir=_SCRATCH)
 
 

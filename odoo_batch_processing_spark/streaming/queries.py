@@ -14,25 +14,18 @@ the written parquet, so nothing is collected driver-side.
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.sources.loader import load_table
+from odoo_batch_processing_spark.sources.sinks import scratch_dir as _scratch_dir
 from odoo_batch_processing_spark.streaming.progress import ProgressTracker
 from odoo_batch_processing_spark.streaming.sources import change_source
 from odoo_batch_processing_spark.streaming.throttle import ThrottledBulkUpdate
 from odoo_batch_processing_spark.streaming.windowed import hourly_counts
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
-
 _MEMSINK_SEQ = [0]
-
-
-def _scratch_dir(prefix: str) -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix=f"{prefix}-", dir=_SCRATCH)
 
 
 def _mem_name(prefix: str) -> str:

@@ -34,6 +34,24 @@ def test_lang_id_cjk_and_stopwords(spark):
     assert got == [want for _, want in cases]
 
 
+def test_quality_features_empty_doc_is_null_not_nan(spark):
+    """Empty/blank documents: ratio features are NULL (filterable),
+    never NaN/Inf — guarded division, SCALE-robust for real corpora
+    where empty docs are common."""
+    from odoo_batch_processing_spark.operators.text import quality_features, quality_score
+
+    df = spark.createDataFrame([("",), ("   ",), ("one two",)], "text string")
+    f = quality_features(F.col("text"))
+    rows = df.select(
+        f["stopword_ratio"].alias("sr"),
+        f["mean_word_len"].alias("mw"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert rows[0]["sr"] is None and rows[0]["mw"] is None and rows[0]["q"] is None
+    assert rows[1]["sr"] is None  # whitespace-only → zero tokens → NULL
+    assert rows[2]["sr"] is not None and rows[2]["mw"] == 3.0
+
+
 def test_deterministic_dedup_survivor(spark):
     from odoo_batch_processing_spark.operators.dedup import deterministic_dedup
 
