@@ -140,8 +140,12 @@ def parse_multiline(blob: str) -> list[str]:
 
 
 def split_values(col: Column, sep: str = "\n") -> Column:
-    """Column form: ArrayType of non-blank segments (kept untrimmed)."""
-    return F.filter(F.split(col, sep), lambda x: F.trim(x) != "")
+    """Column form: ArrayType of non-blank segments (kept untrimmed).
+
+    F.split takes a REGEX; the separator is \\Q…\\E-quoted so literal
+    separators like '|' or '.' behave like parse_multiline's
+    str.split, not like regex metacharacters."""
+    return F.filter(F.split(col, "\\Q" + sep + "\\E"), lambda x: F.trim(x) != "")
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +159,8 @@ def zip_join_update(
     values_order_cols: Sequence[str],
     values_col: str,
     visible: Column | None = None,
+    apply_when: Column | None = None,
+    broadcast_values: bool = False,
 ) -> DataFrame:
     """Assign values[i] to the i-th visible row; rows beyond
     min(len(values), len(rows)) keep their old value (the reference's
@@ -165,6 +171,17 @@ def zip_join_update(
     reproduces the min() truncation exactly: unmatched row ordinals
     (values exhausted) fall back to the old value, and surplus values
     (rows exhausted) drop out of the join.
+
+    ``apply_when``: the reference's per-row guard (readonly/editable,
+    user.js:477-480 ``continue``) — a guarded row keeps its old value
+    but still CONSUMES its positional value (the loop index advances),
+    which is exactly what guarding at assignment (not at the filter)
+    produces.
+
+    ``broadcast_values``: hint only when the caller knows the value
+    relation is small (a dialog's pasted list); default lets AQE pick
+    the join strategy — an unconditional broadcast of a caller-supplied
+    relation is an OOM footgun at scale.
 
     100 TB note: both row_numbers are global sorts. This operator
     mirrors reference semantics for parity; at scale, positional
@@ -177,9 +194,14 @@ def zip_join_update(
         values_order_cols,
         zip_ord,
     ).select(zip_ord, "__new_value")
+    if broadcast_values:
+        vals = F.broadcast(vals)
+    new_val = F.coalesce(F.col("__new_value").cast(df.schema[column].dataType), F.col(column))
+    if apply_when is not None:
+        new_val = F.when(apply_when, new_val).otherwise(F.col(column))
     updated = (
-        rows.join(F.broadcast(vals), zip_ord, "left")
-        .withColumn(column, F.coalesce(F.col("__new_value").cast(df.schema[column].dataType), F.col(column)))
+        rows.join(vals, zip_ord, "left")
+        .withColumn(column, new_val)
         .drop("__new_value", zip_ord)
     )
     return updated
@@ -285,19 +307,29 @@ def bulk_update_run(
     the run accounting computed in the same pass (single cache, two
     actions: the counts and the caller's eventual write).
     """
+    # NULL-valued predicates are treated as False everywhere (a row
+    # whose visibility is unknown is not visible) — without this, list
+    # mode would DROP such rows: they fail both filter(visible) and
+    # filter(~visible).
+    visible = F.coalesce(visible, F.lit(False))
+    applied = visible & F.coalesce(editable, F.lit(False)) & ~F.coalesce(readonly, F.lit(False))
+
     counts = df.agg(
         F.count(F.lit(1)).alias("all"),
         F.sum(visible.cast("int")).alias("vis"),
     ).head()
     all_rows, visible_rows = int(counts["all"]), int(counts["vis"] or 0)
 
-    applied = visible & editable & ~readonly
     if isinstance(value, list):
         if spark is None:
             raise ValueError("value-list mode needs the SparkSession to build the value relation")
         vals = spark.createDataFrame(
             [(i + 1, v) for i, v in enumerate(value)], "ord bigint, v string"
         )
+        # guard at ASSIGNMENT (apply_when): a readonly/non-editable row
+        # keeps its old value but still consumes its positional value,
+        # matching the reference's `continue` (user.js:477-480) where
+        # the loop index advances past skipped rows.
         visible_updated = zip_join_update(
             df.withColumn("__applied", applied),
             order_cols,
@@ -306,6 +338,8 @@ def bulk_update_run(
             ["ord"],
             "v",
             visible=visible,
+            apply_when=F.col("__applied"),
+            broadcast_values=True,  # dialog-pasted lists are small
         )
         # rows hidden by the filter keep their original values
         hidden = df.withColumn("__applied", F.lit(False)).filter(~visible)
@@ -316,22 +350,25 @@ def bulk_update_run(
             visible=visible, editable=editable, readonly=readonly,
         )
 
+    # one materialization: the accounting aggregate and the caller's
+    # eventual write both read the persisted update, not two plan runs
+    updated = updated.persist()
     oc = outcome_counts(updated.filter(visible), F.col("__applied")).head()
     success, error = int(oc["success_count"]), int(oc["error_count"])
-    outcome_row = (
-        updated.sparkSession.range(1)
-        .select(
-            classify_outcome(F.lit(success), F.lit(error), F.lit(False)).alias("o")
-        )
-        .head()
-    )
+    # R16's CASE on three driver-side scalars is plain Python — no job
+    if error == 0:
+        outcome = "success"
+    elif success > 0:
+        outcome = "warning"
+    else:
+        outcome = "error"
     return BulkUpdateResult(
         updated.drop("__applied"),
         all_rows,
         visible_rows,
         success,
         error,
-        outcome_row["o"],
+        outcome,
     )
 
 
@@ -403,6 +440,7 @@ def _q_r09_zip_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["p_partkey"],
         "p_name",
         visible=F.col("l_linestatus") == "O",
+        broadcast_values=True,  # part stays dimension-sized at fixture SFs
     )
     return updated.select("l_orderkey", "l_linenumber", "l_returnflag")
 

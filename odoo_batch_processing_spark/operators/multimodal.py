@@ -102,7 +102,11 @@ def sample_frames(
     keep every ``stride``-th — pure built-ins (substring on binary),
     no Python in the loop."""
     n_frames = F.ceil(F.col("n_bytes") / frame_bytes).cast("int")
-    frame_idx = F.sequence(F.lit(0), n_frames - 1)  # 0-based frame numbers
+    # empty payload: sequence(0, -1) yields a DESCENDING [0,-1], not an
+    # empty array — guard to an empty list (matches the oracle's range)
+    frame_idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     sampled_idx = F.filter(frame_idx, lambda i: i % stride == 0)
     frames = F.transform(
         sampled_idx,

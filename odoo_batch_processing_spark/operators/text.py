@@ -282,15 +282,6 @@ ORACLES = {
              + 0.3 * least(({_MEANWL}) / 10.0, 1.0) AS quality
         FROM documents
     """,
-    "x5_term_frequency": f"""
-        SELECT token, tf, df FROM (
-            SELECT unnest({_TOKS}) AS token, doc_id FROM documents
-        ) t
-        GROUP BY token
-        HAVING true
-        ORDER BY count(1) DESC, token
-        LIMIT 20
-    """,
     "x5_fingerprint": """
         SELECT doc_id,
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
@@ -318,7 +309,6 @@ ORACLES["x5_tfidf_top_terms"] = f"""
     ) WHERE rnk <= 3
 """
 
-# term_frequency oracle needs explicit aggregates matching column names
 ORACLES["x5_term_frequency"] = f"""
     SELECT token,
            COUNT(1) AS tf,

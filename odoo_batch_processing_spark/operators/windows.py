@@ -140,15 +140,17 @@ ORACLES = {
     """,
     "x7_sessionize": """
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR (epoch(ts) - epoch(lag(ts) OVER w)) / 60.0 > 30
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
+            -- same (ts, event_id) tie-break as the flag window: without
+            -- it, duplicate timestamps could order the cumsum differently
             SELECT user_id, ts,
-                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM flagged
         )

@@ -226,11 +226,13 @@ ORACLES = {
                MAX(event_id) AS max_event_id
         FROM events GROUP BY user_id
     """,
-    # session_window(30min): session end = last event + gap (Spark's
-    # session_window.end semantics), reproduced with the lag+cumsum CTE
+    # session_window(30min): session end = last event + gap. Verified
+    # empirically: Spark MERGES an event arriving exactly gap after the
+    # previous one (adjacent half-open windows coalesce), so the gap
+    # test is strictly >, same as the lag-based x7_sessionize.
     "s_session_window": """
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR (epoch(ts) - epoch(lag(ts) OVER w)) / 60.0 > 30
                         THEN 1 ELSE 0 END AS new_session
@@ -238,7 +240,7 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
             SELECT user_id, ts,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
             FROM flagged
         )

@@ -133,6 +133,59 @@ def test_r7_guarded_broadcast_update(listview):
         assert (r["new"] == "CONSTANT") == should_change
 
 
+def test_r9_guarded_rows_keep_value_but_consume_position(spark, listview):
+    """Reference semantics (user.js:477-480): a readonly row inside the
+    visible sequence keeps its old value, but the positional value it
+    WOULD have received is consumed (the loop index advances) — not
+    shifted to the next editable row."""
+    from odoo_batch_processing_spark.operators.bulk_update import zip_join_update
+
+    df = spark.createDataFrame(
+        [(1, "a", False), (2, "b", True), (3, "c", False)],
+        "ord bigint, val string, ro boolean",
+    )
+    values = spark.createDataFrame(
+        [(1, "v1"), (2, "v2"), (3, "v3")], "vord int, v string"
+    )
+    out = {
+        r["ord"]: r["val"]
+        for r in zip_join_update(
+            df, ["ord"], "val", values, ["vord"], "v", apply_when=~F.col("ro")
+        ).collect()
+    }
+    assert out == {1: "v1", 2: "b", 3: "v3"}  # v2 consumed by the skipped row
+
+
+def test_bulk_update_run_list_mode_respects_guards(spark):
+    from odoo_batch_processing_spark.operators.bulk_update import bulk_update_run
+
+    df = spark.createDataFrame(
+        [
+            (1, 11, True, True, False, "a", 0, True, 0),
+            (2, 12, True, True, True, "b", 0, True, 0),   # readonly
+            (3, 13, True, False, False, "c", 0, True, 0),  # not editable
+            (4, 14, None, True, False, "d", 0, True, 0),   # NULL visibility
+            (5, 15, True, True, False, "e", 0, True, 0),
+        ],
+        "row_ord bigint, row_id bigint, visible boolean, editable boolean, "
+        "readonly boolean, name string, qty int, active boolean, partner_id bigint",
+    )
+    res = bulk_update_run(
+        df, "name", ["X1", "X2", "X3", "X4"],
+        order_cols=["row_ord"],
+        visible=F.col("visible"), editable=F.col("editable"), readonly=F.col("readonly"),
+        spark=spark,
+    )
+    rows = {r["row_id"]: r["name"] for r in res.updated.collect()}
+    assert len(rows) == 5                       # NULL-visible row NOT dropped
+    assert rows[11] == "X1"                     # applied
+    assert rows[12] == "b" and rows[13] == "c"  # guards hold in list mode
+    assert rows[14] == "d"                      # NULL visibility = hidden
+    assert rows[15] == "X4"                     # position consumed by guarded rows
+    assert res.visible_rows == 4 and res.success_count == 2 and res.error_count == 2
+    assert res.outcome == "warning"
+
+
 # --- EP1 composite: accounting matches the reference's run summary ---------
 def test_bulk_update_run_accounting(spark, listview):
     from odoo_batch_processing_spark.operators.bulk_update import bulk_update_run
