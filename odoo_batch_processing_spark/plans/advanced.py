@@ -87,6 +87,34 @@ def _q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped NOT EXISTS: above-average-balance customers
+    with no 1996 orders, counted per nation. The NOT EXISTS is a LEFT
+    ANTI join; the average-balance scalar subquery is a one-row
+    broadcast (the catalog's one legitimate 1-row nested-loop join).
+
+    The 1996 restriction keeps the anti join non-degenerate on the
+    fixtures (every customer has SOME order; ~1/3 lack a 1996 one).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders_96 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    inactive = rich.join(
+        orders_96, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_bal"),
+    )
+
+
 def _q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/string/array scalar coverage in one projection (the
     reference's entire scalar surface was trim/split/lower/concat —
@@ -217,6 +245,7 @@ QUERIES = {
     "q05_sql_api": _q_q05_sql_api,
     "q17_small_qty": _q_q17_small_qty,
     "q19_disjunctive": _q_q19_disjunctive,
+    "q22_inactive_customers": _q_q22_inactive_customers,
     "scalar_breadth": _q_scalar_breadth,
     "window_breadth": _q_window_breadth,
 }
@@ -313,6 +342,21 @@ ORACLES = {
         SELECT j.l_partkey, j.l_suppkey AS s_suppkey, j.s_name, j.s_acctbal
         FROM joined j JOIN best USING (l_partkey)
         WHERE j.s_acctbal = best.best_bal
+    """,
+    "q22_inactive_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey,
+               COUNT(1) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        FROM customer CROSS JOIN avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND year(o_orderdate) = 1996)
+        GROUP BY c_nationkey
     """,
     "scalar_breadth": """
         SELECT o_orderkey,

@@ -21,11 +21,14 @@ _SKIP_PREFIXES = ("s_",)
 #: r21 writes on plan construction (sink roundtrip) — cheap but not
 #: plan-only; keep it out of the pure-planning sweep.
 _SKIP = {"r21_sink_roundtrip"}
-#: queries where a nested-loop join is the INTENDED plan: brute-force
-#: ANN has no equi-key — it's a deliberate broadcast(query-batch) ×
-#: corpus scan (similarity.py docstring). The IVF twin (x4_ivf_topk)
-#: is the keyed, hash-joined scale path and stays under the rule.
-_ALLOWED_NESTED_LOOP = {"x4_cosine_topk"}
+#: queries where a nested-loop join is the INTENDED plan:
+#: - brute-force ANN has no equi-key — a deliberate
+#:   broadcast(query-batch) × corpus scan (similarity.py docstring);
+#:   the IVF twin (x4_ivf_topk) is the keyed, hash-joined scale path.
+#: - q22's scalar-subquery (one-row avg-balance relation) cross-joins
+#:   by construction; a BNLJ whose build side is exactly ONE row is
+#:   free at any scale.
+_ALLOWED_NESTED_LOOP = {"x4_cosine_topk", "q22_inactive_customers"}
 
 
 def _batch_queries():
