@@ -32,12 +32,18 @@ def _q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders at all (EXCEPT → left anti join)."""
+    """Customers without 1996 orders (EXCEPT → left anti join).
+
+    Time-restricted so the result is non-degenerate on the fixtures:
+    every customer has SOME order, so an unrestricted EXCEPT returns 0
+    rows and its oracle match would be vacuous."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    with_orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    with_orders_96 = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return cust.subtract(with_orders)  # subtract = EXCEPT DISTINCT
+    return cust.subtract(with_orders_96)  # subtract = EXCEPT DISTINCT
 
 
 QUERIES = {
@@ -60,6 +66,6 @@ ORACLES = {
     "set_except": """
         SELECT DISTINCT c_custkey FROM customer
         EXCEPT
-        SELECT DISTINCT o_custkey FROM orders
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
 }
