@@ -186,7 +186,49 @@ def _q_s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: purchases ⋈ follow-up
+    events of the same user within 30 minutes — the streaming form of
+    operators/asof.range_join_bucketed (whose batch oracle this run is
+    checked against). Both sides carry watermarks so the join state is
+    bounded; the time-range condition lets Spark evict rows older than
+    (watermark − window)."""
+    src = _events_dir(sf_dir)
+    purchases = (
+        change_source(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    others = (
+        change_source(spark, src)
+        .filter(F.col("event_type") != "purchase")
+        .select("user_id", F.col("event_id").alias("follow_id"), F.col("ts").alias("f_ts"))
+        .withWatermark("f_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        others,
+        (purchases.user_id == others.user_id)
+        & (F.col("f_ts") >= F.col("p_ts"))
+        & (F.col("f_ts") < F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "follow_id")
+    name = _mem_name("s_ssj")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("ssj-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
+    "s_stream_stream_join": _q_s_stream_stream_join,
     "s_r22_change_counts": _q_s_r22_change_counts,
     "s_x7_stream_hourly": _q_s_x7_stream_hourly,
     "s_r18_throttled_update": _q_s_r18_throttled_update,
@@ -196,6 +238,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    # stream-stream join result == the batch range join (single batch,
+    # nothing evicted before the data arrives)
+    "s_stream_stream_join": """
+        SELECT p.event_id AS purchase_id, o.event_id AS follow_id
+        FROM events p JOIN events o
+          ON p.user_id = o.user_id
+         AND p.event_type = 'purchase' AND o.event_type <> 'purchase'
+         AND o.ts >= p.ts AND o.ts < p.ts + INTERVAL '30 minutes'
+    """,
     "s_r22_change_counts": """
         SELECT event_type, COUNT(1) AS n FROM events GROUP BY 1
     """,
