@@ -98,6 +98,21 @@ def compare(name: str, spark_df: DataFrame, con, sql: str) -> CompareResult:
     issues: list[str] = []
     if sorted(s_cols) != sorted(o_cols):
         issues.append(f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+    # Spark can't produce DECIMAL/HUGEINT result columns unless asked;
+    # a Decimal or int128-ranged value in the oracle output means the
+    # SQL is missing a CAST (e.g. DuckDB SUM(BIGINT) → HUGEINT,
+    # quantile over DECIMAL → DECIMAL) and the driver's stricter
+    # schema compare would flag it even though values coerce equal.
+    if o_rows:
+        import decimal
+
+        for j, v in enumerate(o_rows[0]):
+            if isinstance(v, decimal.Decimal):
+                issues.append(
+                    f"oracle column {o_cols[j]!r} is DECIMAL — add a CAST (driver schema check would fail)"
+                )
+            if isinstance(v, int) and abs(v) > 2**63 - 1:
+                issues.append(f"oracle column {o_cols[j]!r} overflows BIGINT (HUGEINT?)")
     if len(s_rows) != len(o_rows):
         issues.append(f"row count mismatch: {len(s_rows)} vs {len(o_rows)}")
     if not issues:
