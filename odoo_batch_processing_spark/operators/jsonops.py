@@ -54,9 +54,26 @@ def _q_x6_json_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_x6_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) over JSON
+    extractions: a missing path yields NULL, and NULL <=> NULL is TRUE
+    where ordinary equality is NULL — the semantics dedup/merge keys
+    need when nullable."""
+    ev = load_table(spark, sf_dir, "events")
+    k = json_path_int(F.col("props"), "$.k")
+    missing = json_path_int(F.col("props"), "$.absent")
+    return ev.select(
+        "event_id",
+        k.eqNullSafe(F.lit(50)).alias("k_is_50"),
+        missing.eqNullSafe(missing).alias("missing_selfmatch"),  # TRUE, not NULL
+        (missing == missing).alias("plain_eq_is_null"),          # NULL
+    )
+
+
 QUERIES = {
     "x6_json_extract": _q_x6_json_extract,
     "x6_json_grouped": _q_x6_json_grouped,
+    "x6_null_safe_eq": _q_x6_null_safe_eq,
 }
 
 ORACLES = {
@@ -72,5 +89,14 @@ ORACLES = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1
+    """,
+    "x6_null_safe_eq": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT DISTINCT FROM 50 AS k_is_50,
+               CAST(json_extract_string(props, '$.absent') AS INTEGER)
+                 IS NOT DISTINCT FROM CAST(json_extract_string(props, '$.absent') AS INTEGER) AS missing_selfmatch,
+               CAST(json_extract_string(props, '$.absent') AS INTEGER)
+                 = CAST(json_extract_string(props, '$.absent') AS INTEGER) AS plain_eq_is_null
+        FROM events
     """,
 }

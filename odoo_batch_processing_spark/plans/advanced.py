@@ -115,6 +115,58 @@ def _q_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: distribution of customers by order count —
+    the catalog's LEFT OUTER join (customers with zero orders survive
+    with count 0), then a second aggregation over the counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # 1996-only: ~20% of customers lack a 1996 order, so the OUTER
+    # join's NULL side is genuinely exercised (count 0 bucket non-empty)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col) skips NULLs → 0
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _q_q07_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: revenue flowing between two nation pairs in
+    either direction — a disjunctive cross-dimension predicate over a
+    supplier-nation × customer-nation join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_13")
+    ) | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        joined.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("bigint").alias("l_year"))
+        .agg(money_sum(revenue(), "revenue"))
+    )
+
+
 def _q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/string/array scalar coverage in one projection (the
     reference's entire scalar surface was trim/split/lower/concat —
@@ -243,6 +295,8 @@ QUERIES = {
     "q02_min_cost_supplier": _q_q02_min_cost_supplier,
     "q04_priority_exists": _q_q04_priority_exists,
     "q05_sql_api": _q_q05_sql_api,
+    "q07_nation_pairs": _q_q07_nation_pairs,
+    "q13_order_distribution": _q_q13_order_distribution,
     "q17_small_qty": _q_q17_small_qty,
     "q19_disjunctive": _q_q19_disjunctive,
     "q22_inactive_customers": _q_q22_inactive_customers,
@@ -342,6 +396,31 @@ ORACLES = {
         SELECT j.l_partkey, j.l_suppkey AS s_suppkey, j.s_name, j.s_acctbal
         FROM joined j JOIN best USING (l_partkey)
         WHERE j.s_acctbal = best.best_bal
+    """,
+    "q13_order_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND year(o_orderdate) = 1996
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(1) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "q07_nation_pairs": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(o_orderdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_13')
+           OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_3')
+        GROUP BY n1.n_name, n2.n_name, year(o_orderdate)
     """,
     "q22_inactive_customers": """
         WITH avg_bal AS (
