@@ -440,7 +440,9 @@ def _q_r09_zip_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["p_partkey"],
         "p_name",
         visible=F.col("l_linestatus") == "O",
-        broadcast_values=True,  # part stays dimension-sized at fixture SFs
+        # part scales with SF — no broadcast hint; the threshold + AQE
+        # decide (broadcast at fixture scale, shuffled join at 100 TB)
+        broadcast_values=False,
     )
     return updated.select("l_orderkey", "l_linenumber", "l_returnflag")
 

@@ -140,11 +140,13 @@ def ngram_jaccard_pairs(doc_sh: DataFrame, threshold: float = JACCARD_MIN) -> Da
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # sizes has |docs| rows — SF-scaling, so no broadcast hint; the
+    # threshold broadcasts it at fixture scale, AQE re-plans beyond.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

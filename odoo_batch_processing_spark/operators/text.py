@@ -200,10 +200,11 @@ def _q_x5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB. Ranking (and therefore the result set) is identical either
     way since log is monotone.
 
-    Plan: doc-term counts (one shuffle) ⋈ broadcast(df counts, one
-    shuffle over the vocabulary) → per-doc top-K window. The vocabulary
-    side is tiny at any corpus scale; the doc-term side is the
-    wordcount shuffle.
+    Plan: doc-term counts (one shuffle) ⋈ df counts (one shuffle over
+    the vocabulary) → per-doc top-K window. The vocabulary side is
+    hint-free: it is usually threshold-broadcast, but vocabulary grows
+    (sub-linearly) with the corpus, so the decision is left to the size
+    estimate + AQE rather than pinned with a hint.
     """
     from pyspark.sql import Window
 
@@ -217,7 +218,7 @@ def _q_x5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = doc_terms.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = doc_terms.join(F.broadcast(df_counts), "token").withColumn(
+    scored = doc_terms.join(df_counts, "token").withColumn(
         "tfidf",
         F.col("tf").cast("double") * (F.lit(float(n_docs)) / F.col("df")),
     )

@@ -71,14 +71,15 @@ def _q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-shaped correlated aggregate: revenue from lineitems
     whose quantity is below half the part's average. The correlated
     scalar subquery is de-correlated by hand into a per-part aggregate
-    joined back (what Catalyst does for such subqueries anyway —
-    written explicitly so the broadcast of the tiny agg side is
-    guaranteed)."""
+    joined back (what Catalyst does for such subqueries anyway). The
+    agg side's cardinality is |part| — SF-scaling — so it carries NO
+    broadcast hint: the size threshold broadcasts it at fixture scale
+    and AQE picks a shuffled join once it outgrows 64 MB."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
     )
-    small = li.join(F.broadcast(per_part), "l_partkey").filter(
+    small = li.join(per_part, "l_partkey").filter(
         F.col("l_quantity") < 0.5 * F.col("avg_qty")
     )
     return small.agg(
@@ -151,9 +152,9 @@ def _q_q07_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
     )
@@ -199,7 +200,7 @@ def _q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction as a post-join filter, NOT a nested-loop join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
@@ -219,10 +220,10 @@ def _q_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     by supplier key in the output ordering columns."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     supplier = load_table(spark, sf_dir, "supplier")
-    pairs = li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+    pairs = li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
     best = pairs.groupBy("l_partkey").agg(F.max("s_acctbal").alias("best_bal"))
     return (
-        pairs.join(F.broadcast(best), "l_partkey")
+        pairs.join(best, "l_partkey")
         .filter(F.col("s_acctbal") == F.col("best_bal"))
         .select("l_partkey", "s_suppkey", "s_name", "s_acctbal")
     )

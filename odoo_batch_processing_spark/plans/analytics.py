@@ -6,13 +6,18 @@ driver-mandated extension surface: TPC-H-shaped queries over the
 fixture star schema (lineitem fact; orders/customer/nation/region/
 part/supplier dimensions).
 
-Scale posture: every dimension join is explicitly ``F.broadcast`` —
-at the fixture scale factors all dims fit well under the broadcast
-threshold, so the star joins are shuffle-free map-side hash joins and
-the only shuffle in each plan is the final partial→final aggregation
-on the (tiny) group-by key space. At true 100 TB, customer/part
-outgrow broadcast; the same plans then rely on AQE to pick
-shuffled-hash/sort-merge with skew splitting (session.RUNTIME_CONFS).
+Scale posture: explicit ``F.broadcast`` hints appear ONLY on the
+fixed-cardinality dims (region: 5 rows, nation: 25 — invariant at any
+scale factor). Everything that grows with the scale factor (orders,
+customer, supplier, part, derived aggregates) is hint-free: a
+broadcast *hint* is honored unconditionally — AQE cannot demote it —
+so a hinted SF-scaling relation is a guaranteed driver OOM at 100 TB.
+Hint-free sides fall under ``spark.sql.autoBroadcastJoinThreshold``
+(64 MB, session.RUNTIME_CONFS), which broadcasts them at fixture
+scale (same physical plans as before) and flips to shuffled-hash/
+sort-merge with AQE skew splitting once they outgrow it.
+``tests/test_plan_hygiene.py::test_no_broadcast_hints_on_sf_scaling_relations``
+enforces this invariant over the whole catalog.
 """
 
 from __future__ import annotations
@@ -75,8 +80,10 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (verified via .explain("formatted")): lineitem scans with
     no pushed filter (fact side is the probe), orders scans with the
-    o_orderdate range pushed to parquet, every dimension is broadcast,
-    aggregation is partial→final on 25 keys max. Single shuffle.
+    o_orderdate range pushed to parquet, every dimension is broadcast
+    at fixture scale (orders/customer via the size threshold, nation/
+    region via explicit hint), aggregation is partial→final on 25 keys
+    max. Single shuffle.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -87,8 +94,8 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        lineitem.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
@@ -129,8 +136,8 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return (
-        lineitem.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(money_sum(revenue(), "order_revenue"))
         .orderBy(F.col("order_revenue").desc(), F.col("o_orderkey"))
@@ -166,9 +173,9 @@ def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -222,7 +229,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     promo = F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0).cast("decimal(12,2)"))
     return joined.agg(
         (

@@ -49,8 +49,15 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for modname in _MODULES:
         try:
             mod = importlib.import_module(modname)
-        except ModuleNotFoundError:
-            continue  # module not built yet (incremental rounds)
+        except ModuleNotFoundError as exc:
+            # Skip ONLY when the module itself is absent (not built yet
+            # in an incremental round). A ModuleNotFoundError raised by
+            # an import *inside* an existing module (missing transitive
+            # dep, typo'd import) must fail loudly — swallowing it would
+            # silently drop a whole query family from the catalog.
+            if exc.name != modname:
+                raise
+            continue
         for name, fn in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name {name!r} in {modname}")

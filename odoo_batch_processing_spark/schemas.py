@@ -115,13 +115,15 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES: tuple[str, ...] = tuple(SCHEMAS)
 
-#: Dimension tables small enough to broadcast at every scale factor the
-#: fixtures ship (region 5 rows, nation 25, supplier ~10/sf). customer
-#: and part grow with sf but stay far below the 64 MB broadcast
-#: threshold even at sf0.1; at true 100 TB scale customer/part leave
-#: this set and the star joins fall back to shuffled hash joins on the
-#: AQE-planned side.
-BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "customer", "part"})
+#: Tables whose cardinality is FIXED regardless of scale factor
+#: (region: 5 rows, nation: 25) — the only relations that may carry an
+#: explicit ``F.broadcast()`` hint, because a hint is honored
+#: unconditionally (AQE cannot demote it). Everything SF-scaling
+#: (customer, supplier, part, orders, derived per-key aggregates) must
+#: stay hint-free and rely on spark.sql.autoBroadcastJoinThreshold +
+#: AQE, which broadcast them while small and fall back to shuffled
+#: joins at 100 TB. Enforced by tests/test_plan_hygiene.py.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 #: The reference treats DOM row order as load-bearing (SURVEY.md §1.1);
 #: DataFrames are unordered, so positional operators (R1/R9/R10) derive

@@ -73,6 +73,64 @@ def test_filters_reach_the_scan(spark, name, expect):
     assert expect in plan, f"{name}: filter not pushed to parquet scan"
 
 
+#: queries allowed to carry a broadcast HINT on a relation derived
+#: from an SF-scaling base table, because the hinted relation's
+#: cardinality is bounded by construction:
+#: - q22 broadcasts a ONE-row scalar aggregate (avg balance);
+#: - x4_* broadcast the ANN query batch, filtered to a fixed small
+#:   query set (vec_id < N_QUERIES) before the hint.
+_ALLOWED_HINTED = {"q22_inactive_customers", "x4_cosine_topk", "x4_ivf_topk"}
+
+
+def _iter_jnodes(jnode):
+    stack = [jnode]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def test_no_broadcast_hints_on_sf_scaling_relations(spark):
+    """A broadcast *hint* is honored unconditionally — AQE cannot demote
+    it — so a hint on any relation that grows with the scale factor is
+    a guaranteed driver OOM at 100 TB. Only fixed-cardinality tables
+    (schemas.BROADCAST_DIMS: region 5 rows, nation 25) may be hinted.
+
+    Detection: walk each query's analyzed logical plan; for every
+    ResolvedHint node, classify the hinted subtree's leaf relations by
+    their column names (via schemas.SCHEMAS) and flag any leaf whose
+    base table is not in BROADCAST_DIMS.
+    """
+    from odoo_batch_processing_spark.registry import all_queries
+    from odoo_batch_processing_spark.schemas import BROADCAST_DIMS, SCHEMAS
+
+    col_to_table = {
+        field.name: table for table, schema in SCHEMAS.items() for field in schema.fields
+    }
+    offenders = {}
+    for name, fn in sorted(_batch_queries().items()):
+        if name in _ALLOWED_HINTED:
+            continue
+        analyzed = fn(spark, SF_SMOKE)._jdf.queryExecution().analyzed()
+        bad_tables = set()
+        for node in _iter_jnodes(analyzed):
+            if node.nodeName() != "ResolvedHint":
+                continue
+            for sub in _iter_jnodes(node):
+                if sub.children().size() != 0:
+                    continue
+                out = sub.output()
+                for i in range(out.size()):
+                    table = col_to_table.get(out.apply(i).name())
+                    if table is not None and table not in BROADCAST_DIMS:
+                        bad_tables.add(table)
+        if bad_tables:
+            offenders[name] = sorted(bad_tables)
+    assert not offenders, f"broadcast hints on SF-scaling relations: {offenders}"
+
+
 def test_star_joins_broadcast(spark):
     from odoo_batch_processing_spark.registry import all_queries
 
