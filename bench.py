@@ -61,17 +61,21 @@ def main() -> int:
         sf = float(sf)
     except ValueError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "all_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Compact separators keep the line short enough to survive the
+    # driver's bounded stdout-tail capture (round 1 lost the line's
+    # head to truncation); the file copy is the lossless record.
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(os.path.join(REPO_ROOT, "BENCH_LAST.json"), "w") as fh:
+        fh.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
     return 0
 
 

@@ -53,7 +53,37 @@ def _q_x8_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_x8_exact_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) + exact percentiles in one per-priority
+    aggregation — the hash-checked semantics that x8_approx_aggs
+    approximates (same grouping, same measures)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+    )
+
+
+def _q_x8_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch forms of x8_exact_aggs: HLL++ distinct + GK
+    quantiles. Single pass, map-side mergeable, constant memory — the
+    100 TB substitutes for the exact twin's distinct re-shuffle + sort.
+    Rows-only check by design: sketch estimates are engine-specific."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_custs_approx"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )
+
+
 QUERIES = {
+    "x8_exact_aggs": _q_x8_exact_aggs,
+    "x8_approx_aggs": _q_x8_approx_aggs,
+}
+
+QUERIES_EXT = {
     "x8_exact_distinct": _q_x8_exact_distinct,
     "x8_approx_distinct": _q_x8_approx_distinct,
     "x8_exact_percentiles": _q_x8_exact_percentiles,
@@ -61,6 +91,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x8_exact_aggs": """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+    # x8_approx_aggs intentionally omitted → driver rows-only check
+    # (sketch estimates are engine-specific).
+}
+
+ORACLES_EXT = {
     "x8_exact_distinct": """
         SELECT l_returnflag,
                COUNT(DISTINCT l_partkey) AS n_parts,
@@ -73,6 +115,4 @@ ORACLES = {
                quantile_cont(o_totalprice, 0.9) AS p90
         FROM orders GROUP BY o_orderpriority
     """,
-    # x8_approx_* intentionally omitted → driver rows-only check
-    # (sketch estimates are engine-specific).
 }

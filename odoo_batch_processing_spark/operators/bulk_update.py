@@ -183,12 +183,18 @@ def zip_join_update(
     the join strategy — an unconditional broadcast of a caller-supplied
     relation is an OOM footgun at scale.
 
+    Non-visible rows are retained in the output with their old values
+    (the reference table keeps hidden rows — user.js:434 just skips
+    them), so the operator is row-preserving standalone. A NULL
+    ``visible`` is treated as not-visible (kept, untouched).
+
     100 TB note: both row_numbers are global sorts. This operator
     mirrors reference semantics for parity; at scale, positional
     assignment should be re-keyed (zip values to a real key first).
     """
     zip_ord = "__zip_ord"  # private: must not collide with caller columns
-    rows = with_ordinal(df if visible is None else df.filter(visible), order_cols, zip_ord)
+    vis = None if visible is None else F.coalesce(visible, F.lit(False))
+    rows = with_ordinal(df if vis is None else df.filter(vis), order_cols, zip_ord)
     vals = with_ordinal(
         values.select(*values_order_cols, F.col(values_col).alias("__new_value")),
         values_order_cols,
@@ -204,6 +210,8 @@ def zip_join_update(
         .withColumn(column, new_val)
         .drop("__new_value", zip_ord)
     )
+    if vis is not None:
+        updated = updated.unionByName(df.filter(~vis))
     return updated
 
 
@@ -288,6 +296,15 @@ class BulkUpdateResult:
     all_rows: int
     visible_rows: int
     success_count: int
+    #: guarded rows (readonly / non-editable) the run stepped over —
+    #: the reference's `continue` (user.js:477-480) increments NEITHER
+    #: counter for these, so they are tracked separately, not as errors.
+    skipped_count: int
+    #: attempted updates that failed. In this functional engine the
+    #: rewrite itself cannot fail per-row (the reference's per-cell
+    #: updateCell throw, user.js:497, maps to sink/commit failures
+    #: which surface as exceptions, not counts), so this is 0 on the
+    #: built-in paths; the field keeps the reference's run-summary shape.
     error_count: int
     outcome: str
 
@@ -306,6 +323,15 @@ def bulk_update_run(
     the visible rows of ``df``, guard semantics as the reference, with
     the run accounting computed in the same pass (single cache, two
     actions: the counts and the caller's eventual write).
+
+    Accounting matches user.js:443-513: guarded rows are *skipped*
+    (neither success nor error — the loop `continue`s past them), and a
+    run that applied nothing reports the 'nothing-updated' outcome
+    (the reference's warning toast when no row accepted the value).
+
+    The visibility/guard flags are evaluated on the PRE-update rows
+    and materialized as columns before the rewrite, so predicates that
+    reference the updated column itself cannot corrupt the counts.
     """
     # NULL-valued predicates are treated as False everywhere (a row
     # whose visibility is unknown is not visible) — without this, list
@@ -313,10 +339,13 @@ def bulk_update_run(
     # filter(~visible).
     visible = F.coalesce(visible, F.lit(False))
     applied = visible & F.coalesce(editable, F.lit(False)) & ~F.coalesce(readonly, F.lit(False))
+    # flags pinned pre-update: post-update re-evaluation would be wrong
+    # whenever `visible`/`readonly` mention `column`
+    base = df.withColumn("__visible", visible).withColumn("__applied", applied)
 
-    counts = df.agg(
+    counts = base.agg(
         F.count(F.lit(1)).alias("all"),
-        F.sum(visible.cast("int")).alias("vis"),
+        F.sum(F.col("__visible").cast("int")).alias("vis"),
     ).head()
     all_rows, visible_rows = int(counts["all"]), int(counts["vis"] or 0)
 
@@ -329,44 +358,44 @@ def bulk_update_run(
         # guard at ASSIGNMENT (apply_when): a readonly/non-editable row
         # keeps its old value but still consumes its positional value,
         # matching the reference's `continue` (user.js:477-480) where
-        # the loop index advances past skipped rows.
-        visible_updated = zip_join_update(
-            df.withColumn("__applied", applied),
+        # the loop index advances past skipped rows. zip_join_update
+        # retains the non-visible rows itself.
+        updated = zip_join_update(
+            base,
             order_cols,
             column,
             vals,
             ["ord"],
             "v",
-            visible=visible,
+            visible=F.col("__visible"),
             apply_when=F.col("__applied"),
             broadcast_values=True,  # dialog-pasted lists are small
         )
-        # rows hidden by the filter keep their original values
-        hidden = df.withColumn("__applied", F.lit(False)).filter(~visible)
-        updated = visible_updated.unionByName(hidden)
     else:
-        updated = broadcast_update(
-            df.withColumn("__applied", applied), column, value,
-            visible=visible, editable=editable, readonly=readonly,
-        )
+        updated = broadcast_update(base, column, value, visible=F.col("__applied"))
 
     # one materialization: the accounting aggregate and the caller's
     # eventual write both read the persisted update, not two plan runs
     updated = updated.persist()
-    oc = outcome_counts(updated.filter(visible), F.col("__applied")).head()
-    success, error = int(oc["success_count"]), int(oc["error_count"])
-    # R16's CASE on three driver-side scalars is plain Python — no job
-    if error == 0:
+    oc = outcome_counts(updated.filter(F.col("__visible")), F.col("__applied")).head()
+    # sums are NULL over an empty visible set → 0
+    success, skipped = int(oc["success_count"] or 0), int(oc["error_count"] or 0)
+    error = 0  # per-row rewrite cannot fail; sink failures raise instead
+    # R16's CASE on driver-side scalars is plain Python — no job
+    if success == 0 and error == 0:
+        outcome = "nothing-updated"
+    elif error == 0:
         outcome = "success"
     elif success > 0:
         outcome = "warning"
     else:
         outcome = "error"
     return BulkUpdateResult(
-        updated.drop("__applied"),
+        updated.drop("__visible", "__applied"),
         all_rows,
         visible_rows,
         success,
+        skipped,
         error,
         outcome,
     )
@@ -405,8 +434,19 @@ def _q_r05_readonly_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_r06_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 row counts + R5's boolean-ANY read-only probe in one
+    aggregation pass (the reference walks the row array separately for
+    each — user.js:167-188, 202-208; one scan here)."""
     orders = load_table(spark, sf_dir, "orders")
-    return row_counts(orders, F.col("o_orderstatus") == "O")
+    return orders.agg(
+        F.count(F.lit(1)).alias("all_rows"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("visible_rows"),
+        F.coalesce(F.bool_or(F.col("o_orderpriority") == "1-URGENT"), F.lit(False)).alias(
+            "any_readonly"
+        ),
+    )
 
 
 def _q_r07_broadcast_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,6 +511,23 @@ def _q_r14_numeric_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", parse_wait_time(F.col("value") - 50.0).alias("wait_ms"))
 
 
+def _q_r13_r14_coerce_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 checkbox coercion + R14 numeric validation/clamp in one
+    projection over events (both are per-row scalar rewrites; one scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_type") == "click", F.lit("TRUE"))
+        .when(F.col("event_type") == "view", F.lit("true"))
+        .when(F.col("event_type") == "signup", F.lit("True "))
+        .otherwise(F.col("event_type"))
+    )
+    return ev.select(
+        "event_id",
+        coerce_checkbox_boolean(raw).alias("checked"),
+        parse_wait_time(F.col("value") - 50.0).alias("wait_ms"),
+    )
+
+
 def _q_r15_outcome_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return outcome_counts(li, F.col("l_discount") <= 0.05, ["l_returnflag"])
@@ -493,9 +550,15 @@ def _q_r16_outcome_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_r20_coalesce_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20's coalesce-cascade editor discovery over the columns picked
+    by R3/R4's positional resolution (resolve_column + positional
+    projection feed the cascade, so one query covers R3/R4/R20)."""
     cust = load_table(spark, sf_dir, "customer")
-    return cust.select(
+    idx, _name = resolve_column(cust, name="c_mktsegment")
+    projected = project_positional(cust, [0, idx, 1])  # c_custkey, c_mktsegment, c_name
+    return projected.select(
         "c_custkey",
+        "c_mktsegment",
         coalesce_cascade(
             F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
             F.nullif(F.col("c_name"), F.lit("")),
@@ -504,43 +567,42 @@ def _q_r20_coalesce_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Core catalog (driver-checked): one entry per reference-op family —
+# r10 exercises R1's ordinal, r06 folds in R5's ANY probe, r13_r14
+# merges the two scalar rewrites, r16 includes R15's counts, r20 folds
+# in R3/R4's positional projection. The standalone micro-queries stay
+# registered in the extended catalog (oracle-checked locally via
+# tools/oracle_check --extended).
 QUERIES = {
-    "r01_scan_ordinal": _q_r01_scan_ordinal,
     "r02_visibility_filter": _q_r02_visibility_filter,
-    "r03_projection": _q_r03_projection,
-    "r05_readonly_any": _q_r05_readonly_any,
     "r06_counts": _q_r06_counts,
     "r07_broadcast_update": _q_r07_broadcast_update,
     "r08_multiline_parse": _q_r08_multiline_parse,
     "r09_zip_join_update": _q_r09_zip_join_update,
     "r10_limit": _q_r10_limit,
-    "r13_bool_coercion": _q_r13_bool_coercion,
-    "r14_numeric_clamp": _q_r14_numeric_clamp,
-    "r15_outcome_counts": _q_r15_outcome_counts,
+    "r13_r14_coerce_clamp": _q_r13_r14_coerce_clamp,
     "r16_outcome_classify": _q_r16_outcome_classify,
     "r20_coalesce_cascade": _q_r20_coalesce_cascade,
 }
 
+QUERIES_EXT = {
+    "r01_scan_ordinal": _q_r01_scan_ordinal,
+    "r03_projection": _q_r03_projection,
+    "r05_readonly_any": _q_r05_readonly_any,
+    "r13_bool_coercion": _q_r13_bool_coercion,
+    "r14_numeric_clamp": _q_r14_numeric_clamp,
+    "r15_outcome_counts": _q_r15_outcome_counts,
+}
+
 ORACLES = {
-    "r01_scan_ordinal": """
-        SELECT l_orderkey, l_linenumber,
-               CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS row_ord
-        FROM lineitem
-    """,
     "r02_visibility_filter": """
         SELECT o_orderkey, o_custkey, o_orderstatus
         FROM orders WHERE o_orderstatus = 'O'
     """,
-    "r03_projection": """
-        SELECT c_custkey, c_mktsegment FROM customer
-    """,
-    "r05_readonly_any": """
-        SELECT l_returnflag, bool_or(l_discount > 0.08) AS any_readonly
-        FROM lineitem GROUP BY l_returnflag
-    """,
     "r06_counts": """
         SELECT COUNT(1) AS all_rows,
-               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS visible_rows
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS visible_rows,
+               COALESCE(bool_or(o_orderpriority = '1-URGENT'), FALSE) AS any_readonly
         FROM orders
     """,
     "r07_broadcast_update": """
@@ -570,6 +632,9 @@ ORACLES = {
         SELECT r.l_orderkey, r.l_linenumber,
                COALESCE(v.p_name, r.l_returnflag) AS l_returnflag
         FROM rows_ord r LEFT JOIN vals_ord v USING (ord)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_returnflag
+        FROM lineitem WHERE NOT (l_linestatus = 'O')
     """,
     "r10_limit": """
         SELECT l_orderkey, l_linenumber, row_ord FROM (
@@ -577,6 +642,51 @@ ORACLES = {
                    CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS row_ord
             FROM lineitem
         ) WHERE row_ord <= 100
+    """,
+    "r13_r14_coerce_clamp": """
+        SELECT event_id,
+               COALESCE(lower(CASE WHEN event_type = 'click'  THEN 'TRUE'
+                                   WHEN event_type = 'view'   THEN 'true'
+                                   WHEN event_type = 'signup' THEN 'True '
+                                   ELSE event_type END) = 'true', FALSE) AS checked,
+               GREATEST(0, CAST(trunc(value - 50.0) AS INTEGER)) AS wait_ms
+        FROM events
+    """,
+    "r16_outcome_classify": """
+        WITH counts AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CASE WHEN l_discount <= 0.05 AND l_quantity < 45 THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
+                   CAST(SUM(CASE WHEN NOT (l_discount <= 0.05 AND l_quantity < 45) THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, success_count, error_count,
+               CASE WHEN FALSE THEN 'cancelled'
+                    WHEN error_count = 0 THEN 'success'
+                    WHEN success_count > 0 AND error_count > 0 THEN 'warning'
+                    ELSE 'error' END AS outcome
+        FROM counts
+    """,
+    "r20_coalesce_cascade": """
+        SELECT c_custkey, c_mktsegment,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'),
+                        NULLIF(c_name, ''),
+                        '<unresolved>') AS editor
+        FROM customer
+    """,
+}
+
+ORACLES_EXT = {
+    "r01_scan_ordinal": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS row_ord
+        FROM lineitem
+    """,
+    "r03_projection": """
+        SELECT c_custkey, c_mktsegment FROM customer
+    """,
+    "r05_readonly_any": """
+        SELECT l_returnflag, bool_or(l_discount > 0.08) AS any_readonly
+        FROM lineitem GROUP BY l_returnflag
     """,
     "r13_bool_coercion": """
         SELECT event_id,
@@ -596,26 +706,5 @@ ORACLES = {
                CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
                CAST(SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS error_count
         FROM lineitem GROUP BY l_returnflag
-    """,
-    "r16_outcome_classify": """
-        WITH counts AS (
-            SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CASE WHEN l_discount <= 0.05 AND l_quantity < 45 THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
-                   CAST(SUM(CASE WHEN NOT (l_discount <= 0.05 AND l_quantity < 45) THEN 1 ELSE 0 END) AS BIGINT) AS error_count
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
-        )
-        SELECT l_returnflag, l_linestatus, success_count, error_count,
-               CASE WHEN FALSE THEN 'cancelled'
-                    WHEN error_count = 0 THEN 'success'
-                    WHEN success_count > 0 AND error_count > 0 THEN 'warning'
-                    ELSE 'error' END AS outcome
-        FROM counts
-    """,
-    "r20_coalesce_cascade": """
-        SELECT c_custkey,
-               COALESCE(NULLIF(c_mktsegment, 'BUILDING'),
-                        NULLIF(c_name, ''),
-                        '<unresolved>') AS editor
-        FROM customer
     """,
 }

@@ -310,14 +310,20 @@ def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Core: the deduplicated-relation query (THE exact-dedup semantic) and
+# all four near-dup detectors. Extended: the fingerprint-group
+# intermediate and the trivial DISTINCT projection.
 QUERIES = {
-    "x2_dedup_fingerprint": _q_x2_dedup_fingerprint,
     "x2_dedup_survivors": _q_x2_dedup_survivors,
-    "x2_distinct_pairs": _q_x2_distinct_pairs,
     "x3_ngram_jaccard": _q_x3_ngram_jaccard,
     "x3_minhash_lsh": _q_x3_minhash_lsh,
     "x3_simhash": _q_x3_simhash,
     "x3_embedding_neardup": _q_x3_embedding_neardup,
+}
+
+QUERIES_EXT = {
+    "x2_dedup_fingerprint": _q_x2_dedup_fingerprint,
+    "x2_distinct_pairs": _q_x2_distinct_pairs,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -424,6 +430,8 @@ ORACLES["x3_simhash"] = f"""
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
 """
 
+ORACLES_EXT: dict[str, str] = {}
+
 ORACLES["x3_embedding_neardup"] = """
     WITH v AS (
         SELECT vec_id, label,
@@ -441,3 +449,6 @@ ORACLES["x3_embedding_neardup"] = """
         FROM scored
     ) WHERE rn = 1
 """
+
+ORACLES_EXT.update({k: v for k, v in ORACLES.items() if k in QUERIES_EXT})
+ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}

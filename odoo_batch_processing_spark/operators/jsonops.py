@@ -70,9 +70,17 @@ def _q_x6_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Core: the grouped query (its grouping key IS a JSON extraction, so
+# it covers typed parse + aggregation in one). Extended: the per-row
+# extraction projection and the JSON-flavored null-safe equality
+# (null-safe-eq semantics are core-covered by plans.advanced
+# expr_breadth).
 QUERIES = {
-    "x6_json_extract": _q_x6_json_extract,
     "x6_json_grouped": _q_x6_json_grouped,
+}
+
+QUERIES_EXT = {
+    "x6_json_extract": _q_x6_json_extract,
     "x6_null_safe_eq": _q_x6_null_safe_eq,
 }
 
@@ -100,3 +108,6 @@ ORACLES = {
         FROM events
     """,
 }
+
+ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
+ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}

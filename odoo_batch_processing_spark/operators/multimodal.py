@@ -122,9 +122,27 @@ def sample_frames(
 
 def _q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata projection over the binary table — prunable without
-    touching payload bytes (oracle-checked)."""
+    touching payload bytes — plus the frame-sampling count for video
+    rows (sample_frames' substring plan applied behind the modality
+    filter; NULL for non-video). One query covers the metadata-prune
+    and frame-sample surfaces (oracle-checked)."""
     docs = load_table(spark, sf_dir, "documents")
-    return attach_binary(docs).select("doc_id", "modality", "width", "height", "n_bytes")
+    media = attach_binary(docs)
+    # same counting expression sample_frames materializes frames for,
+    # inlined so the metadata pass stays a single scan (no self-join)
+    n_frames = F.ceil(F.col("n_bytes") / FRAME_BYTES).cast("int")
+    idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    n_sampled = F.size(F.filter(idx, lambda i: i % FRAME_STRIDE == 0)).cast("bigint")
+    return media.select(
+        "doc_id",
+        "modality",
+        "width",
+        "height",
+        "n_bytes",
+        F.when(F.col("modality") == "video", n_sampled).alias("n_video_frames"),
+    )
 
 
 def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +164,9 @@ def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mm_binary_meta": _q_mm_binary_meta,
     "mm_decode_features": _q_mm_decode_features,
+}
+
+QUERIES_EXT = {
     "mm_frame_sample": _q_mm_frame_sample,
 }
 
@@ -155,9 +176,17 @@ ORACLES = {
                ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
                CAST(16 + n_chars % 64 AS INTEGER) AS width,
                CAST(16 + (n_chars * 7) % 64 AS INTEGER) AS height,
-               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CASE WHEN doc_id % 3 = 2 THEN
+                   CAST(len(list_filter(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INTEGER)),
+                            i -> i % 4 = 0)) AS BIGINT)
+               END AS n_video_frames
         FROM documents
     """,
+    # mm_decode_features: rows-only (mapInPandas path; unit-tested).
+}
+
+ORACLES_EXT = {
     "mm_frame_sample": """
         SELECT doc_id,
                CAST(len(list_filter(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INTEGER)),
@@ -165,5 +194,4 @@ ORACLES = {
         FROM documents
         WHERE doc_id % 3 = 2
     """,
-    # mm_decode_features: rows-only (mapInPandas path; unit-tested).
 }

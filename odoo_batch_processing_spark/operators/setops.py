@@ -46,7 +46,33 @@ def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.subtract(with_orders_96)  # subtract = EXCEPT DISTINCT
 
 
+def _q_set_ops_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operators in one plan: (BUILDING ∪ MACHINERY
+    customers) ∩ customers-with-1996-orders \\ customers-with-1997-
+    orders. Each op keeps the key projection narrow so every shuffle
+    moves 8-byte keys only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .union(cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey"))
+        .distinct()
+    )
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return seg.intersect(y96).subtract(y97)
+
+
 QUERIES = {
+    "set_ops_chain": _q_set_ops_chain,
+}
+
+QUERIES_EXT = {
     "set_union": _q_set_union,
     "set_intersect": _q_set_intersect,
     "set_except": _q_set_except,
@@ -68,4 +94,16 @@ ORACLES = {
         EXCEPT
         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
+    "set_ops_chain": """
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
 }
+
+ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
+ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}

@@ -180,6 +180,29 @@ def _q_x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_x5_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole per-document featurization pass in ONE projection:
+    token stats, BPE-ish piece count, quality ratios + score, language
+    prediction, and the dedup fingerprint. All codegen'd column
+    expressions over one scan — at 100 TB this is the single-pass
+    feature stage of the pipeline (merges the former x5_token_stats /
+    x5_quality_score / x5_lang_id / x5_fingerprint entries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    f = quality_features(text)
+    return docs.select(
+        "doc_id",
+        "lang",
+        f["n_tokens"].alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_pieces"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["mean_word_len"].alias("mean_word_len"),
+        quality_score(text).alias("quality"),
+        lang_id(text).alias("lang_pred"),
+        fingerprint(text).alias("fp"),
+    )
+
+
 def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
@@ -232,12 +255,19 @@ def _q_x5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Core: the merged single-pass featurization + the tf-idf shuffle
+# query (which computes term/document frequency on the way). Extended:
+# the standalone per-feature micro-queries.
 QUERIES = {
+    "x5_text_features": _q_x5_text_features,
+    "x5_tfidf_top_terms": _q_x5_tfidf_top_terms,
+}
+
+QUERIES_EXT = {
     "x5_token_stats": _q_x5_token_stats,
     "x5_lang_id": _q_x5_lang_id,
     "x5_quality_score": _q_x5_quality_score,
     "x5_term_frequency": _q_x5_term_frequency,
-    "x5_tfidf_top_terms": _q_x5_tfidf_top_terms,
     "x5_fingerprint": _q_x5_fingerprint,
 }
 
@@ -319,3 +349,31 @@ ORACLES["x5_term_frequency"] = f"""
     ORDER BY tf DESC, token
     LIMIT 20
 """
+
+ORACLES["x5_text_features"] = f"""
+    SELECT doc_id, lang,
+           {_NTOK} AS n_tokens,
+           CAST(list_sum(list_transform({_TOKS}, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_pieces,
+           {_STOPRATIO} AS stopword_ratio,
+           {_MEANWL} AS mean_word_len,
+           0.4 * ({_STOPRATIO})
+         + 0.3 * least(CAST({_NTOK} AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * least(({_MEANWL}) / 10.0, 1.0) AS quality,
+           CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+                WHEN {_stop_hits_sql('en')} >= {_stop_hits_sql('es')}
+                 AND {_stop_hits_sql('en')} >= {_stop_hits_sql('fr')}
+                 AND {_stop_hits_sql('en')} >= {_stop_hits_sql('de')}
+                 AND {_stop_hits_sql('en')} > 0 THEN 'en'
+                WHEN {_stop_hits_sql('es')} >= {_stop_hits_sql('fr')}
+                 AND {_stop_hits_sql('es')} >= {_stop_hits_sql('de')}
+                 AND {_stop_hits_sql('es')} > 0 THEN 'es'
+                WHEN {_stop_hits_sql('fr')} >= {_stop_hits_sql('de')}
+                 AND {_stop_hits_sql('fr')} > 0 THEN 'fr'
+                WHEN {_stop_hits_sql('de')} > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+"""
+
+ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
+ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}

@@ -112,10 +112,17 @@ def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Core: sliding windows (tumbling is its slide==size special case) +
+# sessionization. Extended: the tumbling special case, plus the
+# window-function micro-queries whose expressions the merged
+# plans.advanced.expr_breadth / x4 top-k queries already cover.
 QUERIES = {
-    "x7_tumbling_hourly": _q_x7_tumbling_hourly,
     "x7_sliding_windows": _q_x7_sliding_windows,
     "x7_sessionize": _q_x7_sessionize,
+}
+
+QUERIES_EXT = {
+    "x7_tumbling_hourly": _q_x7_tumbling_hourly,
     "w_topk_per_group": _q_topk_per_group,
     "w_running_total": _q_running_total,
 }
@@ -176,3 +183,6 @@ ORACLES = {
         FROM orders
     """,
 }
+
+ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
+ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}

@@ -145,12 +145,18 @@ def check_all(
     spark: SparkSession,
     sf_dir: str,
     only: list[str] | None = None,
+    extended: bool = False,
 ) -> list[CompareResult]:
-    """Run every registered query against its oracle at ``sf_dir``."""
+    """Run registered queries against their oracles at ``sf_dir``.
+
+    ``extended=False`` sweeps the core (driver-facing) catalog;
+    ``extended=True`` adds the extended tier. Explicit ``only`` names
+    resolve against the full (extended) catalog either way.
+    """
     from odoo_batch_processing_spark.registry import all_oracles, all_queries
 
-    queries = all_queries()
-    oracles = all_oracles()
+    queries = all_queries(extended=extended or bool(only))
+    oracles = all_oracles(extended=extended or bool(only))
     if only:
         unknown = set(only) - set(queries)
         if unknown:

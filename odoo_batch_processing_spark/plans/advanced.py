@@ -262,6 +262,60 @@ def _q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_expr_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + window-function breadth in ONE per-row projection over
+    orders (merges the former scalar_breadth, window_breadth and
+    w_running_total entries, plus null-safe equality):
+
+    * date/string/array scalars — the reference's entire scalar surface
+      was trim/split/lower/concat (SURVEY.md §2.2); everything here is
+      JVM-side codegen;
+    * lag/lead/ntile/percent_rank + a frame-bounded running sum over
+      the per-customer order sequence (one shuffle: partitionBy);
+    * null-safe equality (<=> / IS NOT DISTINCT FROM) — the semantics
+      merge/dedup keys need when nullable (NULL <=> NULL is TRUE where
+      plain equality is NULL).
+
+    Deterministic order via the unique orderkey tie-break; the running
+    sum goes through DECIMAL so it is order-independent.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    null_status = F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus"))  # always NULL
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.upper("o_orderstatus").alias("status_u"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.translate("o_orderpriority", "-", "_").alias("prio_t"),
+        F.substring("o_orderpriority", 3, 6).alias("prio_word"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.size(F.split("o_orderpriority", "-")).cast("bigint").alias("prio_parts"),
+        F.element_at(F.split("o_orderpriority", "-"), 1).alias("prio_rank"),
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_total"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("O")).alias("is_open_nullsafe"),
+        null_status.eqNullSafe(null_status).alias("null_selfmatch"),  # TRUE, not NULL
+        (null_status == null_status).alias("plain_eq_is_null"),       # NULL
+    )
+
+
 def _q_q05_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query through the SQL-string API (temp views +
     spark.sql) — Catalyst produces the same plan either way; this entry
@@ -288,7 +342,22 @@ def _q_q05_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Core: the distinct join/agg shapes (outer-join distribution,
+# correlated aggregate, disjunctive pushdown, anti-join + scalar
+# subquery, cross-dimension pairs) plus the merged scalar/window
+# breadth projection. Extended: grouping-sets/pivot variants, the
+# EXISTS/correlated-max twins of shapes core already covers, the SQL-
+# string parity query, and the pre-merge breadth micro-queries.
 QUERIES = {
+    "expr_breadth": _q_expr_breadth,
+    "q07_nation_pairs": _q_q07_nation_pairs,
+    "q13_order_distribution": _q_q13_order_distribution,
+    "q17_small_qty": _q_q17_small_qty,
+    "q19_disjunctive": _q_q19_disjunctive,
+    "q22_inactive_customers": _q_q22_inactive_customers,
+}
+
+QUERIES_EXT = {
     "agg_rollup": _q_agg_rollup,
     "agg_cube": _q_agg_cube,
     "agg_pivot": _q_agg_pivot,
@@ -296,11 +365,6 @@ QUERIES = {
     "q02_min_cost_supplier": _q_q02_min_cost_supplier,
     "q04_priority_exists": _q_q04_priority_exists,
     "q05_sql_api": _q_q05_sql_api,
-    "q07_nation_pairs": _q_q07_nation_pairs,
-    "q13_order_distribution": _q_q13_order_distribution,
-    "q17_small_qty": _q_q17_small_qty,
-    "q19_disjunctive": _q_q19_disjunctive,
-    "q22_inactive_customers": _q_q22_inactive_customers,
     "scalar_breadth": _q_scalar_breadth,
     "window_breadth": _q_window_breadth,
 }
@@ -455,4 +519,37 @@ ORACLES = {
                string_split(o_orderpriority, '-')[1] AS prio_rank
         FROM orders
     """,
+    "expr_breadth": """
+        SELECT o_custkey, o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+               last_day(o_orderdate) AS month_end,
+               upper(o_orderstatus) AS status_u,
+               lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+               translate(o_orderpriority, '-', '_') AS prio_t,
+               substr(o_orderpriority, 3, 6) AS prio_word,
+               CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+               CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS prio_parts,
+               string_split(o_orderpriority, '-')[1] AS prio_rank,
+               lag(o_orderkey, 1, -1) OVER w AS prev_order,
+               lead(o_orderkey, 1, -1) OVER w AS next_order,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+               o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open_nullsafe,
+               NULLIF(o_orderstatus, o_orderstatus)
+                 IS NOT DISTINCT FROM NULLIF(o_orderstatus, o_orderstatus) AS null_selfmatch,
+               NULLIF(o_orderstatus, o_orderstatus)
+                 = NULLIF(o_orderstatus, o_orderstatus) AS plain_eq_is_null
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
 }
+
+# split the oracle literals along the query-tier boundary
+ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
+ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}

@@ -6,9 +6,22 @@ module. Each operator/plan module exports a ``QUERIES`` dict
 (name → ANSI SQL for DuckDB); ops that are not SQL-expressible appear
 in ``QUERIES`` only and get the driver's weaker rows-only check.
 
+Two tiers:
+
+* **core** (``QUERIES``/``ORACLES``) — the driver-facing catalog,
+  capped at :data:`CORE_CAP` entries so the driver's bounded
+  correctness run (first 50 queries) covers EVERY operator family.
+  One representative query per operator; merged queries note which
+  ops they fold in.
+* **extended** (``QUERIES_EXT``/``ORACLES_EXT``) — redundant variants
+  and micro-queries kept oracle-checkable locally
+  (``tools/oracle_check.py --extended``) and exercised by tests, but
+  outside the driver's window by design.
+
 Invariants enforced by tests/test_registry.py:
 * every oracle key has a query key;
-* names are unique across modules;
+* names are unique across modules AND across tiers;
+* the core tier has at most CORE_CAP entries;
 * every query returns a DataFrame with at least one column, and
   column names match between the Spark result and the oracle result.
 """
@@ -41,9 +54,16 @@ _MODULES = (
 )
 
 
-def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+#: The driver's correctness run records exactly the first 50 catalog
+#: entries; the core tier must fit inside that window.
+CORE_CAP = 50
+
+
+def _collect(extended: bool = False) -> tuple[dict[str, QueryFn], dict[str, str]]:
     import importlib
 
+    q_attrs = ("QUERIES", "QUERIES_EXT") if extended else ("QUERIES",)
+    o_attrs = ("ORACLES", "ORACLES_EXT") if extended else ("ORACLES",)
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for modname in _MODULES:
@@ -58,23 +78,25 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             if exc.name != modname:
                 raise
             continue
-        for name, fn in getattr(mod, "QUERIES", {}).items():
-            if name in queries:
-                raise ValueError(f"duplicate query name {name!r} in {modname}")
-            queries[name] = fn
-        for name, sql in getattr(mod, "ORACLES", {}).items():
-            if name in oracles:
-                raise ValueError(f"duplicate oracle name {name!r} in {modname}")
-            oracles[name] = sql
+        for attr in q_attrs:
+            for name, fn in getattr(mod, attr, {}).items():
+                if name in queries:
+                    raise ValueError(f"duplicate query name {name!r} in {modname}")
+                queries[name] = fn
+        for attr in o_attrs:
+            for name, sql in getattr(mod, attr, {}).items():
+                if name in oracles:
+                    raise ValueError(f"duplicate oracle name {name!r} in {modname}")
+                oracles[name] = sql
     missing = set(oracles) - set(queries)
     if missing:
         raise ValueError(f"oracles without queries: {sorted(missing)}")
     return queries, oracles
 
 
-def all_queries() -> dict[str, QueryFn]:
-    return _collect()[0]
+def all_queries(extended: bool = False) -> dict[str, QueryFn]:
+    return _collect(extended)[0]
 
 
-def all_oracles() -> dict[str, str]:
-    return _collect()[1]
+def all_oracles(extended: bool = False) -> dict[str, str]:
+    return _collect(extended)[1]

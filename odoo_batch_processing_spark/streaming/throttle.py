@@ -57,10 +57,15 @@ class ThrottledBulkUpdate:
                 applied = applied & guard
         if self.readonly is not None:
             applied = applied & ~self.readonly
+        # pin the flag on the PRE-update rows: evaluating `applied`
+        # after the rewrite is wrong whenever a guard references the
+        # updated column (e.g. readonly on the column being set)
         updated = broadcast_update(
-            batch_df, self.column, self.value,
-            visible=self.visible, editable=self.editable, readonly=self.readonly,
-        ).withColumn("__applied", applied)
+            batch_df.withColumn("__applied", applied),
+            self.column,
+            self.value,
+            visible=F.col("__applied"),
+        )
         # one pass: write the batch AND count outcomes (R15)
         updated.persist()
         try:

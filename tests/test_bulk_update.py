@@ -74,11 +74,11 @@ def test_r9_fewer_values_than_rows(spark, listview):
     assert n_visible > 5
     out = zip_join_update(listview, ["row_ord"], "name", values, ["ord"], "v", visible=visible)
     rows = {r["row_ord"]: r["name"] for r in out.collect()}
-    assert len(rows) == n_visible  # no rows dropped
+    assert len(rows) == 200  # row-preserving: hidden rows retained too
     updated = [v for v in rows.values() if v.startswith("v")]
     assert sorted(updated) == ["v0", "v1", "v2", "v3", "v4"]  # exactly min(5, n)
     untouched = [v for v in rows.values() if v.startswith("rec_")]
-    assert len(untouched) == n_visible - 5  # the rest keep old values
+    assert len(untouched) == 200 - 5  # the rest keep old values
 
 
 def test_r9_more_values_than_rows(spark, listview):
@@ -90,8 +90,9 @@ def test_r9_more_values_than_rows(spark, listview):
     )
     out = zip_join_update(listview, ["row_ord"], "name", values, ["ord"], "v", visible=F.col("visible"))
     rows = out.collect()
-    assert len(rows) == n_visible  # surplus values dropped (min truncation)
-    assert all(r["name"].startswith("v") for r in rows)
+    assert len(rows) == 200  # row-preserving output
+    got_value = [r for r in rows if r["name"].startswith("v")]
+    assert len(got_value) == n_visible  # every visible row updated; surplus values dropped
 
 
 def test_r9_assignment_is_positional(spark, listview):
@@ -182,8 +183,11 @@ def test_bulk_update_run_list_mode_respects_guards(spark):
     assert rows[12] == "b" and rows[13] == "c"  # guards hold in list mode
     assert rows[14] == "d"                      # NULL visibility = hidden
     assert rows[15] == "X4"                     # position consumed by guarded rows
-    assert res.visible_rows == 4 and res.success_count == 2 and res.error_count == 2
-    assert res.outcome == "warning"
+    # readonly/non-editable rows are SKIPPED (the reference's
+    # `continue`, user.js:477-480), not counted as errors
+    assert res.visible_rows == 4 and res.success_count == 2
+    assert res.skipped_count == 2 and res.error_count == 0
+    assert res.outcome == "success"
 
 
 # --- EP1 composite: accounting matches the reference's run summary ---------
@@ -198,10 +202,46 @@ def test_bulk_update_run_accounting(spark, listview):
     )
     assert res.all_rows == 200
     assert res.visible_rows == listview.filter(F.col("visible")).count()
-    assert res.success_count + res.error_count == res.visible_rows
-    assert res.outcome in {"success", "warning", "error"}
+    assert res.success_count + res.skipped_count == res.visible_rows
+    assert res.error_count == 0
+    assert res.outcome in {"success", "nothing-updated"}
     n_const = res.updated.filter(F.col("name") == "X").count()
     assert n_const == res.success_count
+
+
+def test_bulk_update_run_nothing_updated(spark, listview):
+    """success==0 and error==0 → the reference's 'nothing updated'
+    warning, not a spurious 'success' (ADVICE r01)."""
+    from odoo_batch_processing_spark.operators.bulk_update import bulk_update_run
+
+    res = bulk_update_run(
+        listview, "name", "X",
+        order_cols=["row_ord"],
+        visible=F.lit(False),  # no visible rows at all
+        editable=F.col("editable"), readonly=F.col("readonly"),
+        spark=spark,
+    )
+    assert res.visible_rows == 0 and res.success_count == 0
+    assert res.outcome == "nothing-updated"
+
+
+def test_bulk_update_run_guard_on_updated_column(spark, listview):
+    """Counts stay correct when the visibility predicate references the
+    column being updated (flags are pinned PRE-update — ADVICE r01)."""
+    from odoo_batch_processing_spark.operators.bulk_update import bulk_update_run
+
+    # every name starts with 'rec_' pre-update; post-update successes
+    # become 'X' and would fail this predicate if re-evaluated late
+    res = bulk_update_run(
+        listview, "name", "X",
+        order_cols=["row_ord"],
+        visible=F.col("name").startswith("rec_"),
+        editable=F.col("editable"), readonly=F.col("readonly"),
+        spark=spark,
+    )
+    assert res.visible_rows == 200
+    assert res.success_count == res.updated.filter(F.col("name") == "X").count()
+    assert res.success_count + res.skipped_count == 200
 
 
 def test_bulk_update_run_multivalue(spark, listview):

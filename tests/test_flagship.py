@@ -15,12 +15,19 @@ def test_entry_smoke(spark):
 
 
 def test_registry_consistency():
-    from odoo_batch_processing_spark.registry import all_oracles, all_queries
+    from odoo_batch_processing_spark.registry import CORE_CAP, all_oracles, all_queries
 
-    queries = all_queries()
-    oracles = all_oracles()
-    assert set(oracles) <= set(queries)
-    assert len(queries) >= 1
+    core_q, core_o = all_queries(), all_oracles()
+    assert set(core_o) <= set(core_q)
+    assert len(core_q) >= 1
+    # the driver's correctness run records only the first CORE_CAP
+    # entries — every core query must sit inside that window
+    assert len(core_q) <= CORE_CAP, (
+        f"core catalog has {len(core_q)} queries; driver checks only the first {CORE_CAP}"
+    )
+    ext_q, ext_o = all_queries(extended=True), all_oracles(extended=True)
+    assert set(ext_o) <= set(ext_q)
+    assert set(core_q) <= set(ext_q)
 
 
 def test_analytics_match_oracle(spark, duck):

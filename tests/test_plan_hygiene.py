@@ -34,9 +34,10 @@ _ALLOWED_NESTED_LOOP = {"x4_cosine_topk", "q22_inactive_customers"}
 def _batch_queries():
     from odoo_batch_processing_spark.registry import all_queries
 
+    # hygiene applies to the WHOLE catalog, extended tier included
     return {
         name: fn
-        for name, fn in all_queries().items()
+        for name, fn in all_queries(extended=True).items()
         if not name.startswith(_SKIP_PREFIXES) and name not in _SKIP
     }
 
@@ -69,7 +70,12 @@ def test_no_nested_loop_or_cartesian_anywhere(spark):
 def test_filters_reach_the_scan(spark, name, expect):
     from odoo_batch_processing_spark.registry import all_queries
 
-    plan = all_queries()[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        all_queries(extended=True)[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert expect in plan, f"{name}: filter not pushed to parquet scan"
 
 

@@ -17,6 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    parser.add_argument(
+        "--extended",
+        action="store_true",
+        help="also sweep the extended tier (QUERIES_EXT) beyond the driver-facing core catalog",
+    )
     parser.add_argument("names", nargs="*")
     args = parser.parse_args()
 
@@ -24,7 +29,7 @@ def main() -> int:
     from odoo_batch_processing_spark.session import get_spark
 
     spark = get_spark("oracle-check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
-    results = check_all(spark, args.sf_dir, only=args.names or None)
+    results = check_all(spark, args.sf_dir, only=args.names or None, extended=args.extended)
     n_fail = 0
     for r in results:
         print(r)
