@@ -54,6 +54,15 @@ SIMHASH_BITS = 32  # 16 bits collides heavily (28k chance-pairs at 500 docs)
 SIMHASH_BANDS = 4  # 4 bands × 8 bits; exact for hamming ≤ 3
 HAMMING_MAX = 3
 JACCARD_MIN = 0.8
+#: Hot-bucket cap for the inverted-index/LSH self-joins: a shingle (or
+#: band key) shared by b documents contributes b·(b−1)/2 candidate
+#: pairs, so one boilerplate shingle at 100 TB is an O(b²) skew bomb on
+#: a single shuffle key. Buckets above the cap are dropped before the
+#: pair join — boilerplate that common carries no near-dup signal (the
+#: standard MinHash-pipeline mitigation). The default sits far above
+#: every fixture bucket size, so fixture results are bit-identical
+#: with or without the cap (asserted by tests/test_text_dedup.py).
+HOT_BUCKET_CAP = 1000
 
 
 def exact_dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -127,13 +136,42 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(doc_sh: DataFrame, threshold: float = JACCARD_MIN) -> DataFrame:
+def cap_hot_buckets(
+    df: DataFrame, keys: Sequence[str], cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
+    """Drop rows whose bucket (distinct ``keys`` value) holds more than
+    ``cap`` rows — the skew guard in front of every bucket self-join.
+
+    Shape: count per key (map-side combinable) + semi join back on the
+    same key, so Catalyst/AQE co-partition the two shuffles; no row
+    data moves beyond the keys. ``cap=None``-like behavior is cap high
+    enough that nothing trips (the fixture default).
+    """
+    keep = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .filter(F.col("__bucket_n") <= cap)
+        .select(*keys)
+    )
+    return df.join(keep, list(keys), "left_semi")
+
+
+def ngram_jaccard_pairs(
+    doc_sh: DataFrame, threshold: float = JACCARD_MIN, cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
     """Inverted-index self-join: docs sharing ≥1 shingle → intersection
     counts → |A∩B| / (|A|+|B|−|A∩B|). Integer counts + one double
-    division keep the score oracle-exact."""
+    division keep the score oracle-exact.
+
+    Shingles shared by more than ``cap`` documents are dropped from the
+    inverted index before the self-join (see HOT_BUCKET_CAP): their
+    pair fan-out is quadratic and their dedup signal is nil. Sizes are
+    computed BEFORE the cap, so scores of surviving pairs only ever
+    shrink (a capped pipeline never over-reports similarity)."""
     sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = doc_sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = doc_sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    capped = cap_hot_buckets(doc_sh, ["sh"], cap)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         a.join(b, ["sh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -190,8 +228,14 @@ def minhash_band_keys(doc_sh: DataFrame, k: int = MINHASH_K, bands: int = MINHAS
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
-    """Docs sharing any band key → distinct candidate pairs."""
+def lsh_candidate_pairs(band_keys: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
+    """Docs sharing any band key → distinct candidate pairs.
+
+    Band buckets larger than ``cap`` are dropped before the pair join
+    (HOT_BUCKET_CAP): a degenerate band key (e.g. the signature of an
+    empty/boilerplate shingle set) would otherwise pair up its whole
+    bucket quadratically on one shuffle key."""
+    band_keys = cap_hot_buckets(band_keys, ["band", "band_key"], cap)
     a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -283,22 +327,40 @@ def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest cosine neighbor per vector within its coarse partition
-    (label ≈ IVF cell) — the embedding near-dup candidate list."""
+    """Nearest cosine neighbor per vector within its quantizer cell —
+    the embedding near-dup candidate list.
+
+    Cell = (label, 3 sign bits of the leading dimensions) — the
+    two-level IVF idiom from operators/similarity.ivf_bucket. The
+    secondary sign-bit split bounds the cell population (the raw
+    ``label`` cell grows linearly with the corpus, making the in-cell
+    pair join O(n²) per label — round-1's slowest query at 10.8 s/sf0.1;
+    with 8 subcells the pair count drops ~8×). At 100 TB the cells come
+    from write-time k-means with recursive splitting of over-full
+    cells; the sign-bit split is the deterministic, oracle-checkable
+    stand-in with the same plan shape (equi-join on the cell key)."""
     from pyspark.sql import Window
 
     from odoo_batch_processing_spark.functions.vector import dot, norm, normalized
+    from odoo_batch_processing_spark.operators.similarity import ivf_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
     unit = (
-        emb.select("label", "vec_id", to_double(F.col("embedding")).alias("__v"))
+        emb.select(
+            "label",
+            ivf_bucket(F.col("embedding")).alias("subcell"),
+            "vec_id",
+            to_double(F.col("embedding")).alias("__v"),
+        )
         .withColumn("__n", norm(F.col("__v")))
-        .select("label", "vec_id", normalized(F.col("__v"), F.col("__n")).alias("uv"))
+        .select("label", "subcell", "vec_id", normalized(F.col("__v"), F.col("__n")).alias("uv"))
     )
-    a = unit.select("label", "vec_id", F.col("uv").alias("va"))
-    b = unit.select("label", F.col("vec_id").alias("nn_id"), F.col("uv").alias("vb"))
+    a = unit.select("label", "subcell", "vec_id", F.col("uv").alias("va"))
+    b = unit.select(
+        "label", "subcell", F.col("vec_id").alias("nn_id"), F.col("uv").alias("vb")
+    )
     scored = (
-        a.join(b, "label")
+        a.join(b, ["label", "subcell"])
         .filter(F.col("vec_id") != F.col("nn_id"))
         .withColumn("cos_sim", dot(F.col("va"), F.col("vb")))
     )
@@ -313,8 +375,122 @@ def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Core: the deduplicated-relation query (THE exact-dedup semantic) and
 # all four near-dup detectors. Extended: the fingerprint-group
 # intermediate and the trivial DISTINCT projection.
+def verify_candidate_pairs(
+    candidates: DataFrame, doc_shingle_sets: DataFrame, threshold: float = JACCARD_MIN
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs.
+
+    ``doc_shingle_sets``: (doc_id, sh_set array, n_sh). The verify is
+    two equi-joins of the (small) candidate relation against the
+    per-doc shingle sets + one JVM array_intersect per pair — work is
+    O(|candidates| · shingle-set size), never a second inverted-index
+    pass over the corpus. Distinct-shingle counts make the score
+    identical to :func:`ngram_jaccard_pairs`' inverted-index form."""
+    a = doc_shingle_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    b = doc_shingle_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, id_col: str = "doc_id", max_iters: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — pure
+    DataFrame ops, driver-side loop.
+
+    Each round every vertex takes the min component label among itself
+    and its neighbors; convergence in O(component diameter) rounds.
+    Near-dup clusters are small and dense (diameter ≲ 4), so a handful
+    of rounds suffice; ``localCheckpoint`` truncates the lineage each
+    round so the plan does not grow with the iteration count. At
+    100 TB scale the same loop runs with the large-star/small-star
+    optimization (halves rounds on long chains); the per-round shape —
+    one shuffle join on the edge key + one groupBy(min) — is unchanged.
+
+    Returns (id_col, cluster_id): every vertex labeled with the min
+    vertex id of its component (isolated vertices label themselves).
+    """
+    # materialize the (small) edge set ONCE: the loop re-reads it every
+    # round, and without this the entire upstream pipeline (LSH +
+    # verify) would re-execute per iteration
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        nbr = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
+
+
+def _q_x3_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline end-to-end: MinHash-LSH candidates →
+    exact-Jaccard verify → connected components → cluster assignment.
+
+    Output is (doc_id, cluster_id) for EVERY document; the survivor
+    set is the rows with doc_id == cluster_id (deterministic min-id
+    representative, mirroring x2_dedup_survivors), so the full
+    clustering — not just the survivor list — sits under the oracle
+    hash. Oracle: the same LSH + verify restated in SQL, closure via a
+    recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_sh = _doc_shingles(spark, sf_dir)
+    candidates = lsh_candidate_pairs(minhash_band_keys(doc_sh))
+    sets = docs.select(
+        "doc_id",
+        shingles(F.col("text")).alias("sh_set"),
+    ).withColumn("n_sh", F.size(F.col("sh_set")))
+    edges = verify_candidate_pairs(candidates, sets)
+    # the propagation loop runs over the PAIR GRAPH only (vertices with
+    # at least one verified edge — a tiny fraction of the corpus);
+    # isolated documents join back afterward labeling themselves. At
+    # 100 TB this keeps every CC iteration proportional to the dup
+    # graph, not the corpus.
+    edges = edges.localCheckpoint()  # LSH + verify runs once, not per CC round
+    edge_vertices = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(edge_vertices, edges)
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+
+
 QUERIES = {
     "x2_dedup_survivors": _q_x2_dedup_survivors,
+    "x3_neardup_survivors": _q_x3_neardup_survivors,
     "x3_ngram_jaccard": _q_x3_ngram_jaccard,
     "x3_minhash_lsh": _q_x3_minhash_lsh,
     "x3_simhash": _q_x3_simhash,
@@ -435,19 +611,62 @@ ORACLES_EXT: dict[str, str] = {}
 ORACLES["x3_embedding_neardup"] = """
     WITH v AS (
         SELECT vec_id, label,
+               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS subcell,
                list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS vec
-        FROM (SELECT vec_id, label, embedding::DOUBLE[] AS raw FROM embeddings)
+        FROM (SELECT vec_id, label, embedding, embedding::DOUBLE[] AS raw FROM embeddings)
     ),
     scored AS (
         SELECT a.vec_id, b.vec_id AS nn_id,
                list_dot_product(a.vec, b.vec) AS cos_sim
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+        FROM v a JOIN v b
+          ON a.label = b.label AND a.subcell = b.subcell AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, nn_id, cos_sim FROM (
         SELECT vec_id, nn_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
         FROM scored
     ) WHERE rn = 1
+"""
+
+ORACLES["x3_neardup_survivors"] = f"""
+    WITH RECURSIVE
+    doc_sh AS ({_DOC_SH}),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM doc_sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BAND_SELECTS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM doc_sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(1) AS n_inter
+        FROM cand c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_MIN}
+    ),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION
+        SELECT doc_b, doc_a FROM edges
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach GROUP BY src
 """
 
 ORACLES_EXT.update({k: v for k, v in ORACLES.items() if k in QUERIES_EXT})

@@ -100,3 +100,67 @@ def test_sessionize_gap_semantics(spark, tmp_path):
     out = W._q_x7_sessionize(spark, sf_dir)
     sess = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
     assert sess == {(100, 1): 3, (100, 2): 1}
+
+
+def test_hot_bucket_cap_bounds_pair_fanout(spark):
+    """A synthetic boilerplate shingle shared by every document must not
+    quadratically pair up the corpus: with the cap below the hot
+    bucket's size, the pair join sees only the rare shingles; with the
+    cap above it, results are identical to the uncapped pipeline."""
+    from odoo_batch_processing_spark.operators.dedup import (
+        cap_hot_buckets,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+        ngram_jaccard_pairs,
+    )
+
+    n_docs = 40
+    rows = [(i, "HOT") for i in range(n_docs)]  # one shingle in EVERY doc
+    rows += [(i, f"rare_{i % 2}_{i}") for i in range(n_docs)]  # unique filler
+    rows += [(0, "shared_pair"), (1, "shared_pair")]  # one genuine near-dup signal
+    doc_sh = spark.createDataFrame(rows, "doc_id bigint, sh string")
+
+    capped = cap_hot_buckets(doc_sh, ["sh"], cap=10)
+    assert capped.filter(F.col("sh") == "HOT").count() == 0  # hot bucket dropped
+    assert capped.count() == n_docs + 2  # everything else kept
+
+    # pair fan-out: uncapped inverted index pairs all 40 docs via HOT
+    # (780 pairs); capped sees only the single genuine pair
+    uncapped_pairs = (
+        doc_sh.alias("a")
+        .join(doc_sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    capped_pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    assert uncapped_pairs == n_docs * (n_docs - 1) // 2 + 1
+    assert capped_pairs == 1
+
+    # result-identity when the cap sits above every bucket size: the
+    # capped jaccard/LSH pipelines return exactly the uncapped results
+    loose = ngram_jaccard_pairs(doc_sh, threshold=0.1, cap=10_000).collect()
+    tight_ok = ngram_jaccard_pairs(doc_sh, threshold=0.1, cap=n_docs).collect()
+    assert sorted(map(tuple, loose)) == sorted(map(tuple, tight_ok))
+    bands = minhash_band_keys(doc_sh)
+    assert sorted(map(tuple, lsh_candidate_pairs(bands, cap=10_000).collect())) == sorted(
+        map(tuple, lsh_candidate_pairs(bands, cap=n_docs + 1).collect())
+    )
+
+
+def test_connected_components_min_label(spark):
+    """Chain + triangle + isolate: every vertex labels with its
+    component's min id; the isolate labels itself."""
+    from odoo_batch_processing_spark.operators.dedup import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id bigint")
+    # chain 1-2-3-4, triangle 5-6-7, isolate 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
