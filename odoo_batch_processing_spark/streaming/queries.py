@@ -42,6 +42,22 @@ def _events_dir(sf_dir: str) -> str:
     return d
 
 
+def _events_multi_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Stage the events fixture as ``n_files`` parquet files so a
+    maxFilesPerTrigger=1 source yields ``n_files`` real micro-batches —
+    the non-degenerate form of the reference's per-row incremental loop
+    (user.js:454-500). Raw read (no ts conversion) so the staged schema
+    matches what change_source expects."""
+    d = _scratch_dir("events-src-multi")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
 def _q_s_r22_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R22: file-arrival change source driving a streaming count by
     type (complete mode memory sink, run to exhaustion)."""
@@ -97,17 +113,25 @@ def _q_s_r18_throttled_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = run.start(change_source(spark, _events_dir(sf_dir)), available_now=True)
     q.awaitTermination()
-    assert run.success_count + run.error_count > 0
+    assert run.success_count + run.skipped_count > 0
     return spark.read.parquet(out_dir).select("event_id", "event_type")
 
 
+#: micro-batch count for the multi-batch progress / cancellation runs
+_N_BATCH_FILES = 4
+
+
 def _q_s_r17_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R17: listener-derived progress rows for a single-batch run."""
-    total = load_table(spark, sf_dir, "events").count()
+    """R17: listener-derived progress over a genuinely multi-batch run
+    (maxFilesPerTrigger=1 over a 4-file staging) — the percentage
+    sequence must be monotone and end at exactly 100, the reference's
+    round((i+1)/n*100) contract (user.js:464-473) at batch granularity."""
+    src = _events_multi_dir(spark, sf_dir, _N_BATCH_FILES)
+    total = spark.read.parquet(src).count()
     tracker = ProgressTracker(expected_total=total)
     spark.streams.addListener(tracker)
     try:
-        stream = change_source(spark, _events_dir(sf_dir))
+        stream = change_source(spark, src, max_files_per_trigger=1)
         name = _mem_name("s_r17")
         q = (
             stream.select("event_id")
@@ -121,16 +145,59 @@ def _q_s_r17_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
         deadline = time.time() + 30
-        while time.time() < deadline and not tracker.batches:
+        while time.time() < deadline and tracker.rows_seen < total:
             time.sleep(0.1)  # listener bus is async
     finally:
         spark.streams.removeListener(tracker)
-    rows = [(b.batch_id, b.rows, b.cumulative_rows, b.pct) for b in tracker.batches]
+    # ignore possible trailing no-data batches; judge the data batches
+    batches = [b for b in tracker.batches if b.rows > 0]
+    pcts = [b.pct for b in batches]
+    monotone = all(a <= b for a, b in zip(pcts, pcts[1:]))
+    rows = [(b.batch_id, b.rows, b.cumulative_rows, b.pct) for b in batches]
     df = spark.createDataFrame(rows, "batch_id bigint, rows bigint, cumulative_rows bigint, pct int")
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_batches"),
         F.sum("rows").cast("bigint").alias("rows_seen"),
         F.max("pct").cast("int").alias("final_pct"),
+        F.lit(monotone).alias("pct_monotone"),
+    )
+
+
+def _q_s_r19_cancel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19: cooperative mid-run cancellation. A throttled update runs
+    over a 4-file source (1 file per trigger, 30 s between triggers);
+    the monitor cancels as soon as the first micro-batch's accounting
+    lands, long before trigger #2 can fire — so exactly one batch
+    commits and the rest never run (user.js:456-458: committed work
+    survives, remaining work is skipped). The committed sink holds a
+    proper subset of the source, asserted by partial_commit."""
+    src = _events_multi_dir(spark, sf_dir, _N_BATCH_FILES)
+    total = spark.read.parquet(src).count()
+    out_dir = _scratch_dir("r19-out")
+    run = ThrottledBulkUpdate(
+        column="event_type",
+        value="bulk",
+        out_dir=out_dir,
+        checkpoint_dir=_scratch_dir("r19-ckpt"),
+        trigger_ms=30_000,
+    )
+    q = run.start(change_source(spark, src, max_files_per_trigger=1))
+    deadline = time.time() + 120
+    while time.time() < deadline and run.success_count == 0:
+        time.sleep(0.02)
+    run.cancel()
+    q.awaitTermination(60)
+    committed = spark.read.parquet(out_dir).count()
+    return spark.createDataFrame(
+        [
+            (
+                run.cancelled,
+                run.outcome,
+                bool(0 < committed < total),
+                committed == run.success_count + run.skipped_count,
+            )
+        ],
+        "cancelled boolean, outcome string, partial_commit boolean, accounting_consistent boolean",
     )
 
 
@@ -233,7 +300,15 @@ QUERIES = {
     "s_x7_stream_hourly": _q_s_x7_stream_hourly,
     "s_r18_throttled_update": _q_s_r18_throttled_update,
     "s_r17_progress": _q_s_r17_progress,
+    "s_r19_cancel": _q_s_r19_cancel,
     "s_stateful_totals": _q_s_stateful_totals,
+}
+
+# streaming sessionization: real capability, but its windowing surface
+# is already driver-covered by s_x7_stream_hourly (streaming windows) +
+# x7_sessionize (session semantics); keep it oracle-checked in the
+# extended tier to free a core slot for R19.
+QUERIES_EXT = {
     "s_session_window": _q_s_session_window,
 }
 
@@ -263,12 +338,22 @@ ORACLES = {
                     THEN 'bulk' ELSE event_type END AS event_type
         FROM events
     """,
-    # s_r17_progress: single-file source → exactly one batch of all rows
+    # s_r17_progress: 4-file staging + maxFilesPerTrigger=1 → exactly 4
+    # data batches whose pct sequence is monotone and ends at 100
     "s_r17_progress": """
-        SELECT CAST(1 AS BIGINT) AS n_batches,
+        SELECT CAST(4 AS BIGINT) AS n_batches,
                COUNT(1) AS rows_seen,
-               CAST(100 AS INTEGER) AS final_pct
+               CAST(100 AS INTEGER) AS final_pct,
+               TRUE AS pct_monotone
         FROM events
+    """,
+    # s_r19_cancel: the run-level contract is deterministic (exactly one
+    # of four batches commits) even though WHICH file lands first is not
+    "s_r19_cancel": """
+        SELECT TRUE AS cancelled,
+               'cancelled' AS outcome,
+               TRUE AS partial_commit,
+               TRUE AS accounting_consistent
     """,
     "s_stateful_totals": """
         SELECT user_id,
@@ -277,6 +362,9 @@ ORACLES = {
                MAX(event_id) AS max_event_id
         FROM events GROUP BY user_id
     """,
+}
+
+ORACLES_EXT = {
     # session_window(30min): session end = last event + gap. Verified
     # empirically: Spark MERGES an event arriving exactly gap after the
     # previous one (adjacent half-open windows coalesce), so the gap

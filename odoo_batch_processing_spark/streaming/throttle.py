@@ -45,6 +45,12 @@ class ThrottledBulkUpdate:
     trigger_ms: int = 400  # the reference's default waitTime (user.js:230)
 
     success_count: int = 0
+    #: guarded rows (readonly / non-editable) stepped over — the
+    #: reference's `continue` (user.js:477-480) increments NEITHER
+    #: success nor error for these; same split as BulkUpdateResult.
+    skipped_count: int = 0
+    #: attempted updates that failed; 0 on the built-in functional
+    #: paths (sink failures surface as exceptions, not counts).
     error_count: int = 0
     cancelled: bool = False
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
@@ -76,7 +82,7 @@ class ThrottledBulkUpdate:
             ).head()
             with self._lock:
                 self.success_count += int(counts["ok"] or 0)
-                self.error_count += int(counts["skip"] or 0)
+                self.skipped_count += int(counts["skip"] or 0)
         finally:
             updated.unpersist()
 

@@ -18,9 +18,9 @@ from tests.conftest import SF_SMOKE
 #: streaming queries execute on invocation (they run a bounded stream);
 #: the batch sweep below covers everything else.
 _SKIP_PREFIXES = ("s_",)
-#: r21 writes on plan construction (sink roundtrip) — cheap but not
-#: plan-only; keep it out of the pure-planning sweep.
-_SKIP = {"r21_sink_roundtrip"}
+#: r21 queries write on plan construction (sink roundtrip / merge) —
+#: cheap but not plan-only; keep them out of the pure-planning sweep.
+_SKIP = {"r21_sink_roundtrip", "r21_merge"}
 #: queries where a nested-loop join is the INTENDED plan:
 #: - brute-force ANN has no equi-key — a deliberate
 #:   broadcast(query-batch) × corpus scan (similarity.py docstring);

@@ -47,3 +47,43 @@ def test_table_format_stubbed():
 
     with pytest.raises(NotImplementedError, match="table format"):
         require_table_format()
+
+
+def test_merge_into_partitioned_upsert_and_insert(spark, tmp_path):
+    """MERGE emulation: updates rewrite only their keys, inserts land,
+    rows in untouched partitions are not just preserved — their files
+    are never rewritten (dynamic partition overwrite)."""
+    import os
+
+    from odoo_batch_processing_spark.sources.sinks import merge_into_partitioned
+
+    target_dir = str(tmp_path / "target")
+    rows = [(i, "F" if i % 2 == 0 else "O", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k bigint, status string, v double")
+    df.write.partitionBy("status").parquet(target_dir)
+
+    o_dir = os.path.join(target_dir, "status=O")
+    o_files_before = {
+        (f, os.path.getmtime(os.path.join(o_dir, f)))
+        for f in os.listdir(o_dir)
+        if f.endswith(".parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "F", -2.0), (4, "F", -4.0), (999, "F", -999.0)],  # 2 updates + 1 insert
+        "k bigint, status string, v double",
+    )
+    merged = merge_into_partitioned(spark, target_dir, updates, key="k", partition_by="status")
+
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    assert got[2] == -2.0 and got[4] == -4.0          # updated
+    assert got[999] == -999.0                          # inserted
+    assert got[6] == 6.0 and got[1] == 1.0             # untouched rows intact
+    assert len(got) == 101
+
+    o_files_after = {
+        (f, os.path.getmtime(os.path.join(o_dir, f)))
+        for f in os.listdir(o_dir)
+        if f.endswith(".parquet")
+    }
+    assert o_files_before == o_files_after, "untouched partition was rewritten"
