@@ -37,6 +37,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "odoo_batch_processing_spark.plans.analytics",
     "odoo_batch_processing_spark.plans.advanced",
+    "odoo_batch_processing_spark.plans.tpch_rest",
     "odoo_batch_processing_spark.operators.asof",
     "odoo_batch_processing_spark.operators.bulk_update",
     "odoo_batch_processing_spark.operators.dedup",

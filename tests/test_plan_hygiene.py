@@ -25,10 +25,15 @@ _SKIP = {"r21_sink_roundtrip", "r21_merge"}
 #: - brute-force ANN has no equi-key — a deliberate
 #:   broadcast(query-batch) × corpus scan (similarity.py docstring);
 #:   the IVF twin (x4_ivf_topk) is the keyed, hash-joined scale path.
-#: - q22's scalar-subquery (one-row avg-balance relation) cross-joins
-#:   by construction; a BNLJ whose build side is exactly ONE row is
-#:   free at any scale.
-_ALLOWED_NESTED_LOOP = {"x4_cosine_topk", "q22_inactive_customers"}
+#: - q22/q11/q15's scalar-subquery (one-row aggregate relation)
+#:   cross-joins by construction; a BNLJ whose build side is exactly
+#:   ONE row is free at any scale.
+_ALLOWED_NESTED_LOOP = {
+    "x4_cosine_topk",
+    "q22_inactive_customers",
+    "q11_important_parts",
+    "q15_top_supplier",
+}
 
 
 def _batch_queries():
