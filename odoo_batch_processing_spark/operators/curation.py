@@ -1,0 +1,396 @@
+"""Training-data curation operators (the X-surface beyond featurize/
+dedup): PII scrubbing, quality gating, benchmark decontamination,
+deterministic sampling, and the composed keep/drop pipeline.
+
+These are the operations a large-scale LLM pretraining pipeline runs
+between raw crawl and training shards (public data-curation
+literature: C4's heuristic filters, Gopher's repetition rules,
+benchmark-overlap decontamination). The reference has no analog — its
+surface stops at bulk cell edits (SURVEY.md §2.2) — so like
+operators/text.py this module is driver-mandated extension surface.
+
+Scale shapes:
+
+* PII scrub and quality gates are pure per-row column expressions
+  (JVM codegen, zero Python) — a single scan at any scale;
+* the per-doc top-token and distinct-shingle ratios use higher-order
+  array functions (O(tokens²) per row on bounded-length docs), NOT a
+  tokens-explode shuffle — the whole quality pass stays shuffle-free;
+* decontamination is the dedup inverted-index idiom: explode shingles,
+  hot-bucket-cap the benchmark index (a boilerplate shingle shared by
+  b docs fans out b·|corpus-hits| join rows), semi/inner join on the
+  shingle key — O(total shingles), never doc×doc;
+* hash sampling uses a multiplicative integer hash (Knuth) so the
+  SAME rows are kept on every engine and every run — at 100 TB this
+  is how you carve reproducible train/eval shards without coordination
+  (xxhash64 is the production choice; the multiplicative form is used
+  here because it is bit-identical in DuckDB for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.operators.dedup import cap_hot_buckets, shingles
+from odoo_batch_processing_spark.operators.text import quality_features, tokens
+from odoo_batch_processing_spark.sources.loader import load_table
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: Patterns restricted to syntax shared by Java regex (Spark) and RE2
+#: (DuckDB): no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"555-\d{3}-\d{4}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails then phone numbers with typed placeholder tokens
+    (both engines replace ALL occurrences; DuckDB needs the 'g' flag)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+
+
+def _dirty_text() -> Column:
+    """Deterministically salt the fixture text with synthetic PII (the
+    fixture corpus is clean word-salad): every 3rd doc gains an email,
+    every 5th a phone number. Both engines build byte-identical strings,
+    so the scrub comparison is exact."""
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" call 555-001-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone)
+
+
+def _q_x9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = _dirty_text()
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(EMAIL_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(PHONE_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrub_pii(dirty)).alias("scrubbed_hash"),
+        F.length(scrub_pii(dirty)).cast("bigint").alias("scrubbed_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality gates (Gopher/C4-style rule set)
+# ---------------------------------------------------------------------------
+
+#: gate thresholds — tuned to split (not rubber-stamp) the fixtures
+MIN_TOKENS, MAX_TOKENS = 20, 1000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 2.0, 12.0
+MIN_STOPWORD_RATIO = 0.01
+MAX_TOP_TOKEN_RATIO = 0.25
+MIN_DISTINCT_5GRAM_RATIO = 0.8
+
+
+def top_token_ratio(text: Column) -> Column:
+    """Frequency share of the most common token — Gopher's single-token
+    dominance signal. Higher-order functions only (per-row, no
+    explode/shuffle); O(distinct·tokens) per doc is fine for bounded
+    doc lengths, and the operator stays inside whole-stage codegen."""
+    toks = tokens(text)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    return F.array_max(counts).cast("double") / F.when(F.size(toks) > 0, F.size(toks))
+
+
+def distinct_5gram_ratio(text: Column) -> Column:
+    """Distinct 5-grams / total 5-grams — the repetition signal (a doc
+    that repeats a paragraph scores low). NULL for docs shorter than
+    one 5-gram (nothing to judge)."""
+    toks = tokens(text)
+    total = F.size(toks) - 4
+    return F.size(shingles(text, 5)).cast("double") / F.when(total > 0, total)
+
+
+def _gate_columns() -> dict[str, Column]:
+    f = quality_features(F.col("text"))
+    return {
+        "n_tokens": f["n_tokens"],
+        "mean_word_len": f["mean_word_len"],
+        "stopword_ratio": f["stopword_ratio"],
+        "top_token_ratio": top_token_ratio(F.col("text")),
+        "distinct_5gram_ratio": distinct_5gram_ratio(F.col("text")),
+    }
+
+
+def quality_gate(cols: dict[str, Column]) -> tuple[Column, Column]:
+    """(passes, fail_reason): first-failing-rule semantics, evaluated in
+    a fixed order so both engines agree on the reason string. A NULL
+    feature (empty doc) fails its rule — eqNullSafe-style guards via
+    coalesce(condition, FALSE)."""
+    rules = [
+        (
+            "token_count",
+            (cols["n_tokens"] >= MIN_TOKENS) & (cols["n_tokens"] <= MAX_TOKENS),
+        ),
+        (
+            "mean_word_len",
+            (cols["mean_word_len"] >= MIN_MEAN_WORD_LEN)
+            & (cols["mean_word_len"] <= MAX_MEAN_WORD_LEN),
+        ),
+        ("stopword_ratio", cols["stopword_ratio"] >= MIN_STOPWORD_RATIO),
+        ("top_token_ratio", cols["top_token_ratio"] <= MAX_TOP_TOKEN_RATIO),
+        (
+            "repetition",
+            cols["distinct_5gram_ratio"] >= MIN_DISTINCT_5GRAM_RATIO,
+        ),
+    ]
+    passes = F.lit(True)
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(rules):
+        ok_nn = F.coalesce(ok, F.lit(False))
+        reason = F.when(~ok_nn, F.lit(name)).otherwise(reason)
+    for _, ok in rules:
+        passes = passes & F.coalesce(ok, F.lit(False))
+    return passes, reason
+
+
+def _q_x9_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = _gate_columns()
+    passes, reason = quality_gate(cols)
+    return docs.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["top_token_ratio"].alias("top_token_ratio"),
+        cols["distinct_5gram_ratio"].alias("distinct_5gram_ratio"),
+        passes.alias("passes"),
+        reason.alias("fail_reason"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: shingle width for contamination matching (Q/A leakage detection
+#: typically uses 8–13-gram windows; the fixture docs are ~54 tokens of
+#: tiny vocabulary, so 5 keeps the overlap non-degenerate)
+CONTAM_N = 5
+
+#: benchmark source id within the fixture corpus
+BENCH_SOURCE = "src0"
+
+
+def _q_x9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing ≥1 CONTAM_N-gram with any benchmark
+    (BENCH_SOURCE) doc, with the count of distinct matched shingles —
+    the inverted-index join of dedup.py, benchmark side hot-capped."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_sh = docs.select(
+        "doc_id", "source", F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh")
+    )
+    # a shingle present in huge numbers of docs (boilerplate) is a skew
+    # bomb on the join key — same guard as the LSH band join; the cap
+    # sits far above any fixture shingle frequency, so results are
+    # unchanged at test scale (the dedup-module convention)
+    doc_sh = cap_hot_buckets(doc_sh, ["sh"], cap=100_000)
+    bench = (
+        doc_sh.filter(F.col("source") == BENCH_SOURCE)
+        .select("sh")
+        .distinct()
+    )
+    corpus = doc_sh.filter(F.col("source") != BENCH_SOURCE)
+    return (
+        corpus.join(bench, "sh")
+        .groupBy("doc_id", "source")
+        .agg(F.countDistinct("sh").cast("bigint").alias("n_hit_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+#: Knuth's multiplicative constant; the bucket expression is pure
+#: BIGINT arithmetic, bit-identical in Spark and DuckDB.
+_KNUTH = 2654435761
+_HASH_MOD = 4294967296  # 2^32
+
+#: percentage of each stratum to keep
+SAMPLE_PCT = 10
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    return (key * _KNUTH) % _HASH_MOD % buckets
+
+
+def _q_x9_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible SAMPLE_PCT% sample, stratified by construction:
+    the bucket depends only on doc_id, so membership is stable across
+    runs, engines, and cluster sizes (unlike rand()-based sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(hash_bucket(F.col("doc_id")) < SAMPLE_PCT).select(
+        "doc_id", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# The composed pipeline: gate ∧ decontaminate ∧ sample
+# ---------------------------------------------------------------------------
+def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end shard selection: quality-gated, decontaminated,
+    hash-sampled — the keep-set a pretraining run would actually read.
+    Composition is two column predicates plus one anti-join, so the
+    whole pipeline adds exactly ONE join to the quality scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = _gate_columns()
+    passes, _ = quality_gate(cols)
+    contaminated = _q_x9_decontaminate(spark, sf_dir).select("doc_id")
+    return (
+        docs.filter(passes)
+        .filter(hash_bucket(F.col("doc_id")) < F.lit(50))  # wider 50% cut
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", cols["n_tokens"].alias("n_tokens"))
+    )
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+QUERIES_EXT = {
+    "x9_pii_scrub": _q_x9_pii_scrub,
+    "x9_quality_gates": _q_x9_quality_gates,
+    "x9_decontaminate": _q_x9_decontaminate,
+    "x9_hash_sample": _q_x9_hash_sample,
+    "x9_curation_pipeline": _q_x9_curation_pipeline,
+}
+
+# --- shared DuckDB fragments (mirroring the Spark expressions 1:1) ---
+
+_TOKS = "list_filter(string_split(text, ' '), x -> trim(x) <> '')"
+_N_TOK = f"CAST(len({_TOKS}) AS BIGINT)"
+_MEAN_WLEN = (
+    f"CAST(CAST(length(text) AS BIGINT) - ({_N_TOK} - 1) AS DOUBLE)"
+    f" / nullif({_N_TOK}, 0)"
+)
+_STOPLIST = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+_STOP_RATIO = (
+    f"CAST(len(list_filter({_TOKS}, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)"
+    f" / nullif({_N_TOK}, 0)"
+)
+_TOP_TOK_RATIO = (
+    f"CAST(list_max(list_transform(list_distinct({_TOKS}),"
+    f" t -> len(list_filter({_TOKS}, x -> x = t)))) AS DOUBLE)"
+    f" / nullif({_N_TOK}, 0)"
+)
+
+
+def _sh_sql(n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, len({_TOKS}) - {n - 2}),"
+        f" i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' ')))"
+    )
+
+
+_D5_RATIO = (
+    f"CAST(len({_sh_sql(5)}) AS DOUBLE)"
+    f" / nullif(CASE WHEN {_N_TOK} - 4 > 0 THEN {_N_TOK} - 4 END, 0)"
+)
+
+_GATES = f"""
+    coalesce({_N_TOK} BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}, FALSE)
+    AND coalesce({_MEAN_WLEN} BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}, FALSE)
+    AND coalesce({_STOP_RATIO} >= {MIN_STOPWORD_RATIO}, FALSE)
+    AND coalesce({_TOP_TOK_RATIO} <= {MAX_TOP_TOKEN_RATIO}, FALSE)
+    AND coalesce({_D5_RATIO} >= {MIN_DISTINCT_5GRAM_RATIO}, FALSE)
+"""
+
+_FAIL_REASON = f"""
+    CASE WHEN NOT coalesce({_N_TOK} BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}, FALSE) THEN 'token_count'
+         WHEN NOT coalesce({_MEAN_WLEN} BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}, FALSE) THEN 'mean_word_len'
+         WHEN NOT coalesce({_STOP_RATIO} >= {MIN_STOPWORD_RATIO}, FALSE) THEN 'stopword_ratio'
+         WHEN NOT coalesce({_TOP_TOK_RATIO} <= {MAX_TOP_TOKEN_RATIO}, FALSE) THEN 'top_token_ratio'
+         WHEN NOT coalesce({_D5_RATIO} >= {MIN_DISTINCT_5GRAM_RATIO}, FALSE) THEN 'repetition'
+    END
+"""
+
+_DIRTY = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-001-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+_SCRUBBED = (
+    f"regexp_replace(regexp_replace({_DIRTY}, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),"
+    f" '{PHONE_PATTERN}', '<PHONE>', 'g')"
+)
+
+_CONTAM = f"""
+    WITH doc_sh AS (
+        SELECT doc_id, source, unnest({_sh_sql(CONTAM_N)}) AS sh
+        FROM documents
+    ),
+    bench AS (SELECT DISTINCT sh FROM doc_sh WHERE source = '{BENCH_SOURCE}')
+    SELECT c.doc_id, c.source,
+           CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_hit_shingles
+    FROM doc_sh c JOIN bench b ON c.sh = b.sh
+    WHERE c.source <> '{BENCH_SOURCE}'
+    GROUP BY c.doc_id, c.source
+"""
+
+ORACLES_EXT = {
+    "x9_pii_scrub": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({_DIRTY}, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all({_DIRTY}, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+               md5({_SCRUBBED}) AS scrubbed_hash,
+               CAST(length({_SCRUBBED}) AS BIGINT) AS scrubbed_len
+        FROM documents
+    """,
+    "x9_quality_gates": f"""
+        SELECT doc_id,
+               {_N_TOK} AS n_tokens,
+               {_TOP_TOK_RATIO} AS top_token_ratio,
+               {_D5_RATIO} AS distinct_5gram_ratio,
+               {_GATES} AS passes,
+               {_FAIL_REASON} AS fail_reason
+        FROM documents
+    """,
+    "x9_decontaminate": _CONTAM,
+    "x9_hash_sample": f"""
+        SELECT doc_id, source
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < {SAMPLE_PCT}
+    """,
+    "x9_curation_pipeline": f"""
+        WITH contaminated AS (
+            SELECT DISTINCT doc_id FROM ({_CONTAM})
+        )
+        SELECT d.doc_id, d.source, {_N_TOK} AS n_tokens
+        FROM documents d
+        WHERE ({_GATES})
+          AND (d.doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < 50
+          AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    """,
+}

@@ -43,6 +43,7 @@ _MODULES = (
     "odoo_batch_processing_spark.operators.dedup",
     "odoo_batch_processing_spark.operators.similarity",
     "odoo_batch_processing_spark.operators.text",
+    "odoo_batch_processing_spark.operators.curation",
     "odoo_batch_processing_spark.operators.jsonops",
     "odoo_batch_processing_spark.operators.windows",
     "odoo_batch_processing_spark.operators.approx",

@@ -1,0 +1,46 @@
+"""Curation operators: PII scrub, quality gates, deterministic
+sampling — edge cases the sf fixtures don't cover (empty docs,
+all-PII strings, engine-stable sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_scrub_pii_replaces_all_occurrences(spark):
+    from odoo_batch_processing_spark.operators.curation import scrub_pii
+
+    df = spark.createDataFrame(
+        [("a@b.com text c@d.org call 555-123-4567 and 555-999-0000",)], "text string"
+    )
+    out = df.select(scrub_pii(F.col("text")).alias("s")).head()["s"]
+    assert out == "<EMAIL> text <EMAIL> call <PHONE> and <PHONE>"
+
+
+def test_quality_gate_empty_doc_fails_first_rule(spark):
+    from odoo_batch_processing_spark.operators.curation import (
+        _gate_columns,
+        quality_gate,
+    )
+
+    df = spark.createDataFrame([("",), ("   ",)], "text string")
+    passes, reason = quality_gate(_gate_columns())
+    rows = df.select(passes.alias("p"), reason.alias("r")).collect()
+    for row in rows:
+        assert row["p"] is False
+        assert row["r"] == "token_count"  # first failing rule wins
+
+
+def test_hash_sample_is_deterministic_and_partition_independent(spark):
+    from odoo_batch_processing_spark.operators.curation import SAMPLE_PCT, hash_bucket
+
+    ids = spark.range(0, 10_000)
+    kept1 = {r["id"] for r in ids.filter(hash_bucket(F.col("id")) < SAMPLE_PCT).collect()}
+    kept2 = {
+        r["id"]
+        for r in ids.repartition(13)
+        .filter(hash_bucket(F.col("id")) < SAMPLE_PCT)
+        .collect()
+    }
+    assert kept1 == kept2  # membership depends only on the key
+    assert 0.05 < len(kept1) / 10_000 < 0.15  # roughly the target rate
