@@ -127,9 +127,83 @@ def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_CELLS = 8
+KMEANS_ITERS = 2
+
+
+def kmeans_medoid_cells(
+    unit_df: DataFrame, k: int = K_CELLS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Iterative coarse-quantizer training as pure DataFrame ops — the
+    'real centroids' upgrade over ivf_bucket's sign-bit stand-in.
+
+    Per iteration: (1) assign every vector to its closest centroid
+    (argmax dot over the k-row broadcast centroid table — a bounded
+    k-row nested-loop join, free at any scale); (2) move each centroid
+    to its cell's MEDOID-style representative: the member closest to
+    the current centroid (argmax via window, ties by vec_id).
+
+    The update is deliberately a member-pick, not Lloyd's mean: a mean
+    of doubles depends on accumulation order, so Spark's tree-reduce
+    and DuckDB's sequential scan would drift in the last ulp and the
+    oracle hash would be meaningless. Member-pick keeps every centroid
+    an EXISTING unit vector — bit-identical across engines — while
+    exercising the identical iterate-assign-update dataflow. Production
+    swap-in: Lloyd's mean update with tolerance-based (not hash-based)
+    verification, k-means|| init, and localCheckpoint between
+    iterations to truncate the unrolled lineage.
+
+    Returns the final assignment: (vec_id, cell, uv) where cell is the
+    medoid's vec_id — at write time this becomes a partition column, so
+    a query probe prunes to its cell's files instead of scanning.
+    """
+    cent = unit_df.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("uv").alias("cv")
+    )
+    for _ in range(iters):
+        scored = unit_df.join(F.broadcast(cent)).withColumn(
+            "sim", dot(F.col("uv"), F.col("cv"))
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "uv", "sim")
+        )
+        wc = Window.partitionBy("cell").orderBy(F.col("sim").desc(), F.col("vec_id"))
+        cent = (
+            assign.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select(F.col("vec_id").alias("cell"), F.col("uv").alias("cv"))
+        )
+    scored = unit_df.join(F.broadcast(cent)).withColumn(
+        "sim", dot(F.col("uv"), F.col("cv"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "uv")
+    )
+
+
+def _q_x4_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-cell summary: population and medoid id per final cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = _unit(emb, "vec_id", "uv", "vec_id", "embedding")
+    final = kmeans_medoid_cells(unit)
+    return final.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
 QUERIES = {
     "x4_cosine_topk": _q_x4_cosine_topk,
     "x4_ivf_topk": _q_x4_ivf_topk,
+}
+
+QUERIES_EXT = {
+    "x4_kmeans_cells": _q_x4_kmeans_cells,
 }
 
 # normalize-first, exactly like the Spark plan: unit = v / sqrt(v·v),
@@ -183,4 +257,46 @@ ORACLES = {
             FROM scored
         ) WHERE rank <= {TOP_K}
     """,
+}
+
+
+def _kmeans_oracle_sql(k: int = K_CELLS, iters: int = KMEANS_ITERS) -> str:
+    """Unroll the assign→medoid-update loop into chained CTEs — the SQL
+    restatement of kmeans_medoid_cells, iteration for iteration."""
+    parts = [f"WITH unit AS ({_UNIT}),", f"cent0 AS (SELECT vec_id AS cell, uv AS cv FROM unit WHERE vec_id < {k})"]
+    for i in range(iters):
+        parts.append(
+            f""", a{i} AS (
+            SELECT vec_id, uv, cell, sim FROM (
+                SELECT u.vec_id, u.uv, c.cell,
+                       list_dot_product(u.uv, c.cv) AS sim,
+                       ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                            ORDER BY list_dot_product(u.uv, c.cv) DESC, c.cell) AS rn
+                FROM unit u CROSS JOIN cent{i} c
+            ) WHERE rn = 1
+        ), cent{i + 1} AS (
+            SELECT vec_id AS cell, uv AS cv FROM (
+                SELECT vec_id, uv,
+                       ROW_NUMBER() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rn
+                FROM a{i}
+            ) WHERE rn = 1
+        )"""
+        )
+    parts.append(
+        f""", final AS (
+            SELECT vec_id, cell FROM (
+                SELECT u.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                            ORDER BY list_dot_product(u.uv, c.cv) DESC, c.cell) AS rn
+                FROM unit u CROSS JOIN cent{iters} c
+            ) WHERE rn = 1
+        )
+        SELECT cell, CAST(COUNT(1) AS BIGINT) AS n_members
+        FROM final GROUP BY cell"""
+    )
+    return "\n".join(parts)
+
+
+ORACLES_EXT = {
+    "x4_kmeans_cells": _kmeans_oracle_sql(),
 }

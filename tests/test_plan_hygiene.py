@@ -28,11 +28,15 @@ _SKIP = {"r21_sink_roundtrip", "r21_merge"}
 #: - q22/q11/q15's scalar-subquery (one-row aggregate relation)
 #:   cross-joins by construction; a BNLJ whose build side is exactly
 #:   ONE row is free at any scale.
+#: - x4_kmeans_cells cross-joins the k-row (k=8, fixed) centroid
+#:   table per iteration — bounded by construction, like the 1-row
+#:   scalar aggregates.
 _ALLOWED_NESTED_LOOP = {
     "x4_cosine_topk",
     "q22_inactive_customers",
     "q11_important_parts",
     "q15_top_supplier",
+    "x4_kmeans_cells",
 }
 
 
@@ -88,9 +92,15 @@ def test_filters_reach_the_scan(spark, name, expect):
 #: from an SF-scaling base table, because the hinted relation's
 #: cardinality is bounded by construction:
 #: - q22 broadcasts a ONE-row scalar aggregate (avg balance);
-#: - x4_* broadcast the ANN query batch, filtered to a fixed small
-#:   query set (vec_id < N_QUERIES) before the hint.
-_ALLOWED_HINTED = {"q22_inactive_customers", "x4_cosine_topk", "x4_ivf_topk"}
+#: - x4_* broadcast the ANN query batch or the k-row centroid table,
+#:   both filtered to a fixed small set (vec_id < N_QUERIES / < k,
+#:   then one row per cell) before the hint.
+_ALLOWED_HINTED = {
+    "q22_inactive_customers",
+    "x4_cosine_topk",
+    "x4_ivf_topk",
+    "x4_kmeans_cells",
+}
 
 
 def _iter_jnodes(jnode):

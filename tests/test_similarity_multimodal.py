@@ -110,3 +110,24 @@ def test_sample_frames_stride(spark):
         # frames are the every-4th 64-byte slices; all non-empty
         assert r["n_sampled"] == len(r["frames"])
         assert all(len(fr) > 0 for fr in r["frames"])
+
+
+def test_kmeans_cells_cover_all_vectors(spark):
+    from odoo_batch_processing_spark.operators.similarity import (
+        K_CELLS,
+        kmeans_medoid_cells,
+        _unit,
+    )
+    from odoo_batch_processing_spark.sources.loader import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    unit = _unit(emb, "vec_id", "uv", "vec_id", "embedding")
+    final = kmeans_medoid_cells(unit)
+    assert final.count() == n                       # every vector assigned once
+    cells = [r["cell"] for r in final.select("cell").distinct().collect()]
+    assert 1 <= len(cells) <= K_CELLS
+    # centroids are medoids: each cell id is a member vec_id
+    members = {r["vec_id"] for r in final.select("vec_id").collect()}
+    assert set(cells) <= members
