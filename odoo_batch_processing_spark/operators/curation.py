@@ -252,6 +252,73 @@ def _q_x9_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing: bin documents into token-budget training shards
+# ---------------------------------------------------------------------------
+
+#: token budget per pack (the training sequence/shard budget)
+PACK_CAPACITY = 512
+
+#: parallel packing groups — packing needs an order, and a single
+#: global order is a one-node sort; hashing docs into groups first
+#: makes each group's cumulative sum an independent window partition,
+#: so packing scales with the cluster instead of serializing on it.
+PACK_GROUPS = 16
+
+
+def _q_x9_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing: within each hash group, docs in
+    doc_id order accumulate into packs of ~PACK_CAPACITY tokens
+    (pack index = start-offset ÷ capacity — a doc that crosses the
+    boundary opens the next pack). Integer window sums only, so the
+    assignment is exact and engine-independent. Returns the pack
+    manifest a shard writer would consume."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from odoo_batch_processing_spark.operators.text import token_count
+
+    with_tok = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        hash_bucket(F.col("doc_id"), PACK_GROUPS).alias("grp"),
+    )
+    w = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = with_tok.withColumn(
+        "pack_id",
+        F.col("grp") * 1_000_000
+        + F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CAPACITY),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source mixture: per-source sampling rates (dataset mixing weights)
+# ---------------------------------------------------------------------------
+
+#: sampling percentage by source tier — the "mixture weights" of a
+#: pretraining data recipe, applied as deterministic hash sampling so
+#: the mix is reproducible shard-by-shard.
+MIX_RATES = {"src0": 100, "src1": 100, "src2": 50, "src3": 50}
+MIX_DEFAULT_RATE = 10
+
+
+def _q_x9_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT_RATE)
+    for src, pct in MIX_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    kept = docs.filter(hash_bucket(F.col("doc_id")) < rate)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
 # The composed pipeline: gate ∧ decontaminate ∧ sample
 # ---------------------------------------------------------------------------
 def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,6 +347,8 @@ QUERIES_EXT = {
     "x9_decontaminate": _q_x9_decontaminate,
     "x9_hash_sample": _q_x9_hash_sample,
     "x9_curation_pipeline": _q_x9_curation_pipeline,
+    "x9_pack_shards": _q_x9_pack_shards,
+    "x9_source_mix": _q_x9_source_mix,
 }
 
 # --- shared DuckDB fragments (mirroring the Spark expressions 1:1) ---
@@ -382,6 +451,32 @@ ORACLES_EXT = {
         SELECT doc_id, source
         FROM documents
         WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < {SAMPLE_PCT}
+    """,
+    "x9_pack_shards": f"""
+        WITH with_tok AS (
+            SELECT doc_id, {_N_TOK} AS n_tokens,
+                   (doc_id * {_KNUTH}) % {_HASH_MOD} % {PACK_GROUPS} AS grp
+            FROM documents
+        ),
+        packed AS (
+            SELECT grp * 1000000
+                   + CAST(floor((SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS pack_id,
+                   n_tokens
+            FROM with_tok
+        )
+        SELECT pack_id, CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY pack_id
+    """,
+    "x9_source_mix": f"""
+        SELECT source, CAST(COUNT(1) AS BIGINT) AS n_kept
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 <
+              CASE {' '.join(f"WHEN source = '{s}' THEN {p}" for s, p in MIX_RATES.items())}
+                   ELSE {MIX_DEFAULT_RATE} END
+        GROUP BY source
     """,
     "x9_curation_pipeline": f"""
         WITH contaminated AS (

@@ -304,12 +304,54 @@ QUERIES = {
     "s_stateful_totals": _q_s_stateful_totals,
 }
 
+def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (the ingest-time form of X2): the corpus
+    arrives as two identical files processed in two micro-batches
+    (maxFilesPerTrigger=1); ``dropDuplicates`` on the normalization
+    fingerprint carries its seen-keys state ACROSS batches, so the
+    second copy contributes zero rows. The returned relation is the
+    distinct fingerprint set — batch order cannot change it, keeping
+    the oracle exact. At scale the state store is the dedup index;
+    bound it with dropDuplicatesWithinWatermark when keys expire."""
+    from odoo_batch_processing_spark.operators.text import fingerprint
+    from odoo_batch_processing_spark.schemas import SCHEMAS
+
+    src = _scratch_dir("x2-stream-src")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "copy=1"))
+    docs.coalesce(1).write.mode("append").parquet(os.path.join(src, "copy=2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    deduped = (
+        stream.select(fingerprint(F.col("text")).alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    name = _mem_name("s_x2")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("x2-stream-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # streaming sessionization: real capability, but its windowing surface
 # is already driver-covered by s_x7_stream_hourly (streaming windows) +
 # x7_sessionize (session semantics); keep it oracle-checked in the
 # extended tier to free a core slot for R19.
 QUERIES_EXT = {
     "s_session_window": _q_s_session_window,
+    "s_x2_stream_dedup": _q_s_x2_stream_dedup,
 }
 
 ORACLES = {
@@ -365,6 +407,12 @@ ORACLES = {
 }
 
 ORACLES_EXT = {
+    # cross-batch dedup state: two identical copies in, one distinct
+    # fingerprint set out
+    "s_x2_stream_dedup": r"""
+        SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents
+    """,
     # session_window(30min): session end = last event + gap. Verified
     # empirically: Spark MERGES an event arriving exactly gap after the
     # previous one (adjacent half-open windows coalesce), so the gap
