@@ -33,6 +33,35 @@ def _mem_name(prefix: str) -> str:
     return f"{prefix}_{os.getpid()}_{_MEMSINK_SEQ[0]}"
 
 
+#: Stateful streaming operators materialize one state-store instance
+#: per shuffle partition per operator; the partition count should be
+#: sized to STATE volume, not inherited from the batch CPU count.
+#: The fixture streams carry kilobytes of state, so 32 inherited
+#: partitions mean 32 near-empty state stores ticking through every
+#: micro-batch — measured 2–2.6× slower than 8 at sf0.1. At 100 TB
+#: raise this to keep per-partition state under executor memory
+#: (state_bytes / ~1 GB); results are partition-count-independent
+#: either way (exact aggregates), so this is purely a latency knob.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def _with_stream_shuffle(fn):
+    """Run a streaming catalog query with the state-sized shuffle
+    partition count, restoring the session's batch setting after."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return wrapper
+
+
 def _events_dir(sf_dir: str) -> str:
     """The streaming file source requires a DIRECTORY; the fixture is a
     single parquet file. Stage a per-run scratch dir holding a symlink
@@ -295,13 +324,16 @@ def _q_s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "s_stream_stream_join": _q_s_stream_stream_join,
-    "s_r22_change_counts": _q_s_r22_change_counts,
-    "s_x7_stream_hourly": _q_s_x7_stream_hourly,
-    "s_r18_throttled_update": _q_s_r18_throttled_update,
-    "s_r17_progress": _q_s_r17_progress,
-    "s_r19_cancel": _q_s_r19_cancel,
-    "s_stateful_totals": _q_s_stateful_totals,
+    name: _with_stream_shuffle(fn)
+    for name, fn in {
+        "s_stream_stream_join": _q_s_stream_stream_join,
+        "s_r22_change_counts": _q_s_r22_change_counts,
+        "s_x7_stream_hourly": _q_s_x7_stream_hourly,
+        "s_r18_throttled_update": _q_s_r18_throttled_update,
+        "s_r17_progress": _q_s_r17_progress,
+        "s_r19_cancel": _q_s_r19_cancel,
+        "s_stateful_totals": _q_s_stateful_totals,
+    }.items()
 }
 
 def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,8 +382,8 @@ def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x7_sessionize (session semantics); keep it oracle-checked in the
 # extended tier to free a core slot for R19.
 QUERIES_EXT = {
-    "s_session_window": _q_s_session_window,
-    "s_x2_stream_dedup": _q_s_x2_stream_dedup,
+    "s_session_window": _with_stream_shuffle(_q_s_session_window),
+    "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
 }
 
 ORACLES = {
