@@ -203,9 +203,12 @@ def _q_x9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BENCH_SOURCE) doc, with the count of distinct matched shingles —
     the inverted-index join of dedup.py, benchmark side hot-capped."""
     docs = load_table(spark, sf_dir, "documents")
+    # materialize-once, same rationale as dedup._doc_shingles: the
+    # index feeds the cap count, the benchmark side, and the corpus
+    # side — three plan branches that would each re-explode
     doc_sh = docs.select(
         "doc_id", "source", F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     # a shingle present in huge numbers of docs (boilerplate) is a skew
     # bomb on the join key — same guard as the LSH band join; the cap
     # sits far above any fixture shingle frequency, so results are
