@@ -78,3 +78,30 @@ def test_r9_truncation_property(spark, n_rows, n_values):
     assert len(out) == n_rows
     n_updated = sum(1 for r in out if r["val"] != "old")
     assert n_updated == min(n_rows, n_values)
+
+
+# --- R21 MERGE: result == dict-semantics upsert, for arbitrary keys -------
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25, unique=True),
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=10, unique=True),
+)
+@SETTINGS
+def test_r21_merge_property(spark, tmp_path_factory, base_keys, upd_keys):
+    """merge_into_partitioned == {**base, **updates} over any key sets
+    (updates may hit existing keys or insert new ones)."""
+    from odoo_batch_processing_spark.sources.sinks import merge_into_partitioned
+
+    target_dir = str(tmp_path_factory.mktemp("merge-prop") / "target")
+    base = {k: float(k) for k in base_keys}
+    upd = {k: -float(k) - 1.0 for k in upd_keys}
+    spark.createDataFrame(
+        [(k, "p" if k % 2 == 0 else "q", v) for k, v in base.items()],
+        "k bigint, part string, v double",
+    ).write.partitionBy("part").parquet(target_dir)
+    updates = spark.createDataFrame(
+        [(k, "p" if k % 2 == 0 else "q", v) for k, v in upd.items()],
+        "k bigint, part string, v double",
+    )
+    merged = merge_into_partitioned(spark, target_dir, updates, key="k", partition_by="part")
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    assert got == {**base, **upd}

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Scale-behavior smoke: replicate the corpus M× and measure how the
+near-dup / ANN / curation pipelines scale.
+
+The sf fixtures prove CORRECTNESS; this tool probes the SCALE claim —
+that the bucketed/inverted-index plans grow ~linearly in corpus size
+(no hidden all-pairs term). It fabricates an M× corpus in .scratch:
+
+* every 4th replica of a doc is an EXACT copy (a real dup cluster the
+  pipeline must find — cluster size M/4);
+* other replicas interleave a replica-specific token between every
+  original token, so ALL their shingles differ from every other
+  replica — they add index volume without adding near-dup pairs.
+
+So the dup-pair workload grows ~M (clusters of M/4 across 1×..8×) and
+the index workload grows exactly M, making "seconds vs M" a direct
+read on plan scalability. Usage:
+
+    python tools/scale_smoke.py [--mults 1,2,4,8] [--sf-dir .../sf0.1]
+
+Prints one table + one JSON line (also written to SCALE_SMOKE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(spark, sf_dir: str, mult: int, out: str) -> int:
+    """Write the M× documents corpus; returns row count."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.text import tokens
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    rep_tok = F.concat(F.lit("r"), F.col("rep").cast("string"))
+    scrambled = F.array_join(
+        F.flatten(F.transform(tokens(F.col("text")), lambda x: F.array(x, rep_tok))),
+        " ",
+    )
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        F.when(F.col("rep") % 4 == 0, F.col("text")).otherwise(scrambled).alias("text"),
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+    )
+    big.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    m = emb.count()
+    big_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * m).alias("vec_id"), "embedding", "label"
+    )
+    big_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return n * mult
+
+
+STAGES = (
+    "x3_minhash_lsh",
+    "x3_neardup_survivors",
+    "x4_cosine_topk",
+    "x9_curation_pipeline",
+)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    parser.add_argument("--mults", default="1,2,4,8")
+    parser.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = parser.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    from odoo_batch_processing_spark.registry import all_queries
+    from odoo_batch_processing_spark.session import get_spark
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+
+    spark = get_spark("scale-smoke", cpus=args.cpus, shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries(extended=True)
+
+    results = []
+    warmed = False
+    for mult in mults:
+        corpus = scratch_dir(f"scale-smoke-{mult}x")
+        n_docs = build_corpus(spark, args.sf_dir, mult, corpus)
+        if not warmed:  # JVM/codegen warmup outside the timed stages
+            queries["x5_text_features"](spark, corpus).count()
+            warmed = True
+        row = {"mult": mult, "n_docs": n_docs, "stages": {}}
+        for name in STAGES:
+            t0 = time.perf_counter()
+            out_rows = queries[name](spark, corpus).count()
+            secs = round(time.perf_counter() - t0, 2)
+            row["stages"][name] = {"sec": secs, "rows": out_rows}
+        results.append(row)
+        print(
+            f"[{mult:2d}x] {n_docs:7d} docs  "
+            + "  ".join(f"{s}={v['sec']:.1f}s/{v['rows']}r" for s, v in row["stages"].items()),
+            file=sys.stderr,
+        )
+
+    # linearity read-out: seconds per 1k docs at each scale — flat-ish
+    # numbers mean the plan has no quadratic term
+    for name in STAGES:
+        per_k = [r["stages"][name]["sec"] / (r["n_docs"] / 1000) for r in results]
+        print(
+            f"{name:24s} sec/1k-docs: " + "  ".join(f"{x:6.3f}" for x in per_k),
+            file=sys.stderr,
+        )
+
+    payload = {"metric": "scale_smoke", "sf_dir": args.sf_dir, "results": results}
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_SMOKE.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
