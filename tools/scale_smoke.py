@@ -41,7 +41,17 @@ def build_corpus(spark, sf_dir: str, mult: int, out: str) -> int:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n = docs.count()
     reps = spark.range(mult).select(F.col("id").alias("rep"))
-    rep_tok = F.concat(F.lit("r"), F.col("rep").cast("string"))
+    # the interposer token is unique per (doc, replica): every shingle
+    # of a scrambled replica contains it, so scrambled docs share NO
+    # shingles with each other or the originals — they add pure index
+    # volume, zero candidate pairs (the fixture vocabulary is tiny, so
+    # a per-REP-only token would still collide across docs massively)
+    rep_tok = F.concat(
+        F.lit("r"),
+        F.col("rep").cast("string"),
+        F.lit("d"),
+        F.col("doc_id").cast("string"),
+    )
     scrambled = F.array_join(
         F.flatten(F.transform(tokens(F.col("text")), lambda x: F.array(x, rep_tok))),
         " ",
@@ -93,7 +103,8 @@ def main() -> int:
         corpus = scratch_dir(f"scale-smoke-{mult}x")
         n_docs = build_corpus(spark, args.sf_dir, mult, corpus)
         if not warmed:  # JVM/codegen warmup outside the timed stages
-            queries["x5_text_features"](spark, corpus).count()
+            for name in STAGES:
+                queries[name](spark, corpus).count()
             warmed = True
         row = {"mult": mult, "n_docs": n_docs, "stages": {}}
         for name in STAGES:
