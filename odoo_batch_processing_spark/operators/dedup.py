@@ -203,23 +203,46 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_band_keys(doc_sh: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
-    """(doc_id, band, band_key): k md5 min-hash signatures folded into
-    ``bands`` band keys (rows-per-band = k/bands).
+def minhash_signatures(doc_sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, m0..m{k-1}): k md5 min-hash signatures computed
+    entirely map-side from the per-doc shingle ARRAY —
+    ``m_s = array_min(transform(sh_set, x -> md5(s|x)))``.
 
-    Shape note: the k hashes are k parallel MIN aggregates over the
-    (doc, shingle) relation — NOT a k× row explosion before the
-    shuffle. One groupBy(doc_id) with map-side partial mins moves
-    k×|docs| values, not k×|doc,shingle| rows (a 12× shuffle-volume
-    reduction here; the difference between feasible and not at 100 TB).
+    Shape note: this is a zero-shuffle signature. The alternative —
+    explode to (doc, shingle) rows and take k parallel MIN aggregates —
+    pays the explode plus an aggregation exchange; here the signature
+    never leaves the scan's partition, so at 100 TB the only shuffle in
+    the whole LSH pipeline is the band-bucket join itself. Semantics
+    are identical: ``shingles()`` already dedups the array, and MIN
+    over exploded rows == array_min over the array. Docs with empty
+    shingle sets get no signature row (the exploded form drops them the
+    same way — and keeping them would hash all short docs into one
+    degenerate band bucket).
     """
-    rows_per_band = k // bands
-    sig = doc_sh.groupBy("doc_id").agg(
+    # NB: the seed must be bound via a closure factory — a two-arg
+    # lambda (x, s=s) would be read by F.transform as (element, index)
+    def _seeded(s: int):
+        seed = F.lit(str(s))
+        return lambda x: F.md5(F.concat_ws("|", seed, x))
+
+    return doc_sets.filter(F.size(F.col("sh_set")) > 0).select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("sh")))).alias(f"m{s}")
+            F.array_min(F.transform(F.col("sh_set"), _seeded(s))).alias(f"m{s}")
             for s in range(k)
-        ]
+        ],
     )
+
+
+def minhash_band_keys(
+    doc_sets: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_key): the k min-hashes of
+    :func:`minhash_signatures` folded into ``bands`` band keys
+    (rows-per-band = k/bands). Input is the (doc_id, sh_set) per-doc
+    shingle-array relation."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(doc_sets, k)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -242,7 +265,15 @@ def lsh_candidate_pairs(band_keys: DataFrame, cap: int = HOT_BUCKET_CAP) -> Data
     Band buckets larger than ``cap`` are dropped before the pair join
     (HOT_BUCKET_CAP): a degenerate band key (e.g. the signature of an
     empty/boilerplate shingle set) would otherwise pair up its whole
-    bucket quadratically on one shuffle key."""
+    bucket quadratically on one shuffle key.
+
+    The band-key relation is materialized once before use: this
+    function reads it four times (bucket count + semi-join + both
+    self-join sides), and without the barrier each branch would re-run
+    the whole signature pipeline (scan → shingle → k min-hashes). The
+    relation is |docs|×bands short rows — at corpus scale this is the
+    signature index you'd write to a table and reuse."""
+    band_keys = band_keys.localCheckpoint(eager=True)
     band_keys = cap_hot_buckets(band_keys, ["band", "band_key"], cap)
     a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -324,8 +355,19 @@ def _q_x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
 
 
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_set, n_sh): the per-doc distinct-shingle array —
+    the map-side input for minhash signatures and Jaccard verify. No
+    materialization needed: unlike the exploded inverted index, each
+    consumer reads it in a single scan-local pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", shingles(F.col("text")).alias("sh_set")).withColumn(
+        "n_sh", F.size(F.col("sh_set"))
+    )
+
+
 def _q_x3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(minhash_band_keys(_doc_shingles(spark, sf_dir)))
+    return lsh_candidate_pairs(minhash_band_keys(_doc_shingle_sets(spark, sf_dir)))
 
 
 def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,12 +514,10 @@ def _q_x3_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. Oracle: the same LSH + verify restated in SQL, closure via a
     recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
-    doc_sh = _doc_shingles(spark, sf_dir)
-    candidates = lsh_candidate_pairs(minhash_band_keys(doc_sh))
-    sets = docs.select(
-        "doc_id",
-        shingles(F.col("text")).alias("sh_set"),
-    ).withColumn("n_sh", F.size(F.col("sh_set")))
+    # materialized once: consumed by the signature pipeline AND both
+    # sides of the verify join (re-tokenizing the corpus 3× otherwise)
+    sets = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    candidates = lsh_candidate_pairs(minhash_band_keys(sets))
     edges = verify_candidate_pairs(candidates, sets)
     # the propagation loop runs over the PAIR GRAPH only (vertices with
     # at least one verified edge — a tiny fraction of the corpus);

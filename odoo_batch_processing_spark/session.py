@@ -40,6 +40,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 64 MB: dims up to supplier-at-sf100 stay broadcast; anything
+    # bigger falls to shuffle joins that AQE can still re-plan. Set
+    # here (runtime-settable) so driver-provided sessions get the same
+    # join-strategy envelope as get_spark() sessions.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 

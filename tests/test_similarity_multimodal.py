@@ -31,6 +31,7 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     MinHash-LSH with 4 bands × 3 rows must recall high-jaccard pairs
     (P[miss] = (1-s^3)^4 ≈ 0.2% at s=0.98)."""
     from odoo_batch_processing_spark.operators.dedup import (
+        _doc_shingle_sets,
         _doc_shingles,
         lsh_candidate_pairs,
         minhash_band_keys,
@@ -45,7 +46,9 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     }
     cand = {
         (r["doc_a"], r["doc_b"])
-        for r in lsh_candidate_pairs(minhash_band_keys(doc_sh)).collect()
+        for r in lsh_candidate_pairs(
+            minhash_band_keys(_doc_shingle_sets(spark, sf))
+        ).collect()
     }
     assert truth, "fixture should contain planted near-dups"
     missed = truth - cand

@@ -146,7 +146,9 @@ def test_hot_bucket_cap_bounds_pair_fanout(spark):
     loose = ngram_jaccard_pairs(doc_sh, threshold=0.1, cap=10_000).collect()
     tight_ok = ngram_jaccard_pairs(doc_sh, threshold=0.1, cap=n_docs).collect()
     assert sorted(map(tuple, loose)) == sorted(map(tuple, tight_ok))
-    bands = minhash_band_keys(doc_sh)
+    bands = minhash_band_keys(
+        doc_sh.groupBy("doc_id").agg(F.collect_set("sh").alias("sh_set"))
+    )
     assert sorted(map(tuple, lsh_candidate_pairs(bands, cap=10_000).collect())) == sorted(
         map(tuple, lsh_candidate_pairs(bands, cap=n_docs + 1).collect())
     )
@@ -164,3 +166,29 @@ def test_connected_components_min_label(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(vertices, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_minhash_signatures_match_exploded_min(spark):
+    """The map-side array_min/transform signature must be bit-identical
+    to the exploded groupBy(min) form it replaced (same md5 stream,
+    MIN over rows == array_min over the deduped array)."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.dedup import (
+        MINHASH_K,
+        _doc_shingle_sets,
+        _doc_shingles,
+        minhash_signatures,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast = minhash_signatures(_doc_shingle_sets(spark, sf))
+    slow = _doc_shingles(spark, sf).groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("sh")))).alias(f"m{s}")
+            for s in range(MINHASH_K)
+        ]
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.count() > 0
