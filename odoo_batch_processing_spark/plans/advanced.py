@@ -342,18 +342,16 @@ def _q_q05_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Core: the distinct join/agg shapes (outer-join distribution,
-# correlated aggregate, disjunctive pushdown, anti-join + scalar
-# subquery, cross-dimension pairs) plus the merged scalar/window
-# breadth projection. Extended: grouping-sets/pivot variants, the
-# EXISTS/correlated-max twins of shapes core already covers, the SQL-
-# string parity query, and the pre-merge breadth micro-queries.
+# Core: cross-dimension pairs, anti-join + scalar subquery, and the
+# merged scalar/window breadth projection. Extended: the outer-join
+# distribution / correlated-aggregate / disjunctive-pushdown shapes
+# (demoted to make driver-window room for the x9 curation family —
+# they stay locally oracle-checked), grouping-sets/pivot variants,
+# the EXISTS/correlated-max twins of shapes core already covers, the
+# SQL-string parity query, and the pre-merge breadth micro-queries.
 QUERIES = {
     "expr_breadth": _q_expr_breadth,
     "q07_nation_pairs": _q_q07_nation_pairs,
-    "q13_order_distribution": _q_q13_order_distribution,
-    "q17_small_qty": _q_q17_small_qty,
-    "q19_disjunctive": _q_q19_disjunctive,
     "q22_inactive_customers": _q_q22_inactive_customers,
 }
 
@@ -365,6 +363,9 @@ QUERIES_EXT = {
     "q02_min_cost_supplier": _q_q02_min_cost_supplier,
     "q04_priority_exists": _q_q04_priority_exists,
     "q05_sql_api": _q_q05_sql_api,
+    "q13_order_distribution": _q_q13_order_distribution,
+    "q17_small_qty": _q_q17_small_qty,
+    "q19_disjunctive": _q_q19_disjunctive,
     "scalar_breadth": _q_scalar_breadth,
     "window_breadth": _q_window_breadth,
 }

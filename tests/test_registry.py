@@ -1,0 +1,51 @@
+"""Catalog invariants promised by registry.py's module docstring."""
+
+from __future__ import annotations
+
+from odoo_batch_processing_spark.registry import CORE_CAP, all_oracles, all_queries
+
+
+def test_core_tier_fits_driver_window():
+    core = all_queries()
+    assert len(core) <= CORE_CAP, (
+        f"core tier has {len(core)} entries; the driver's correctness run "
+        f"records only the first {CORE_CAP} — every family must fit inside"
+    )
+
+
+def test_every_oracle_has_a_query_both_tiers():
+    for extended in (False, True):
+        q, o = all_queries(extended), all_oracles(extended)
+        assert set(o) <= set(q)
+
+
+def test_operator_families_all_in_core():
+    """One driver-visible row per operator family — the round-1 gap
+    (8 families landed past the 50-entry window) must not reopen."""
+    core = set(all_queries())
+    families = {
+        "analytics": "q05_revenue_by_nation",
+        "bulk_update": "r07_broadcast_update",
+        "dedup": "x3_neardup_survivors",
+        "similarity": "x4_ivf_topk",
+        "text": "x5_text_features",
+        "curation": "x9_curation_pipeline",
+        "jsonops": "x6_json_grouped",
+        "windows": "x7_sessionize",
+        "approx": "x8_approx_aggs",
+        "setops": "set_ops_chain",
+        "skew": "skew_salted_agg",
+        "grouped": "grouped_pandas_ranks",
+        "multimodal": "mm_decode_features",
+        "sinks": "r21_merge",
+        "streaming": "s_r17_progress",
+        "asof": "asof_last_purchase",
+    }
+    missing = {f: q for f, q in families.items() if q not in core}
+    assert not missing, f"families without a core-tier query: {missing}"
+
+
+def test_extended_tier_superset_of_core():
+    core, ext = all_queries(), all_queries(extended=True)
+    assert set(core) <= set(ext)
+    assert len(ext) > len(core)
