@@ -285,9 +285,50 @@ def lsh_candidate_pairs(band_keys: DataFrame, cap: int = HOT_BUCKET_CAP) -> Data
     )
 
 
+def simhash_from_tokens(toks: F.Column, bits: int = SIMHASH_BITS) -> F.Column:
+    """Map-side simhash: the whole bit-wise majority vote folded over
+    the token ARRAY in one pass — per-token 60-bit md5-derived hash,
+    per-bit +1/−1 votes accumulated via ``aggregate`` with an
+    array<bigint> accumulator, then the positive-vote bits summed into
+    the code. Zero shuffle (the exploded :func:`simhash_expr` form
+    pays an explode plus a 32-column aggregation exchange); votes use
+    token MULTIPLICITY, exactly like the exploded GROUP BY. Returns
+    NULL for token-less docs (the exploded form drops them — callers
+    filter)."""
+    harr = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
+    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    votes = F.aggregate(
+        harr,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    code = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, code)
+
+
 def simhash_expr(doc_tokens: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): per-token 60-bit md5-derived hash, bit-wise
-    majority vote over tokens (with multiplicity) → ``bits``-bit code."""
+    majority vote over tokens (with multiplicity) → ``bits``-bit code.
+
+    The exploded GROUP BY twin of :func:`simhash_from_tokens` — kept
+    as the semantic reference (and for pre-tokenized relations); the
+    registered query uses the map-side form."""
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
     hashed = doc_tokens.withColumn("h", h)
     votes = [
@@ -331,6 +372,10 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    # materialized once: both self-join sides read it, and the
+    # upstream signature scan should run once, not twice (the
+    # lsh_candidate_pairs convention; |docs|×bands short rows)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
     )
@@ -367,13 +412,20 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_x3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(minhash_band_keys(_doc_shingle_sets(spark, sf_dir)))
+    # sh_set is materialized BEFORE the k signature expressions read
+    # it: project-collapse would otherwise inline the shingle
+    # construction into every one of the k array_min columns (k×
+    # re-tokenization — measured ~1.7× end-to-end at sf0.1)
+    sets = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    return lsh_candidate_pairs(minhash_band_keys(sets))
 
 
 def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    doc_tokens = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    return simhash_neardup_pairs(simhash_expr(doc_tokens))
+    sim = docs.select(
+        "doc_id", simhash_from_tokens(tokens(F.col("text"))).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+    return simhash_neardup_pairs(sim)
 
 
 def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -192,3 +192,27 @@ def test_minhash_signatures_match_exploded_min(spark):
     assert fast.exceptAll(slow).count() == 0
     assert slow.exceptAll(fast).count() == 0
     assert fast.count() > 0
+
+
+def test_simhash_from_tokens_matches_exploded_groupby(spark):
+    """The single-pass array-fold simhash must be bit-identical to the
+    exploded GROUP-BY majority vote (same per-token hash stream,
+    multiplicity preserved)."""
+    from odoo_batch_processing_spark.operators.dedup import (
+        simhash_expr,
+        simhash_from_tokens,
+    )
+    from odoo_batch_processing_spark.operators.text import tokens
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    fast = docs.select(
+        "doc_id", simhash_from_tokens(tokens(F.col("text"))).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+    slow = simhash_expr(
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.count() > 0
