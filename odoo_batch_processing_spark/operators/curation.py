@@ -109,14 +109,28 @@ MIN_DISTINCT_5GRAM_RATIO = 0.8
 def top_token_ratio(text: Column) -> Column:
     """Frequency share of the most common token — Gopher's single-token
     dominance signal. Higher-order functions only (per-row, no
-    explode/shuffle); O(distinct·tokens) per doc is fine for bounded
-    doc lengths, and the operator stays inside whole-stage codegen."""
+    explode/shuffle): the max frequency is the longest equal-run in
+    the SORTED token array — one sort + one fold, O(tokens·log) per
+    doc instead of the O(distinct·tokens) count-per-distinct form
+    (~2× on the gate scan at sf0.1; same value, asserted by
+    test_top_token_ratio_matches_count_form)."""
     toks = tokens(text)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    best = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return F.array_max(counts).cast("double") / F.when(F.size(toks) > 0, F.size(toks))
+    return best.cast("double") / F.when(F.size(toks) > 0, F.size(toks))
 
 
 def distinct_5gram_ratio(text: Column) -> Column:
@@ -352,8 +366,13 @@ def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh"))
         .distinct()
     )
-    corpus_sh = kept.filter(F.col("source") != BENCH_SOURCE).select(
-        "doc_id", F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh")
+    corpus_sh = (
+        kept.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh"))
+        # materialize: the skew cap below reads the index twice (bucket
+        # count + semi-join) and the 5-gram construction dominates the
+        # whole pipeline — one shingle pass, not two
+        .localCheckpoint(eager=True)
     )
     # same boilerplate-shingle skew guard as _q_x9_decontaminate
     corpus_sh = cap_hot_buckets(corpus_sh, ["sh"], cap=100_000)

@@ -44,3 +44,38 @@ def test_hash_sample_is_deterministic_and_partition_independent(spark):
     }
     assert kept1 == kept2  # membership depends only on the key
     assert 0.05 < len(kept1) / 10_000 < 0.15  # roughly the target rate
+
+
+def test_top_token_ratio_matches_count_form(spark):
+    """The sorted-run fold must equal the count-per-distinct-token
+    definition on real corpus text plus crafted edges (ties, all-same,
+    single token, empty)."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.curation import top_token_ratio
+    from odoo_batch_processing_spark.operators.text import tokens
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    def count_form(text):
+        toks = tokens(text)
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+        return F.array_max(counts).cast("double") / F.when(
+            F.size(toks) > 0, F.size(toks)
+        )
+
+    edges = spark.createDataFrame(
+        [("a b a b",), ("x x x",), ("solo",), ("",), ("  ",), ("b a a b b",)],
+        "text string",
+    )
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents").select("text")
+    for df in (edges, corpus):
+        rows = df.select(
+            top_token_ratio(F.col("text")).alias("fast"),
+            count_form(F.col("text")).alias("slow"),
+        ).collect()
+        assert rows, "fixture should not be empty"
+        for r in rows:
+            assert r["fast"] == r["slow"], (r["fast"], r["slow"])
