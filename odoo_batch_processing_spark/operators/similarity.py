@@ -127,6 +127,60 @@ def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_ivf_index(unit_cells: DataFrame, path: str) -> None:
+    """Write-time IVF: persist (id, uv) PARTITIONED BY the cell id, so
+    each coarse cell is its own directory of parquet files. This is
+    the 'stored at write time' half of the IVF design the in-memory
+    queries emulate — at 100 TB the index is written once and every
+    probe prunes to its cells' files instead of scanning the corpus."""
+    unit_cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def _q_x4_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`x4_ivf_topk` against the WRITE-TIME partitioned index.
+
+    The probe joins the broadcast query set on the partition column,
+    so Catalyst's dynamic partition pruning turns the query cells into
+    a runtime PartitionFilter — the scan lists only the probed `cell=`
+    directories (asserted by tests/test_similarity_multimodal.py).
+    Same result as `x4_ivf_topk` (same oracle); the difference is the
+    physical access path, which is the one that matters at corpus
+    scale."""
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell", ivf_bucket(F.col("embedding"))
+    )
+    dv = to_double(F.col("embedding"))
+    unit = (
+        emb.select("vec_id", "cell", dv.alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select("vec_id", "cell", normalized(F.col("__v"), F.col("__n")).alias("uv"))
+    )
+    path = scratch_dir("ivf-index")
+    write_ivf_index(unit, path)
+    idx = spark.read.parquet(path)
+    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uv").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        idx.join(
+            F.broadcast(q),
+            (idx["cell"] == F.col("qcell")) & (idx["vec_id"] != F.col("query_id")),
+        )
+        .withColumn("cos_sim", dot(F.col("qv"), idx["uv"]))
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 K_CELLS = 8
 KMEANS_ITERS = 2
 
@@ -204,6 +258,7 @@ QUERIES = {
 
 QUERIES_EXT = {
     "x4_kmeans_cells": _q_x4_kmeans_cells,
+    "x4_ivf_indexed": _q_x4_ivf_indexed,
 }
 
 # normalize-first, exactly like the Spark plan: unit = v / sqrt(v·v),
@@ -299,4 +354,7 @@ def _kmeans_oracle_sql(k: int = K_CELLS, iters: int = KMEANS_ITERS) -> str:
 
 ORACLES_EXT = {
     "x4_kmeans_cells": _kmeans_oracle_sql(),
+    # identical output contract to the in-memory cell-restricted scan —
+    # only the physical access path (partitioned index + pruning) differs
+    "x4_ivf_indexed": ORACLES["x4_ivf_topk"],
 }

@@ -134,3 +134,27 @@ def test_kmeans_cells_cover_all_vectors(spark):
     # centroids are medoids: each cell id is a member vec_id
     members = {r["vec_id"] for r in final.select("vec_id").collect()}
     assert set(cells) <= members
+
+
+def test_ivf_indexed_prunes_partitions_and_matches_in_memory(spark):
+    """The write-time IVF index must (a) return exactly the in-memory
+    cell-restricted result and (b) physically prune: the probe's scan
+    of the partitioned index must carry a runtime partition filter on
+    the cell column (dynamic partition pruning from the broadcast
+    query-set join), not list every cell= directory."""
+    from odoo_batch_processing_spark.operators.similarity import (
+        _q_x4_ivf_indexed,
+        _q_x4_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    indexed = _q_x4_ivf_indexed(spark, sf)
+    in_mem = {tuple(r) for r in _q_x4_ivf_topk(spark, sf).collect()}
+    got = {tuple(r) for r in indexed.collect()}
+    assert got == in_mem and got
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "probe scan should carry a dynamic partition-pruning filter on "
+        "the cell partition column:\n" + plan[:2000]
+    )
