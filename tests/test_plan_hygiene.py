@@ -99,6 +99,7 @@ _ALLOWED_HINTED = {
     "q22_inactive_customers",
     "x4_cosine_topk",
     "x4_ivf_topk",
+    "x4_ivf_indexed",
     "x4_kmeans_cells",
 }
 
