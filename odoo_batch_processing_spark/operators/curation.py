@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.operators.dedup import cap_hot_buckets, shingles
 from odoo_batch_processing_spark.operators.text import quality_features, tokens
-from odoo_batch_processing_spark.sources.loader import load_table
+from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # PII scrubbing
@@ -79,7 +79,7 @@ def _dirty_text() -> Column:
 
 
 def _q_x9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     dirty = _dirty_text()
     return docs.select(
         "doc_id",
@@ -186,7 +186,7 @@ def quality_gate(cols: dict[str, Column]) -> tuple[Column, Column]:
 
 
 def _q_x9_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     cols = _gate_columns()
     passes, reason = quality_gate(cols)
     return docs.select(
@@ -216,7 +216,7 @@ def _q_x9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus docs sharing ≥1 CONTAM_N-gram with any benchmark
     (BENCH_SOURCE) doc, with the count of distinct matched shingles —
     the inverted-index join of dedup.py, benchmark side hot-capped."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     # materialize-once, same rationale as dedup._doc_shingles: the
     # index feeds the cap count, the benchmark side, and the corpus
     # side — three plan branches that would each re-explode
@@ -262,7 +262,7 @@ def _q_x9_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible SAMPLE_PCT% sample, stratified by construction:
     the bucket depends only on doc_id, so membership is stable across
     runs, engines, and cluster sizes (unlike rand()-based sampling)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.filter(hash_bucket(F.col("doc_id")) < SAMPLE_PCT).select(
         "doc_id", "source"
     )
@@ -291,7 +291,7 @@ def _q_x9_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest a shard writer would consume."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     from odoo_batch_processing_spark.operators.text import token_count
 
     with_tok = docs.select(
@@ -325,7 +325,7 @@ MIX_DEFAULT_RATE = 10
 
 
 def _q_x9_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     rate = F.lit(MIX_DEFAULT_RATE)
     for src, pct in MIX_RATES.items():
         rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
@@ -352,7 +352,7 @@ def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2× end-to-end at sf0.1). The benchmark-side index still comes
     from the UNFILTERED corpus: a benchmark doc that fails a quality
     gate still contaminates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     cols = _gate_columns()
     passes, _ = quality_gate(cols)
     kept = (

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.functions.vector import cosine, to_double
 from odoo_batch_processing_spark.operators.text import fingerprint, tokens
-from odoo_batch_processing_spark.sources.loader import load_table
+from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 SHINGLE_N = 3
 MINHASH_K = 12
@@ -137,8 +137,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 2× end-to-end on x3_ngram_jaccard at sf0.1. At corpus
     scale the same move is writing the shingle index to a table and
     reading it back (the index is reused across the dedup suite), so
-    materialize-once is the scale-correct shape, not a local trick."""
-    docs = load_table(spark, sf_dir, "documents")
+    materialize-once is the scale-correct shape, not a local trick.
+    The scan is fanned out first so the shingle computation (and the
+    checkpoint layout it freezes) uses every core, not the fixture's
+    single parquet split."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
     ).localCheckpoint(eager=True)
@@ -404,8 +407,10 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh_set, n_sh): the per-doc distinct-shingle array —
     the map-side input for minhash signatures and Jaccard verify. No
     materialization needed: unlike the exploded inverted index, each
-    consumer reads it in a single scan-local pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    consumer reads it in a single scan-local pass. Fanned out so the
+    shingle build (and any checkpoint a caller takes of it) is spread
+    across the session's cores, not the fixture's one parquet split."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select("doc_id", shingles(F.col("text")).alias("sh_set")).withColumn(
         "n_sh", F.size(F.col("sh_set"))
     )
@@ -421,7 +426,8 @@ def _q_x3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan out: the per-doc vote fold is the whole query's CPU cost
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     sim = docs.select(
         "doc_id", simhash_from_tokens(tokens(F.col("text"))).alias("simhash")
     ).filter(F.col("simhash").isNotNull())
@@ -446,7 +452,7 @@ def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odoo_batch_processing_spark.functions.vector import dot, norm, normalized
     from odoo_batch_processing_spark.operators.similarity import ivf_bucket
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     unit = (
         emb.select(
             "label",

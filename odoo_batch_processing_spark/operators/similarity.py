@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from odoo_batch_processing_spark.functions.vector import dot, norm, normalized, to_double
-from odoo_batch_processing_spark.sources.loader import load_table
+from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 N_QUERIES = 5  # fixture query set: vec_id < 5
 TOP_K = 10
@@ -87,13 +87,13 @@ def ivf_bucket(vec: F.Column, bits: int = 3) -> F.Column:
 
 
 def _q_x4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     return ann_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
 
 def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same queries, search restricted to the query's IVF cell."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id").withColumn(
         "cell", ivf_bucket(F.col("embedding"))
     )
     dv = to_double(F.col("embedding"))
@@ -148,7 +148,7 @@ def _q_x4_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     from odoo_batch_processing_spark.sources.sinks import scratch_dir
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id").withColumn(
         "cell", ivf_bucket(F.col("embedding"))
     )
     dv = to_double(F.col("embedding"))
@@ -243,7 +243,7 @@ def kmeans_medoid_cells(
 
 def _q_x4_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-cell summary: population and medoid id per final cell."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     unit = _unit(emb, "vec_id", "uv", "vec_id", "embedding")
     final = kmeans_medoid_cells(unit)
     return final.groupBy("cell").agg(

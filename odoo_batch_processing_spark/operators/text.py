@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from odoo_batch_processing_spark.sources.loader import load_table
+from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 # Stopword lists for the n-gram/stopword language heuristic. Tiny by
 # design: at 100 TB the lists live in a broadcast variable; here they
@@ -135,7 +135,7 @@ def rolling_hash(text: Column, modulus: int = 2**31 - 1, base: int = 31) -> Colu
 # registry queries
 # ---------------------------------------------------------------------------
 def _q_x5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     text = F.col("text")
     f = quality_features(text)
     return docs.select(
@@ -148,12 +148,12 @@ def _q_x5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_x5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
 
 
 def _q_x5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -162,7 +162,7 @@ def _q_x5_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     The groupBy(token) shuffle is the classic wordcount — partial
     aggregation makes the map-side combine, so shuffle volume is
     O(vocabulary), not O(tokens)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -176,7 +176,7 @@ def _q_x5_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -187,7 +187,7 @@ def _q_x5_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions over one scan — at 100 TB this is the single-pass
     feature stage of the pipeline (merges the former x5_token_stats /
     x5_quality_score / x5_lang_id / x5_fingerprint entries)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     text = F.col("text")
     f = quality_features(text)
     return docs.select(
@@ -231,7 +231,7 @@ def _q_x5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     doc_terms = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")

@@ -37,6 +37,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession, *key_cols: str) -> DataFrame:
+    """Hash-repartition a narrow scan up to the session's parallelism
+    before CPU-heavy per-row work (tokenize / shingle / k×md5 / simhash
+    votes) — gated so it NEVER fires on an already-wide scan.
+
+    Why it exists: the sf fixtures are single-row-group parquet files,
+    and Spark cannot split a parquet file below row-group granularity —
+    so the scan is ONE task regardless of ``maxPartitionBytes``, and
+    every downstream map runs on one core until the first shuffle
+    (``localCheckpoint`` then freezes that 1-partition layout for the
+    whole pipeline). At corpus scale the scan arrives in thousands of
+    splits, the gate sees parallelism ≥ cores, and this is a no-op —
+    the helper can only widen a degenerate scan, never add a shuffle to
+    a healthy one. Partitioning is BY HASH of ``key_cols`` (not round
+    robin): deterministic under task retry and reusable by the next
+    shuffle on the same key.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """All ten fixture tables, keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
