@@ -382,6 +382,65 @@ def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Epoch shuffle: deterministic global training order
+# ---------------------------------------------------------------------------
+
+#: epoch seed — a different seed yields an independent permutation;
+#: the same seed reproduces the epoch bit-for-bit on any cluster size.
+EPOCH_SEED = 17
+
+#: leading hex chars of the shuffle key used as the parallel bucket;
+#: 2 chars → 256 buckets, each a window partition of ~|corpus|/256.
+_SHUFFLE_BUCKET_CHARS = 2
+
+
+def epoch_shuffle_key(doc_id: Column, seed: int = EPOCH_SEED) -> Column:
+    """Seeded md5 shuffle key — deterministic across engines, unlike
+    ``rand()`` (whose draw depends on partitioning and retry count)."""
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), doc_id.cast("string")))
+
+
+def _q_x9_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training-order shuffle: every doc gets a 1..N position in
+    seeded-hash order — the per-epoch permutation a dataloader reads.
+
+    A bare ``row_number() OVER (ORDER BY key)`` is a ONE-partition
+    window — the global sort serializes on a single task. The scale
+    shape here: the leading hex chars of the key split the corpus into
+    256 buckets whose hash order equals their key-prefix order, so
+    (a) within-bucket positions come from 256 independent window
+    partitions, and (b) global position = within-bucket position + the
+    cumulative size of earlier buckets — a 256-row offset relation,
+    broadcast back. Identical output to the one-partition form (the
+    bucket is a PREFIX of the key, so bucket-major order IS key order;
+    md5 ties broken by doc_id in both engines), but every stage is
+    distributed."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    keyed = docs.select(
+        "doc_id",
+        epoch_shuffle_key(F.col("doc_id")).alias("skey"),
+    ).withColumn("bucket", F.substring(F.col("skey"), 1, _SHUFFLE_BUCKET_CHARS))
+    wb = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    in_bucket = keyed.withColumn("bpos", F.row_number().over(wb))
+    sizes = in_bucket.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # 256 rows — the global cumulative sum is a one-task window over a
+    # tiny relation, then broadcast to the join below by the threshold
+    offsets = sizes.withColumn("boff", F.coalesce(F.sum("bn").over(wo), F.lit(0))).select(
+        "bucket", "boff"
+    )
+    return (
+        in_bucket.join(offsets, "bucket")
+        .select(
+            (F.col("boff") + F.col("bpos")).cast("bigint").alias("shuffle_pos"),
+            "doc_id",
+        )
+    )
+
+
 # Core: the composed pipeline (one driver row exercising gates +
 # deterministic sampling + decontamination end-to-end) plus the two
 # shapes it does not fold in — shard packing and mixture sampling.
@@ -397,6 +456,7 @@ QUERIES_EXT = {
     "x9_quality_gates": _q_x9_quality_gates,
     "x9_decontaminate": _q_x9_decontaminate,
     "x9_hash_sample": _q_x9_hash_sample,
+    "x9_epoch_shuffle": _q_x9_epoch_shuffle,
 }
 
 # --- shared DuckDB fragments (mirroring the Spark expressions 1:1) ---
@@ -535,6 +595,16 @@ ORACLES_EXT = {
         WHERE ({_GATES})
           AND (d.doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < 50
           AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    """,
+    # the one-partition restatement of the bucketed Spark plan: the
+    # bucket is a PREFIX of the sort key, so key order == bucket-major
+    # order and the two forms assign identical positions
+    "x9_epoch_shuffle": f"""
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5('{EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS shuffle_pos,
+               doc_id
+        FROM documents
     """,
 }
 

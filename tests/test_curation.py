@@ -79,3 +79,49 @@ def test_top_token_ratio_matches_count_form(spark):
         assert rows, "fixture should not be empty"
         for r in rows:
             assert r["fast"] == r["slow"], (r["fast"], r["slow"])
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark):
+    """Positions are exactly 1..N; the same seed reproduces the epoch;
+    the bucketed plan equals the one-window definition; a different
+    seed yields a genuinely different order."""
+    from pyspark.sql import Window, functions as F
+
+    from odoo_batch_processing_spark.operators.curation import (
+        _q_x9_epoch_shuffle,
+        epoch_shuffle_key,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_x9_epoch_shuffle(spark, sf)
+    rows = {r["doc_id"]: r["shuffle_pos"] for r in got.collect()}
+    n = len(rows)
+    assert sorted(rows.values()) == list(range(1, n + 1))
+
+    again = {r["doc_id"]: r["shuffle_pos"] for r in _q_x9_epoch_shuffle(spark, sf).collect()}
+    assert rows == again
+
+    # one-window reference form (fine at test scale)
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.orderBy(epoch_shuffle_key(F.col("doc_id")), "doc_id")
+    ref = {
+        r["doc_id"]: r["pos"]
+        for r in docs.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias("pos")
+        ).collect()
+    }
+    assert rows == ref
+
+    other = {
+        r["doc_id"]: r["pos"]
+        for r in docs.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(epoch_shuffle_key(F.col("doc_id"), seed=99), "doc_id"))
+            .cast("bigint")
+            .alias("pos"),
+        ).collect()
+    }
+    assert other != rows  # an independent permutation, not a relabeling
