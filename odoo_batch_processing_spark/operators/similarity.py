@@ -251,6 +251,28 @@ def _q_x4_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_x4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe against brute-force ground truth —
+    the tuning harness for any ANN deployment (more probe cells ↔
+    higher recall ↔ more scan; this query is the measurement side of
+    that dial).
+
+    Both sides are the registered queries themselves, so the recall
+    audit exercises exactly the plans users run. The comparison join
+    is |queries|·k rows — negligible at any corpus scale; the cost is
+    the two top-k runs it audits."""
+    brute = _q_x4_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = _q_x4_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .withColumn("recall", F.col("n_hits").cast("double") / F.lit(TOP_K))
+    )
+
+
 QUERIES = {
     "x4_cosine_topk": _q_x4_cosine_topk,
     "x4_ivf_topk": _q_x4_ivf_topk,
@@ -259,6 +281,7 @@ QUERIES = {
 QUERIES_EXT = {
     "x4_kmeans_cells": _q_x4_kmeans_cells,
     "x4_ivf_indexed": _q_x4_ivf_indexed,
+    "x4_ivf_recall": _q_x4_ivf_recall,
 }
 
 # normalize-first, exactly like the Spark plan: unit = v / sqrt(v·v),
@@ -357,4 +380,19 @@ ORACLES_EXT = {
     # identical output contract to the in-memory cell-restricted scan —
     # only the physical access path (partitioned index + pruning) differs
     "x4_ivf_indexed": ORACLES["x4_ivf_topk"],
+    # DuckDB allows a CTE inside a parenthesized subquery, so the two
+    # registered top-k oracles nest verbatim
+    "x4_ivf_recall": f"""
+        WITH brute AS (SELECT * FROM ({ORACLES["x4_cosine_topk"]})),
+             ivf AS (SELECT * FROM ({ORACLES["x4_ivf_topk"]}))
+        SELECT b.query_id,
+               CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+               CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {TOP_K} AS recall
+        FROM brute b
+        LEFT JOIN ivf i
+          ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        GROUP BY b.query_id
+    """,
 }
