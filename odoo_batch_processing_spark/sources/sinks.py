@@ -163,6 +163,41 @@ def _q_r21_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return write_roundtrip(updated, "parquet")
 
 
+def _q_src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL as an interchange SOURCE: stage documents as line-JSON,
+    read back with the declared schema (schema-on-read — no inference
+    sweep), and aggregate. Proves the non-parquet read path preserves
+    the relation, including free text. At 100 TB JSONL is the common
+    raw-crawl landing format; the aggregate's input is the read-back,
+    so a lossy encode/decode would break the oracle match."""
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    back = write_roundtrip(docs, "json")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_len"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+def _q_src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as an interchange SOURCE: customer staged with a header,
+    read back with the declared schema (decimal acctbal included), and
+    aggregated per nation — exercising typed parse of the text format."""
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    back = write_roundtrip(cust, "csv")
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("c_acctbal").alias("sum_bal"),
+    )
+
+
 QUERIES = {"r21_merge": _q_r21_merge}
 
 ORACLES = {
@@ -178,7 +213,11 @@ ORACLES = {
 
 # plain write/read-back roundtrip: covered in spirit by r21_merge's
 # stage-then-read; kept oracle-checked in the extended tier.
-QUERIES_EXT = {"r21_sink_roundtrip": _q_r21_sink_roundtrip}
+QUERIES_EXT = {
+    "r21_sink_roundtrip": _q_r21_sink_roundtrip,
+    "src_jsonl_roundtrip": _q_src_jsonl_roundtrip,
+    "src_csv_roundtrip": _q_src_csv_roundtrip,
+}
 
 # identical to r07: the sink must not change the relation
 ORACLES_EXT = {
@@ -187,5 +226,21 @@ ORACLES_EXT = {
                CASE WHEN o_orderstatus = 'O' AND NOT (o_orderpriority = '1-URGENT')
                     THEN '9-BULK-SET' ELSE o_orderpriority END AS o_orderpriority
         FROM orders
+    """,
+    # the roundtrip must be lossless — the oracles aggregate the
+    # ORIGINAL tables, so any encode/decode drift fails the hash
+    "src_jsonl_roundtrip": """
+        SELECT source,
+               CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM documents GROUP BY source
+    """,
+    "src_csv_roundtrip": """
+        SELECT c_nationkey,
+               CAST(COUNT(1) AS BIGINT) AS n_cust,
+               SUM(c_acctbal) AS sum_bal
+        FROM customer GROUP BY c_nationkey
     """,
 }

@@ -18,9 +18,9 @@ from tests.conftest import SF_SMOKE
 #: streaming queries execute on invocation (they run a bounded stream);
 #: the batch sweep below covers everything else.
 _SKIP_PREFIXES = ("s_",)
-#: r21 queries write on plan construction (sink roundtrip / merge) —
+#: sink/source roundtrip queries write on plan construction —
 #: cheap but not plan-only; keep them out of the pure-planning sweep.
-_SKIP = {"r21_sink_roundtrip", "r21_merge"}
+_SKIP = {"r21_sink_roundtrip", "r21_merge", "src_jsonl_roundtrip", "src_csv_roundtrip"}
 #: queries where a nested-loop join is the INTENDED plan:
 #: - brute-force ANN has no equi-key — a deliberate
 #:   broadcast(query-batch) × corpus scan (similarity.py docstring);
@@ -37,6 +37,9 @@ _ALLOWED_NESTED_LOOP = {
     "q11_important_parts",
     "q15_top_supplier",
     "x4_kmeans_cells",
+    # composes x4_cosine_topk (the deliberate BNLJ above) with the IVF
+    # probe — inherits both allow-listed shapes
+    "x4_ivf_recall",
 }
 
 
@@ -101,6 +104,7 @@ _ALLOWED_HINTED = {
     "x4_ivf_topk",
     "x4_ivf_indexed",
     "x4_kmeans_cells",
+    "x4_ivf_recall",
 }
 
 
