@@ -425,6 +425,29 @@ def _q_x3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_band_keys(sets))
 
 
+def _q_x3_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`x3_minhash_lsh` against a WRITE-TIME signature index.
+
+    The (doc_id, band, band_key) relation is persisted partitioned by
+    band, then candidate pairs come from the read-back — the asset a
+    real dedup deployment maintains: signatures are computed once per
+    ingest (the expensive shingle+hash pass), while pair generation,
+    re-runs with different caps, and incremental joins of NEW batches
+    against the standing index all read the index, not the corpus.
+    Same output and oracle as x3_minhash_lsh; only the access path
+    differs (band-partition pruning applies when probing single bands).
+    """
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+
+    sets = _doc_shingle_sets(spark, sf_dir)
+    path = scratch_dir("minhash-index")
+    minhash_band_keys(sets).write.mode("overwrite").partitionBy("band").parquet(path)
+    idx = spark.read.parquet(path).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "band_key"
+    )
+    return lsh_candidate_pairs(idx)
+
+
 def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan out: the per-doc vote fold is the whole query's CPU cost
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
@@ -606,6 +629,7 @@ QUERIES = {
 QUERIES_EXT = {
     "x2_dedup_fingerprint": _q_x2_dedup_fingerprint,
     "x2_distinct_pairs": _q_x2_distinct_pairs,
+    "x3_minhash_indexed": _q_x3_minhash_indexed,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -777,3 +801,6 @@ ORACLES["x3_neardup_survivors"] = f"""
 
 ORACLES_EXT.update({k: v for k, v in ORACLES.items() if k in QUERIES_EXT})
 ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}
+# identical output contract to the in-memory signature pipeline — only
+# the physical access path (persisted band-partitioned index) differs
+ORACLES_EXT["x3_minhash_indexed"] = ORACLES["x3_minhash_lsh"]
