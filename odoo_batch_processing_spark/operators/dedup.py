@@ -448,6 +448,42 @@ def _q_x3_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(idx)
 
 
+def _q_x3_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup of a NEW ingest batch against the standing corpus —
+    the daily-ingest workhorse: which existing documents does each new
+    arrival duplicate (and which new arrivals duplicate each other)?
+
+    The new batch is the top decile of doc_id (a stand-in for "today's
+    partition"). Shape: the new batch's band keys PROBE the full
+    signature index on (band, band_key) — the shuffle is O(|new batch|
+    + matched buckets), and old×old pairs are never generated, so
+    re-ingest cost is proportional to the batch, not the corpus.
+    Candidates are then exact-Jaccard verified. The threshold travels
+    as a 1-row aggregate joined on a constant key (auto-broadcast by
+    the size threshold — no hint, no cross join)."""
+    sets = _doc_shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    thresh = sets.agg(
+        F.floor(F.lit(9.0) * F.max("doc_id") / F.lit(10.0)).cast("bigint").alias("t")
+    ).withColumn("__k", F.lit(1))
+    bk = minhash_band_keys(sets).localCheckpoint(eager=True)
+    index_side = cap_hot_buckets(bk, ["band", "band_key"]).select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    new_side = (
+        bk.withColumn("__k", F.lit(1))
+        .join(thresh, "__k")
+        .filter(F.col("doc_id") > F.col("t"))
+        .select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    )
+    candidates = (
+        index_side.join(new_side, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verify_candidate_pairs(candidates, sets)
+
+
 def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan out: the per-doc vote fold is the whole query's CPU cost
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
@@ -630,6 +666,7 @@ QUERIES_EXT = {
     "x2_dedup_fingerprint": _q_x2_dedup_fingerprint,
     "x2_distinct_pairs": _q_x2_distinct_pairs,
     "x3_minhash_indexed": _q_x3_minhash_indexed,
+    "x3_incremental_neardup": _q_x3_incremental_neardup,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -804,3 +841,34 @@ ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}
 # identical output contract to the in-memory signature pipeline — only
 # the physical access path (persisted band-partitioned index) differs
 ORACLES_EXT["x3_minhash_indexed"] = ORACLES["x3_minhash_lsh"]
+
+# candidate pairs restricted to those whose larger side is in the new
+# batch (the top doc_id decile), then exact-Jaccard verified — the SQL
+# restatement of the probe-the-index shape
+ORACLES_EXT["x3_incremental_neardup"] = f"""
+    WITH doc_sh AS ({_DOC_SH}),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM doc_sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BAND_SELECTS}),
+    t AS (SELECT CAST(floor(9 * MAX(doc_id) / 10.0) AS BIGINT) AS t FROM documents),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        JOIN t ON b.doc_id > t.t
+    ),
+    sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM doc_sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(1) AS n_inter
+        FROM cand c
+        JOIN doc_sh sa ON sa.doc_id = c.doc_a
+        JOIN doc_sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_MIN}
+"""

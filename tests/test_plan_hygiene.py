@@ -40,6 +40,9 @@ _ALLOWED_NESTED_LOOP = {
     # composes x4_cosine_topk (the deliberate BNLJ above) with the IVF
     # probe — inherits both allow-listed shapes
     "x4_ivf_recall",
+    # the new-batch threshold is a ONE-row aggregate (same free scalar
+    # shape as q22/q11/q15)
+    "x3_incremental_neardup",
 }
 
 
