@@ -13,10 +13,29 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
-#: events.ts is physically TIMESTAMP(NANOS) which Spark 4 cannot read as
-#: a timestamp; with spark.sql.legacy.parquet.nanosAsLong=true it reads
-#: as int64 nanoseconds and the loader converts (session.py doc).
-EVENTS_TS_IS_NANOS = True
+#: events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+#: across fixture generations. NANOS Spark 4 cannot read natively — with
+#: spark.sql.legacy.parquet.nanosAsLong=true it arrives as int64
+#: nanoseconds and the loader floor-converts; MICROS reads straight into
+#: TimestampType. The loader probes the parquet footer (one driver-side
+#: metadata read, no data scan) and picks the matching read schema via
+#: :func:`events_schema` — never trust a constant over the footer.
+
+
+def events_schema(ts_unit: str) -> T.StructType:
+    """events read schema for the probed ``ts`` physical unit
+    (``'ns'`` → int64-nanos via nanosAsLong, else TimestampType)."""
+    ts_type: T.DataType = T.LongType() if ts_unit == "ns" else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
@@ -84,17 +103,10 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts declared Long (raw nanoseconds); loader converts to TimestampType.
-    "events": T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    ),
+    # Default events shape (MICROS ts). Actual reads go through
+    # loader.load_table / streaming.change_source, which probe the
+    # footer and may swap in events_schema("ns") instead.
+    "events": events_schema("us"),
     "documents": T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -10,31 +10,53 @@ deliberately NOT emulated (SURVEY.md §1.1).
 
 from __future__ import annotations
 
+import glob
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from odoo_batch_processing_spark.schemas import SCHEMAS, TABLE_NAMES
+from odoo_batch_processing_spark.schemas import SCHEMAS, TABLE_NAMES, events_schema
 from odoo_batch_processing_spark.session import configure
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+@lru_cache(maxsize=None)
+def events_ts_unit(path: str) -> str:
+    """Physical unit of ``events.ts`` (``'ns'`` or ``'us'``), probed from
+    the parquet footer. Fixture generations have shipped both; trusting a
+    constant silently compresses the timeline 1000× when the unit flips,
+    so every events read routes through this probe. One driver-side
+    footer read per distinct path (cached) — no data is scanned.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+    return "ns" if unit == "ns" else "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); it arrives as int64
-    nanoseconds (see session.RUNTIME_CONFS) and is floor-converted to a
-    microsecond TimestampType here — the same truncation DuckDB applies,
-    so oracle comparisons see identical instants.
+    ``events.ts`` lands as a microsecond TimestampType either way: a
+    NANOS file arrives as int64 nanoseconds (see session.RUNTIME_CONFS)
+    and is floor-converted — the same truncation DuckDB applies — while
+    a MICROS file reads natively.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     configure(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        unit = events_ts_unit(path)
+        df = spark.read.schema(events_schema(unit)).parquet(path)
+        if unit == "ns":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def fan_out(df: DataFrame, spark: SparkSession, *key_cols: str) -> DataFrame:

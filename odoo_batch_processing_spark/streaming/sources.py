@@ -22,8 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from odoo_batch_processing_spark.schemas import SCHEMAS
+from odoo_batch_processing_spark.schemas import events_schema
 from odoo_batch_processing_spark.session import configure
+from odoo_batch_processing_spark.sources.loader import events_ts_unit
 
 
 def change_source(
@@ -35,11 +36,12 @@ def change_source(
     """readStream over a directory of parquet files (events-shaped by
     default). New file ≈ new list view (R22)."""
     configure(spark)
-    reader = spark.readStream.schema(schema or SCHEMAS["events"])
+    unit = events_ts_unit(directory) if schema is None else None
+    reader = spark.readStream.schema(schema or events_schema(unit))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(directory)
-    if schema is None:
-        # same ns→µs conversion as the batch loader
+    if schema is None and unit == "ns":
+        # same ns→µs floor conversion as the batch loader
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
