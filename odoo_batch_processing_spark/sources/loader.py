@@ -23,19 +23,39 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @lru_cache(maxsize=None)
+def _events_ts_unit_cached(path: str, cache_token: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(path).schema_arrow.field("ts").type
+    # A non-timestamp ``ts`` (plain int64) IS the raw-nanos staging
+    # contract used by the streaming fixtures — same branch as NANOS.
+    if not pa.types.is_timestamp(t):
+        return "ns"
+    return "ns" if t.unit == "ns" else "us"
+
+
 def events_ts_unit(path: str) -> str:
     """Physical unit of ``events.ts`` (``'ns'`` or ``'us'``), probed from
     the parquet footer. Fixture generations have shipped both; trusting a
     constant silently compresses the timeline 1000× when the unit flips,
     so every events read routes through this probe. One driver-side
-    footer read per distinct path (cached) — no data is scanned.
-    """
-    import pyarrow.parquet as pq
+    footer read per distinct (path, first-file) pair (cached) — no data
+    is scanned.
 
+    Invariant: all files under a directory share one ``ts`` unit (only
+    the lexicographically-first file is probed). The cache keys on that
+    first file's name + mtime, so rewriting a directory in-session with
+    a different fixture generation re-probes instead of silently reusing
+    a stale unit.
+    """
+    probe = path
     if os.path.isdir(path):
-        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
-    unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
-    return "ns" if unit == "ns" else "us"
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no *.parquet files under {path!r} to probe events.ts unit")
+        probe = files[0]
+    return _events_ts_unit_cached(probe, f"{os.path.basename(probe)}:{os.path.getmtime(probe)}")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
