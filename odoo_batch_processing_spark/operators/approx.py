@@ -6,10 +6,12 @@ sort); the approximate forms are single-pass sketches that merge
 map-side (HyperLogLog++ for distinct, KLL/GK for quantiles) — constant
 memory, one shuffle of sketch bytes, not rows.
 
-The approx queries have NO oracle entry on purpose: DuckDB's sketches
-(different algorithm/seeds) produce different estimates, so the driver
-records its weaker rows-only check for them; the exact twins next to
-them ARE hash-checked, pinning the semantics the sketches approximate.
+Sketch ESTIMATES are engine-specific (DuckDB uses different
+algorithms/seeds), so raw-estimate queries can't hash-match a DuckDB
+oracle. The core ``x8_approx_aggs`` therefore emits exact measures plus
+``*_ok`` tolerance booleans (oracle: exact + literal TRUE) — fully
+hash-checked. The extended raw-estimate twins stay rows-only, with
+their accuracy bounded in-engine by ``tests/test_approx.py``.
 """
 
 from __future__ import annotations
@@ -69,12 +71,39 @@ def _q_x8_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch forms of x8_exact_aggs: HLL++ distinct + GK
     quantiles. Single pass, map-side mergeable, constant memory — the
     100 TB substitutes for the exact twin's distinct re-shuffle + sort.
-    Rows-only check by design: sketch estimates are engine-specific."""
+
+    Hash-checkable form: sketch estimates themselves are
+    engine-specific, so the query emits the EXACT measures plus
+    ``*_ok`` booleans asserting the sketch landed inside its published
+    error bound — HLL++ within 5×rsd relative (rsd is a std-dev, not a
+    hard bound), GK quantiles inside the exact [q−ε, q+ε] rank band
+    (ε=0.01 ≫ the sketch's 1/accuracy=1e-4). The DuckDB oracle computes
+    the exact measures and literal TRUE for the booleans, so a sketch
+    drifting out of tolerance is a driver-visible hash mismatch.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_custs_approx"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_n_approx"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("_p90_approx"),
+        F.percentile("o_totalprice", 0.49).alias("_p50_lo"),
+        F.percentile("o_totalprice", 0.51).alias("_p50_hi"),
+        F.percentile("o_totalprice", 0.89).alias("_p90_lo"),
+        F.percentile("o_totalprice", 0.91).alias("_p90_hi"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_custs",
+        "p50",
+        "p90",
+        (F.abs(F.col("_n_approx") - F.col("n_custs")) <= 0.10 * F.col("n_custs")).alias(
+            "n_custs_ok"
+        ),
+        F.col("_p50_approx").between(F.col("_p50_lo"), F.col("_p50_hi")).alias("p50_ok"),
+        F.col("_p90_approx").between(F.col("_p90_lo"), F.col("_p90_hi")).alias("p90_ok"),
     )
 
 
@@ -98,8 +127,16 @@ ORACLES = {
                quantile_cont(o_totalprice, 0.9) AS p90
         FROM orders GROUP BY o_orderpriority
     """,
-    # x8_approx_aggs intentionally omitted → driver rows-only check
-    # (sketch estimates are engine-specific).
+    "x8_approx_aggs": """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               TRUE AS n_custs_ok,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok
+        FROM orders GROUP BY o_orderpriority
+    """,
 }
 
 ORACLES_EXT = {

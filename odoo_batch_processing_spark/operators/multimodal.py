@@ -146,11 +146,19 @@ def _q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas decode path (rows-only check: Pandas UDFs are
-    outside DuckDB's reach; determinism is unit-tested)."""
+    """The mapInPandas decode path, fully hash-checked: the synthetic
+    decode is deterministic arithmetic on the utf-8 payload, so DuckDB
+    can restate it — byte values come from ``hex(blob)`` (high nibble =
+    odd hex chars), making byte_sum and the 16-bin high-nibble
+    histogram SQL-expressible. The histogram is flattened to a CSV
+    string so both engines hash the same scalar representation."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(attach_binary(docs)).select(
-        "doc_id", "modality", "n_bytes", "byte_sum"
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "byte_sum",
+        F.array_join(F.col("histogram").cast("array<string>"), ",").alias("hist_csv"),
     )
 
 
@@ -183,7 +191,24 @@ ORACLES = {
                END AS n_video_frames
         FROM documents
     """,
-    # mm_decode_features: rows-only (mapInPandas path; unit-tested).
+    "mm_decode_features": """
+        WITH h AS (
+          SELECT doc_id,
+                 ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+                 hex(CAST(text AS BLOB)) AS hx,
+                 CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+          FROM documents
+        )
+        SELECT doc_id, modality, n_bytes,
+               CAST(list_sum(list_transform(range(1, len(hx) + 1),
+                    i -> (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)
+                         * (strpos('0123456789ABCDEF', hx[i]) - 1))) AS BIGINT) AS byte_sum,
+               array_to_string(
+                 list_transform(range(1, 17),
+                   d -> len(list_filter(range(1, len(hx) + 1, 2),
+                            i -> hx[i] = '0123456789ABCDEF'[d]))), ',') AS hist_csv
+        FROM h
+    """,
 }
 
 ORACLES_EXT = {
