@@ -577,7 +577,6 @@ QUERIES = {
     "r02_visibility_filter": _q_r02_visibility_filter,
     "r06_counts": _q_r06_counts,
     "r07_broadcast_update": _q_r07_broadcast_update,
-    "r08_multiline_parse": _q_r08_multiline_parse,
     "r09_zip_join_update": _q_r09_zip_join_update,
     "r10_limit": _q_r10_limit,
     "r13_r14_coerce_clamp": _q_r13_r14_coerce_clamp,
@@ -586,6 +585,10 @@ QUERIES = {
 }
 
 QUERIES_EXT = {
+    # demoted round 3 (VERDICT r2 #8): R8's parse semantics are already
+    # covered by x5's tokenization and r09's ordered zip; the slot went
+    # to x3_incremental_neardup
+    "r08_multiline_parse": _q_r08_multiline_parse,
     "r01_scan_ordinal": _q_r01_scan_ordinal,
     "r03_projection": _q_r03_projection,
     "r05_readonly_any": _q_r05_readonly_any,
@@ -610,15 +613,6 @@ ORACLES = {
                CASE WHEN o_orderstatus = 'O' AND NOT (o_orderpriority = '1-URGENT')
                     THEN '9-BULK-SET' ELSE o_orderpriority END AS o_orderpriority
         FROM orders
-    """,
-    "r08_multiline_parse": """
-        SELECT doc_id,
-               CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
-               unnest(toks) AS token
-        FROM (
-            SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS toks
-            FROM documents WHERE doc_id < 50
-        )
     """,
     "r09_zip_join_update": """
         WITH rows_ord AS (
@@ -676,6 +670,15 @@ ORACLES = {
 }
 
 ORACLES_EXT = {
+    "r08_multiline_parse": """
+        SELECT doc_id,
+               CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+               unnest(toks) AS token
+        FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS toks
+            FROM documents WHERE doc_id < 50
+        )
+    """,
     "r01_scan_ordinal": """
         SELECT l_orderkey, l_linenumber,
                CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS row_ord

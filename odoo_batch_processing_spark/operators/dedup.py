@@ -660,13 +660,15 @@ QUERIES = {
     "x3_minhash_lsh": _q_x3_minhash_lsh,
     "x3_simhash": _q_x3_simhash,
     "x3_embedding_neardup": _q_x3_embedding_neardup,
+    # core (round 3): the daily-ingest workhorse — new-batch probes
+    # against the persisted band index cost O(batch), not O(corpus)
+    "x3_incremental_neardup": _q_x3_incremental_neardup,
 }
 
 QUERIES_EXT = {
     "x2_dedup_fingerprint": _q_x2_dedup_fingerprint,
     "x2_distinct_pairs": _q_x2_distinct_pairs,
     "x3_minhash_indexed": _q_x3_minhash_indexed,
-    "x3_incremental_neardup": _q_x3_incremental_neardup,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -845,7 +847,7 @@ ORACLES_EXT["x3_minhash_indexed"] = ORACLES["x3_minhash_lsh"]
 # candidate pairs restricted to those whose larger side is in the new
 # batch (the top doc_id decile), then exact-Jaccard verified — the SQL
 # restatement of the probe-the-index shape
-ORACLES_EXT["x3_incremental_neardup"] = f"""
+ORACLES["x3_incremental_neardup"] = f"""
     WITH doc_sh AS ({_DOC_SH}),
     sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM doc_sh GROUP BY doc_id),
     bands AS ({_MINHASH_BAND_SELECTS}),

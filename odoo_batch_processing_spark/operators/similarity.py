@@ -86,6 +86,40 @@ def ivf_bucket(vec: F.Column, bits: int = 3) -> F.Column:
     return cell
 
 
+def ivf_probe_cells(vec: F.Column, bits: int = 3, nprobe: int = 2) -> F.Column:
+    """Multi-probe cell set: the query's own cell plus the cells
+    reached by flipping its ``nprobe - 1`` LEAST-CONFIDENT sign bits
+    (smallest ``|v_i|`` — the dimensions where the query sits closest
+    to the quantizer's decision boundary). This is classic multi-probe
+    LSH: a boundary-adjacent query re-scores the one cell its true
+    neighbors most plausibly fell into, lifting recall for ~nprobe×
+    the scan instead of 2^bits× for brute force.
+
+    Single-bit flips only (``nprobe ≤ bits + 1``); returns a distinct
+    array of cell ids, deterministic under float ties (lower dimension
+    index wins).
+    """
+    if not 1 <= nprobe <= bits + 1:
+        raise ValueError(f"nprobe must be in [1, {bits + 1}], got {nprobe}")
+    cell = ivf_bucket(vec, bits)
+    if nprobe == 1:
+        return F.array(cell.cast("int"))
+    # bit indices 1..bits sorted by |v_i| ascending (ties: lower index)
+    idxs = F.sequence(F.lit(1), F.lit(bits))
+
+    def _cmp(a: F.Column, b: F.Column) -> F.Column:
+        aa, bb = F.abs(F.element_at(vec, a)), F.abs(F.element_at(vec, b))
+        return (
+            F.when(aa < bb, F.lit(-1)).when(aa > bb, F.lit(1)).otherwise((a - b).cast("int"))
+        )
+
+    flips = F.slice(F.array_sort(idxs, _cmp), 1, nprobe - 1)
+    # bit i (1-based, MSB-first) carries weight 2^(bits - i)
+    masks = F.array(*[F.lit(1 << (bits - j)) for j in range(1, bits + 1)])
+    alt = F.transform(flips, lambda i: cell.bitwiseXOR(F.element_at(masks, i)).cast("int"))
+    return F.concat(F.array(cell.cast("int")), alt)
+
+
 def _q_x4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     return ann_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
@@ -119,6 +153,50 @@ def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def _q_x4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``x4_ivf_topk`` with nprobe=2: each query also scores the cell
+    across its least-confident quantizer boundary (see
+    ``ivf_probe_cells``). The probe set explodes to nprobe rows per
+    query BEFORE the broadcast, so the candidate-side plan is the same
+    single equi-join on the cell id — at corpus scale, with the index
+    partitioned by cell, each extra probe is one more pruned partition
+    read, never a wider scan. Probe cells are distinct, so no
+    (query, neighbor) pair is scored twice and the top-k window needs
+    no dedup."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    dv = to_double(F.col("embedding"))
+    unit = (
+        emb.select("vec_id", "embedding", dv.alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            "vec_id",
+            "embedding",
+            ivf_bucket(F.col("embedding")).alias("cell"),
+            normalized(F.col("__v"), F.col("__n")).alias("uv"),
+        )
+    )
+    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uv").alias("qv"),
+        F.explode(ivf_probe_cells(F.col("embedding"), nprobe=2)).alias("pcell"),
+    )
+    c = unit.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("uv").alias("cv"),
+        F.col("cell").alias("ccell"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("ccell") == F.col("pcell")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -260,22 +338,32 @@ def _q_x4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides are the registered queries themselves, so the recall
     audit exercises exactly the plans users run. The comparison join
     is |queries|·k rows — negligible at any corpus scale; the cost is
-    the two top-k runs it audits."""
+    the top-k runs it audits. Measures BOTH probe depths so the
+    nprobe dial's recall lift is a recorded number, not a claim."""
     brute = _q_x4_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = _q_x4_ivf_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
+    mp = _q_x4_ivf_multiprobe(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit_mp")
+    )
     return (
         brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .join(mp, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.sum(F.coalesce(F.col("__hit_mp"), F.lit(0))).cast("bigint").alias("n_hits_mp"),
+        )
         .withColumn("recall", F.col("n_hits").cast("double") / F.lit(TOP_K))
+        .withColumn("recall_mp", F.col("n_hits_mp").cast("double") / F.lit(TOP_K))
     )
 
 
 QUERIES = {
     "x4_cosine_topk": _q_x4_cosine_topk,
     "x4_ivf_topk": _q_x4_ivf_topk,
+    "x4_ivf_multiprobe": _q_x4_ivf_multiprobe,
 }
 
 QUERIES_EXT = {
@@ -335,6 +423,38 @@ ORACLES = {
             FROM scored
         ) WHERE rank <= {TOP_K}
     """,
+    # nprobe=2: own cell + the cell across the least-|v| sign boundary
+    # (first 3 dims; list_position takes the FIRST min — same low-index
+    # tie-break as the Spark comparator)
+    "x4_ivf_multiprobe": f"""
+        WITH cells AS (
+            SELECT vec_id, embedding,
+                   list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v,
+                   (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+            FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS raw FROM embeddings)
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, cell AS qcell,
+                   xor(cell, 1 << (3 - list_position(
+                       list_transform(embedding[1:3], x -> abs(x)),
+                       list_min(list_transform(embedding[1:3], x -> abs(x)))))) AS qcell2
+            FROM cells WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS neighbor_id, v AS cv, cell AS ccell FROM cells
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id, list_dot_product(q.qv, c.cv) AS cos_sim
+            FROM c JOIN q
+              ON (c.ccell = q.qcell OR c.ccell = q.qcell2)
+             AND c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
 }
 
 
@@ -384,15 +504,22 @@ ORACLES_EXT = {
     # registered top-k oracles nest verbatim
     "x4_ivf_recall": f"""
         WITH brute AS (SELECT * FROM ({ORACLES["x4_cosine_topk"]})),
-             ivf AS (SELECT * FROM ({ORACLES["x4_ivf_topk"]}))
+             ivf AS (SELECT * FROM ({ORACLES["x4_ivf_topk"]})),
+             mp AS (SELECT * FROM ({ORACLES["x4_ivf_multiprobe"]}))
         SELECT b.query_id,
                CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_hits,
+               CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits_mp,
                CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                   / {TOP_K} AS recall
+                   / {TOP_K} AS recall,
+               CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {TOP_K} AS recall_mp
         FROM brute b
         LEFT JOIN ivf i
           ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        LEFT JOIN mp m
+          ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
         GROUP BY b.query_id
     """,
 }

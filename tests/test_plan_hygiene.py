@@ -105,6 +105,7 @@ _ALLOWED_HINTED = {
     "q22_inactive_customers",
     "x4_cosine_topk",
     "x4_ivf_topk",
+    "x4_ivf_multiprobe",  # same bounded query batch, exploded ×nprobe
     "x4_ivf_indexed",
     "x4_kmeans_cells",
     "x4_ivf_recall",

@@ -158,3 +158,51 @@ def test_ivf_indexed_prunes_partitions_and_matches_in_memory(spark):
         "probe scan should carry a dynamic partition-pruning filter on "
         "the cell partition column:\n" + plan[:2000]
     )
+
+
+def test_ivf_probe_cells_invariants(spark):
+    """nprobe=1 is exactly the single cell; nprobe=2 adds one distinct
+    in-range cell differing by exactly one quantizer bit."""
+    from odoo_batch_processing_spark.operators.similarity import (
+        ivf_bucket,
+        ivf_probe_cells,
+    )
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    rows = emb.select(
+        ivf_bucket(F.col("embedding")).alias("cell"),
+        ivf_probe_cells(F.col("embedding"), nprobe=1).alias("p1"),
+        ivf_probe_cells(F.col("embedding"), nprobe=2).alias("p2"),
+        ivf_probe_cells(F.col("embedding"), nprobe=4).alias("p4"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["p1"] == [r["cell"]]
+        assert r["p2"][0] == r["cell"] and len(r["p2"]) == 2
+        assert len(set(r["p4"])) == 4  # all single-bit flips distinct
+        for alt in r["p2"][1:] + r["p4"][1:]:
+            assert 0 <= alt < 8
+            assert bin(alt ^ r["cell"]).count("1") == 1
+
+
+def test_ivf_probe_cells_nprobe_bounds():
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.similarity import ivf_probe_cells
+
+    with pytest.raises(ValueError):
+        ivf_probe_cells(F.col("v"), bits=3, nprobe=5)
+    with pytest.raises(ValueError):
+        ivf_probe_cells(F.col("v"), bits=3, nprobe=0)
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """nprobe=2 must dominate single-probe per query and strictly lift
+    aggregate recall@10 on the fixture (the verdict's acceptance bar)."""
+    from odoo_batch_processing_spark.operators.similarity import _q_x4_ivf_recall
+
+    rows = _q_x4_ivf_recall(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(r["recall_mp"] >= r["recall"] for r in rows)
+    assert sum(r["recall_mp"] for r in rows) > sum(r["recall"] for r in rows)
