@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,25 +37,34 @@ def main() -> int:
     # Warm the JVM + parquet footers once so timings measure the queries.
     next(iter(queries.values()))(spark, sf_dir).count()
 
-    # Host timing is noisy (shared machine): take the best of N reps per
-    # query; one failing query reports -1 instead of killing the bench.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Host timing is noisy (shared 32-core box running 50 Spark jobs
+    # back-to-back; round-2 n=2 runs differed by 23% total). Run each
+    # query >=3 times and report the per-query MEDIAN — robust to a
+    # one-off GC/compaction stall in either direction — keeping every
+    # raw rep in BENCH_LAST_RAW.json so a regression is attributable
+    # to a plan change vs. host noise. One failing query reports -1
+    # instead of killing the bench.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     t_total = time.perf_counter()
     for name, fn in sorted(queries.items()):
-        best = None
+        runs: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
             except Exception as exc:  # surface per-query, keep benching
                 print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
-                best = -1.0
+                runs = [-1.0]
                 break
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 4)
-    total = round(time.perf_counter() - t_total, 4)
+            runs.append(time.perf_counter() - t0)
+        raw[name] = [round(r, 4) for r in runs]
+        timings[name] = round(statistics.median(runs), 4)
+    loop_wall = round(time.perf_counter() - t_total, 4)
+    # headline = sum of per-query medians (NOT the loop wall, which
+    # scales with reps); loop wall is recorded in the raw file
+    total = round(sum(t for t in timings.values() if t > 0), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -67,7 +77,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
+        "stat": "median",
     }
+    with open(os.path.join(REPO_ROOT, "BENCH_LAST_RAW.json"), "w") as fh:
+        json.dump({"reps": reps, "loop_wall": loop_wall, "runs": raw}, fh)
+        fh.write("\n")
     # Compact separators keep the line short enough to survive the
     # driver's bounded stdout-tail capture (round 1 lost the line's
     # head to truncation); the file copy is the lossless record.
