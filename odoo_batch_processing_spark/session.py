@@ -62,6 +62,45 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Set to 1/true for cluster runs: every lineage cut becomes a RELIABLE
+#: checkpoint (written to the fault-tolerant checkpoint dir) instead of
+#: a localCheckpoint.
+RELIABLE_CHECKPOINT_ENV = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def truncate_lineage(df):
+    """Cut the logical lineage of an iterative / reused DataFrame
+    (chain as ``df.transform(truncate_lineage)``).
+
+    Default is ``localCheckpoint``: blocks live in executor storage,
+    no distributed-FS round-trip — the right speed trade-off
+    single-node and for restartable batch jobs. Its cost on a real
+    cluster: the blocks are NOT fault-tolerant, so losing one executor
+    makes every downstream stage unrecoverable and kills the job.
+
+    For cluster runs where that is unacceptable (long CC iterations,
+    spot/preemptible executors), set ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``:
+    cuts become reliable ``checkpoint()`` writes to the checkpoint dir
+    (``SPARK_GRAFT_CHECKPOINT_DIR``, which on a cluster must be shared
+    storage, e.g. an HDFS/S3 path; defaults to a local temp dir) —
+    slower by one write+read per cut, identical results. Flag is read
+    per cut, so one process can compare both paths
+    (tests/test_checkpoint_modes.py proves result equality).
+    """
+    if os.environ.get(RELIABLE_CHECKPOINT_ENV, "").lower() in ("1", "true", "yes"):
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(
+                os.environ.get(CHECKPOINT_DIR_ENV)
+                or tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def get_spark(
     app_name: str = "odoo-batch-processing-spark",
     cpus: int | None = None,

@@ -24,6 +24,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from odoo_batch_processing_spark.session import truncate_lineage
+
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
 
@@ -111,8 +113,10 @@ def merge_into_partitioned(
     3. union the updates and overwrite in ``partitionOverwriteMode=
        dynamic`` — untouched partitions are never read or written.
 
-    Cost is O(touched partitions), not O(table). ``localCheckpoint``
-    cuts the lineage back to ``target_dir`` so Spark permits writing a
+    Cost is O(touched partitions), not O(table). The lineage cut
+    (``session.truncate_lineage`` — localCheckpoint, or reliable
+    checkpoint under ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``)
+    detaches the plan from ``target_dir`` so Spark permits writing a
     path that fed the plan (self-overwrite guard); the materialized set
     is bounded by the touched partitions. On a real deployment the same
     call maps 1:1 onto Delta/Iceberg ``MERGE INTO`` (ACID, no
@@ -123,7 +127,7 @@ def merge_into_partitioned(
         updates.select(partition_by).distinct(), on=partition_by, how="left_semi"
     )
     remain = touched.join(updates.select(key), on=key, how="left_anti")
-    merged = remain.unionByName(updates.select(*remain.columns)).localCheckpoint(eager=True)
+    merged = remain.unionByName(updates.select(*remain.columns)).transform(truncate_lineage)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
