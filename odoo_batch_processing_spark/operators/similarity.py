@@ -280,10 +280,11 @@ def kmeans_medoid_cells(
     and DuckDB's sequential scan would drift in the last ulp and the
     oracle hash would be meaningless. Member-pick keeps every centroid
     an EXISTING unit vector — bit-identical across engines — while
-    exercising the identical iterate-assign-update dataflow. Production
-    swap-in: Lloyd's mean update with tolerance-based (not hash-based)
-    verification, k-means|| init, and localCheckpoint between
-    iterations to truncate the unrolled lineage.
+    exercising the identical iterate-assign-update dataflow. The
+    production swap-in IS built: :func:`kmeans_lloyd_cells` (mean
+    update + renormalize, tolerance-checked convergence, lineage cut
+    per iteration), verified by the spherical-k-means monotonicity
+    invariant instead of a cross-engine hash.
 
     Returns the final assignment: (vec_id, cell, uv) where cell is the
     medoid's vec_id — at write time this becomes a partition column, so
@@ -317,6 +318,90 @@ def kmeans_medoid_cells(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", "uv")
     )
+
+
+def kmeans_lloyd_cells(
+    unit_df: DataFrame,
+    k: int = K_CELLS,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+) -> tuple[DataFrame, list[float]]:
+    """Spherical k-means with the PRODUCTION Lloyd's-mean update — the
+    documented swap-in for :func:`kmeans_medoid_cells` (which stays the
+    oracle-checkable form; a float mean depends on accumulation order,
+    so this variant is verified by TOLERANCE, not cross-engine hash —
+    tests/test_similarity_multimodal.py asserts the spherical-k-means
+    monotonicity invariant instead).
+
+    Per iteration: (1) assign each vector to the argmax-dot centroid
+    (k-row broadcast, bounded nested-loop — free at any scale); (2)
+    move each centroid to the RENORMALIZED MEAN of its members —
+    elementwise mean via posexplode + (cell, pos) agg, two narrow
+    shuffles of n·d scalar rows, the scale-standard shape for wide
+    array aggregation; (3) stop when every centroid moved less than
+    ``tol`` in cosine distance. Convergence is checked driver-side on
+    the k-row centroid table (a k-row collect per iteration — the same
+    driver-side convergence pattern as the CC loop in dedup.py), and
+    ``truncate_lineage`` cuts the per-iteration plan growth.
+
+    Returns (final assignment (vec_id, cell, uv), per-iteration max
+    centroid movement). Cells are dense ids 0..k-1 from the init order;
+    an empty cell keeps its previous centroid (no member rows → no mean
+    row → left join keeps the old vector).
+    """
+    from odoo_batch_processing_spark.session import truncate_lineage
+
+    cent = unit_df.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("uv").alias("cv")
+    )
+    history: list[float] = []
+    for _ in range(max_iters):
+        scored = unit_df.join(F.broadcast(cent)).withColumn(
+            "sim", dot(F.col("uv"), F.col("cv"))
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "uv")
+        )
+        means = (
+            assign.select("cell", F.posexplode("uv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("mv"))
+        )
+        new_cent = (
+            cent.join(means, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(
+                    normalized(F.col("mv"), norm(F.col("mv"))), F.col("cv")
+                ).alias("cv"),
+                F.col("cv").alias("old_cv"),
+            )
+            .transform(truncate_lineage)
+        )
+        # k rows: driver-side convergence check, same as CC's loop guard
+        moved = new_cent.select(
+            F.max(F.lit(1.0) - dot(F.col("cv"), F.col("old_cv"))).alias("mx")
+        ).collect()[0]["mx"]
+        history.append(float(moved))
+        cent = new_cent.select("cell", "cv")
+        if moved < tol:
+            break
+    scored = unit_df.join(F.broadcast(cent)).withColumn(
+        "sim", dot(F.col("uv"), F.col("cv"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    final = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "uv")
+    )
+    return final, history
 
 
 def _q_x4_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

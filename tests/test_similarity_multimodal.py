@@ -206,3 +206,51 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert rows
     assert all(r["recall_mp"] >= r["recall"] for r in rows)
     assert sum(r["recall_mp"] for r in rows) > sum(r["recall"] for r in rows)
+
+
+def _lloyd_unit(spark, sf):
+    from odoo_batch_processing_spark.operators.similarity import _unit
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    return _unit(load_table(spark, sf, "embeddings"), "vec_id", "uv", "vec_id", "embedding")
+
+
+def _lloyd_objective(rows):
+    """Spherical k-means objective J(A) = Σ_cells ‖Σ_members uv‖ —
+    computable from the assignment alone (optimal centroid for a fixed
+    assignment is the renormalized mean)."""
+    import numpy as np
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(np.asarray(r["uv"]))
+    return sum(float(np.linalg.norm(np.sum(vs, axis=0))) for vs in by_cell.values())
+
+
+def test_kmeans_lloyd_objective_monotone(spark):
+    """Lloyd iterations must not decrease the spherical objective —
+    the tolerance-based correctness check for the mean-update variant
+    (hash-checking a float mean is meaningless across engines)."""
+    from odoo_batch_processing_spark.operators.similarity import kmeans_lloyd_cells
+
+    unit = _lloyd_unit(spark, "/root/testdata/sf0.01")
+    objs = []
+    for iters in (1, 2, 3):
+        final, _ = kmeans_lloyd_cells(unit, k=8, max_iters=iters, tol=0.0)
+        objs.append(_lloyd_objective(final.collect()))
+    assert objs[0] <= objs[1] + 1e-6 and objs[1] <= objs[2] + 1e-6, objs
+
+
+def test_kmeans_lloyd_converges_and_is_stable(spark):
+    from odoo_batch_processing_spark.operators.similarity import kmeans_lloyd_cells
+
+    unit = _lloyd_unit(spark, "/root/testdata/sf0.01")
+    final, history = kmeans_lloyd_cells(unit, k=8, max_iters=25, tol=1e-6)
+    assert history[-1] < 1e-6, f"did not converge: {history}"
+    assert len(history) < 25
+    a = sorted((r["vec_id"], r["cell"]) for r in final.collect())
+    final2, _ = kmeans_lloyd_cells(unit, k=8, max_iters=25, tol=1e-6)
+    b = sorted((r["vec_id"], r["cell"]) for r in final2.collect())
+    assert a == b  # deterministic end-to-end
+    # every vector keeps a valid dense cell id
+    assert {c for _, c in a} <= set(range(8))
