@@ -377,6 +377,82 @@ def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+#: sustained-rate run: rows/s the rate source generates, and how long
+#: the query is left running (env-tunable so CI can shorten it)
+RATE_ROWS_PER_SEC = 1000
+RATE_RUN_SECONDS = float(os.environ.get("SPARK_GRAFT_RATE_SECONDS", "10"))
+_RATE_KEYS = 100
+
+
+def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-rate evidence: the built-in ``rate`` source generates
+    exactly RATE_ROWS_PER_SEC rows/s for ~RATE_RUN_SECONDS through a
+    stateful per-key aggregation (update mode). Unlike the file-based
+    ``s_*`` runs (≤4 micro-batches, then done), this demonstrates the
+    engine KEEPING UP with a continuous producer: if processing were
+    slower than the source, input backlog would grow and the achieved
+    ingest rate would fall below the configured rate.
+
+    Asserted in-query (fail = exception, driver-visible):
+    * achieved rate ≥ 70% of configured (slack for ramp-up/trigger
+      boundaries on a shared box);
+    * state bounded: the aggregation keys on value % 100, so the state
+      store must hold ≤ 100 rows no matter how long the run.
+
+    Rows-only check by design: wall-clock throughput is inherently
+    nondeterministic, so the returned row carries the booleans and the
+    configuration, not raw timings. ``sf_dir`` is unused (source is
+    synthetic) — present for the uniform catalog signature.
+    """
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", RATE_ROWS_PER_SEC)
+        .option("numPartitions", 2)
+        .load()
+        .withColumn("key", F.pmod(F.col("value"), F.lit(_RATE_KEYS)).cast("int"))
+    )
+    counts = stream.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    name = _mem_name("s_rate")
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = time.time() + RATE_RUN_SECONDS
+        while time.time() < deadline:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    progresses = [p for p in q.recentProgress if p is not None]
+    data_batches = [p for p in progresses if p["numInputRows"] > 0]
+    rows_in = sum(p["numInputRows"] for p in data_batches)
+    # span: first to last data batch timestamp (ISO8601, driver clock)
+    achieved = rows_in / max(RATE_RUN_SECONDS, 1e-9)
+    state_rows = max(
+        (op["numRowsTotal"] for p in data_batches for op in p["stateOperators"]),
+        default=0,
+    )
+    assert rows_in > 0, "rate source produced no rows"
+    assert achieved >= 0.7 * RATE_ROWS_PER_SEC, (
+        f"fell behind the source: {achieved:.0f} rows/s < "
+        f"0.7 × {RATE_ROWS_PER_SEC} configured"
+    )
+    assert state_rows <= _RATE_KEYS, f"state not bounded: {state_rows} rows"
+    row = [
+        (
+            RATE_ROWS_PER_SEC,
+            int(len(data_batches)),
+            True,  # met_rate — asserted above
+            True,  # state_bounded — asserted above
+        )
+    ]
+    return spark.createDataFrame(
+        row, "configured_rate bigint, n_batches int, met_rate boolean, state_bounded boolean"
+    )
+
+
 # streaming sessionization: real capability, but its windowing surface
 # is already driver-covered by s_x7_stream_hourly (streaming windows) +
 # x7_sessionize (session semantics); keep it oracle-checked in the
@@ -384,6 +460,8 @@ def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_EXT = {
     "s_session_window": _with_stream_shuffle(_q_s_session_window),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
+    # rows-only by design: wall-clock throughput is nondeterministic
+    "s_rate_throughput": _with_stream_shuffle(_q_s_rate_throughput),
 }
 
 ORACLES = {

@@ -10,6 +10,8 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 EVENTS_DDL = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"
@@ -138,3 +140,13 @@ def test_r17_progress_multi_batch(spark, tmp_path):
     assert pcts and pcts[-1] == 100
     assert pcts == sorted(pcts)  # monotone like the reference's bar (user.js:469)
     assert len([p for p in pcts if p > 0]) >= 2  # genuinely multi-batch
+
+
+def test_s_rate_throughput_sustained(spark):
+    """The rate-source run must keep up with its configured rows/s and
+    hold bounded state (the in-query asserts raise on violation)."""
+    from odoo_batch_processing_spark.streaming.queries import _q_s_rate_throughput
+
+    row = _q_s_rate_throughput(spark, SF_SMOKE).collect()[0]
+    assert row["met_rate"] and row["state_bounded"]
+    assert row["n_batches"] >= 2  # genuinely multi-batch, not one gulp
