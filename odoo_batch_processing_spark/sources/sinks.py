@@ -75,6 +75,9 @@ def write_roundtrip(
     if fmt == "json":
         writer.json(out)
         return spark.read.schema(df.schema).json(out)
+    if fmt == "orc":
+        writer.orc(out)
+        return spark.read.schema(df.schema).orc(out)
     raise ValueError(f"unsupported sink format {fmt!r}")
 
 
@@ -202,6 +205,27 @@ def _q_src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as an interchange SOURCE (Spark-native columnar sibling of
+    parquet — common when ingesting from Hive-era warehouses): part
+    staged to ORC, read back with the declared schema, aggregated per
+    brand. Same lossless-roundtrip contract as the JSONL/CSV queries:
+    the oracle aggregates the ORIGINAL table, so any encode/decode
+    drift (including double retailprice bits) fails the hash."""
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    back = write_roundtrip(part, "orc")
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("p_size").cast("bigint").alias("sum_size"),
+        F.sum("p_retailprice").alias("sum_price"),
+        F.max("p_partkey").cast("bigint").alias("max_part"),
+    )
+
+
 QUERIES = {"r21_merge": _q_r21_merge}
 
 ORACLES = {
@@ -221,6 +245,7 @@ QUERIES_EXT = {
     "r21_sink_roundtrip": _q_r21_sink_roundtrip,
     "src_jsonl_roundtrip": _q_src_jsonl_roundtrip,
     "src_csv_roundtrip": _q_src_csv_roundtrip,
+    "src_orc_roundtrip": _q_src_orc_roundtrip,
 }
 
 # identical to r07: the sink must not change the relation
@@ -246,5 +271,13 @@ ORACLES_EXT = {
                CAST(COUNT(1) AS BIGINT) AS n_cust,
                SUM(c_acctbal) AS sum_bal
         FROM customer GROUP BY c_nationkey
+    """,
+    "src_orc_roundtrip": """
+        SELECT p_brand,
+               CAST(COUNT(1) AS BIGINT) AS n_parts,
+               CAST(SUM(p_size) AS BIGINT) AS sum_size,
+               SUM(p_retailprice) AS sum_price,
+               CAST(MAX(p_partkey) AS BIGINT) AS max_part
+        FROM part GROUP BY p_brand
     """,
 }
