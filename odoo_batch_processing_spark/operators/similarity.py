@@ -259,6 +259,54 @@ def _q_x4_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_x4_ivf_indexed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe=2 against the WRITE-TIME partitioned index — the
+    composition that actually runs at corpus scale: the exploded probe
+    set (query cell + least-confident-boundary cell) joins the
+    ``cell``-partitioned index on the partition column, so dynamic
+    partition pruning turns the probe set into a runtime
+    PartitionFilter and the scan lists exactly the probed ``cell=``
+    directories — nprobe× the directories of single-probe, never a
+    wider scan. Same output contract and oracle as x4_ivf_multiprobe;
+    only the physical access path differs."""
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    dv = to_double(F.col("embedding"))
+    unit = (
+        emb.select("vec_id", "embedding", dv.alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            "vec_id",
+            "embedding",
+            ivf_bucket(F.col("embedding")).alias("cell"),
+            normalized(F.col("__v"), F.col("__n")).alias("uv"),
+        )
+    )
+    path = scratch_dir("ivf-mp-index")
+    write_ivf_index(unit.select("vec_id", "cell", "uv"), path)
+    idx = spark.read.parquet(path)
+    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uv").alias("qv"),
+        F.explode(ivf_probe_cells(F.col("embedding"), nprobe=2)).alias("pcell"),
+    )
+    scored = (
+        idx.join(
+            F.broadcast(q),
+            (idx["cell"] == F.col("pcell")) & (idx["vec_id"] != F.col("query_id")),
+        )
+        .withColumn("cos_sim", dot(F.col("qv"), idx["uv"]))
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 K_CELLS = 8
 KMEANS_ITERS = 2
 
@@ -454,6 +502,7 @@ QUERIES = {
 QUERIES_EXT = {
     "x4_kmeans_cells": _q_x4_kmeans_cells,
     "x4_ivf_indexed": _q_x4_ivf_indexed,
+    "x4_ivf_indexed_multiprobe": _q_x4_ivf_indexed_multiprobe,
     "x4_ivf_recall": _q_x4_ivf_recall,
 }
 
@@ -585,6 +634,7 @@ ORACLES_EXT = {
     # identical output contract to the in-memory cell-restricted scan —
     # only the physical access path (partitioned index + pruning) differs
     "x4_ivf_indexed": ORACLES["x4_ivf_topk"],
+    "x4_ivf_indexed_multiprobe": ORACLES["x4_ivf_multiprobe"],
     # DuckDB allows a CTE inside a parenthesized subquery, so the two
     # registered top-k oracles nest verbatim
     "x4_ivf_recall": f"""

@@ -107,6 +107,7 @@ _ALLOWED_HINTED = {
     "x4_ivf_topk",
     "x4_ivf_multiprobe",  # same bounded query batch, exploded ×nprobe
     "x4_ivf_indexed",
+    "x4_ivf_indexed_multiprobe",
     "x4_kmeans_cells",
     "x4_ivf_recall",
 }

@@ -160,6 +160,28 @@ def test_ivf_indexed_prunes_partitions_and_matches_in_memory(spark):
     )
 
 
+def test_ivf_indexed_multiprobe_prunes_and_matches_in_memory(spark):
+    """Multi-probe against the partitioned index: same result as the
+    in-memory nprobe=2 query, still dynamic-partition-pruned (the
+    exploded probe set must become a runtime PartitionFilter, not a
+    full index scan)."""
+    from odoo_batch_processing_spark.operators.similarity import (
+        _q_x4_ivf_indexed_multiprobe,
+        _q_x4_ivf_multiprobe,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    indexed = _q_x4_ivf_indexed_multiprobe(spark, sf)
+    in_mem = {tuple(r) for r in _q_x4_ivf_multiprobe(spark, sf).collect()}
+    got = {tuple(r) for r in indexed.collect()}
+    assert got == in_mem and got
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "multi-probe scan should stay partition-pruned:\n" + plan[:2000]
+    )
+
+
 def test_ivf_probe_cells_invariants(spark):
     """nprobe=1 is exactly the single cell; nprobe=2 adds one distinct
     in-range cell differing by exactly one quantizer bit."""
