@@ -76,7 +76,9 @@ def build_corpus(spark, sf_dir: str, mult: int, out: str) -> int:
 STAGES = (
     "x3_minhash_lsh",
     "x3_neardup_survivors",
+    "x3_incremental_neardup",  # batch (top decile) grows with corpus → ~linear
     "x4_cosine_topk",
+    "x4_ivf_multiprobe",
     "x9_curation_pipeline",
 )
 
