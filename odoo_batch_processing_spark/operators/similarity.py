@@ -312,8 +312,11 @@ KMEANS_ITERS = 2
 
 
 def kmeans_medoid_cells(
-    unit_df: DataFrame, k: int = K_CELLS, iters: int = KMEANS_ITERS
-) -> DataFrame:
+    unit_df: DataFrame,
+    k: int = K_CELLS,
+    iters: int = KMEANS_ITERS,
+    return_centroids: bool = False,
+):
     """Iterative coarse-quantizer training as pure DataFrame ops — the
     'real centroids' upgrade over ivf_bucket's sign-bit stand-in.
 
@@ -361,10 +364,64 @@ def kmeans_medoid_cells(
         "sim", dot(F.col("uv"), F.col("cv"))
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
-    return (
+    final = (
         scored.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", "uv")
+    )
+    if return_centroids:
+        return final, cent
+    return final
+
+
+IVF_TRAINED_NPROBE = 2
+
+
+def _q_x4_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trained-IVF deployment shape, end to end: train coarse
+    cells (medoid k-means — hash-checkable), write the corpus
+    PARTITIONED BY trained cell, rank centroids per query, probe the
+    nprobe(=2) best cells, exact top-k inside them. This is what an
+    ANN service actually runs at 100 TB: training is a bounded k-row
+    iteration, the index write is one shuffle at ingest, and each
+    query batch touches nprobe cell directories of the index — the
+    corpus is never rescanned. The oracle restates the whole chain
+    (unrolled training CTEs + centroid ranking + probe + top-k), so
+    train→index→probe is certified as ONE contract, not three pieces.
+    """
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    unit = _unit(emb, "vec_id", "uv", "vec_id", "embedding")
+    assign, cent = kmeans_medoid_cells(unit, return_centroids=True)
+    path = scratch_dir("ivf-trained-index")
+    write_ivf_index(assign, path)
+    idx = spark.read.parquet(path).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"), "uv"
+    )
+    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("uv").alias("qv")
+    )
+    ranked = q.join(F.broadcast(cent)).withColumn("csim", dot(F.col("qv"), F.col("cv")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    probes = (
+        ranked.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_TRAINED_NPROBE)
+        .select("query_id", "qv", F.col("cell").cast("bigint").alias("pcell"))
+    )
+    scored = (
+        idx.join(
+            F.broadcast(probes),
+            (idx["cell"] == F.col("pcell")) & (idx["vec_id"] != F.col("query_id")),
+        )
+        .withColumn("cos_sim", dot(F.col("qv"), idx["uv"]))
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
 
 
@@ -503,6 +560,7 @@ QUERIES_EXT = {
     "x4_kmeans_cells": _q_x4_kmeans_cells,
     "x4_ivf_indexed": _q_x4_ivf_indexed,
     "x4_ivf_indexed_multiprobe": _q_x4_ivf_indexed_multiprobe,
+    "x4_ivf_trained_topk": _q_x4_ivf_trained_topk,
     "x4_ivf_recall": _q_x4_ivf_recall,
 }
 
@@ -592,9 +650,11 @@ ORACLES = {
 }
 
 
-def _kmeans_oracle_sql(k: int = K_CELLS, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_cte_prefix(k: int = K_CELLS, iters: int = KMEANS_ITERS) -> str:
     """Unroll the assign→medoid-update loop into chained CTEs — the SQL
-    restatement of kmeans_medoid_cells, iteration for iteration."""
+    restatement of kmeans_medoid_cells, iteration for iteration,
+    ending with ``final`` (the assignment) and ``cent{iters}`` (the
+    trained centroid table) available to the caller's SELECT."""
     parts = [f"WITH unit AS ({_UNIT}),", f"cent0 AS (SELECT vec_id AS cell, uv AS cv FROM unit WHERE vec_id < {k})"]
     for i in range(iters):
         parts.append(
@@ -622,15 +682,54 @@ def _kmeans_oracle_sql(k: int = K_CELLS, iters: int = KMEANS_ITERS) -> str:
                             ORDER BY list_dot_product(u.uv, c.cv) DESC, c.cell) AS rn
                 FROM unit u CROSS JOIN cent{iters} c
             ) WHERE rn = 1
-        )
-        SELECT cell, CAST(COUNT(1) AS BIGINT) AS n_members
-        FROM final GROUP BY cell"""
+        )"""
     )
     return "\n".join(parts)
 
 
+def _kmeans_oracle_sql(k: int = K_CELLS, iters: int = KMEANS_ITERS) -> str:
+    return (
+        _kmeans_cte_prefix(k, iters)
+        + "\nSELECT cell, CAST(COUNT(1) AS BIGINT) AS n_members FROM final GROUP BY cell"
+    )
+
+
+def _trained_topk_oracle_sql(
+    k: int = K_CELLS, iters: int = KMEANS_ITERS, nprobe: int = IVF_TRAINED_NPROBE
+) -> str:
+    """x4_ivf_trained_topk restated end to end: training CTEs, then
+    centroid ranking per query, probe of the nprobe best cells, exact
+    top-k inside them."""
+    return (
+        _kmeans_cte_prefix(k, iters)
+        + f""", q AS (
+            SELECT vec_id AS query_id, uv AS qv FROM unit WHERE vec_id < {N_QUERIES}
+        ), probes AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell) AS rn
+                FROM q CROSS JOIN cent{iters} c
+            ) WHERE rn <= {nprobe}
+        ), scored AS (
+            SELECT p.query_id, f.vec_id AS neighbor_id,
+                   list_dot_product(p.qv, u.uv) AS cos_sim
+            FROM probes p
+            JOIN final f ON f.cell = p.cell AND f.vec_id <> p.query_id
+            JOIN unit u ON u.vec_id = f.vec_id
+        )
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}"""
+    )
+
+
 ORACLES_EXT = {
     "x4_kmeans_cells": _kmeans_oracle_sql(),
+    "x4_ivf_trained_topk": _trained_topk_oracle_sql(),
     # identical output contract to the in-memory cell-restricted scan —
     # only the physical access path (partitioned index + pruning) differs
     "x4_ivf_indexed": ORACLES["x4_ivf_topk"],

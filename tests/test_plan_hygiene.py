@@ -43,6 +43,9 @@ _ALLOWED_NESTED_LOOP = {
     # the new-batch threshold is a ONE-row aggregate (same free scalar
     # shape as q22/q11/q15)
     "x3_incremental_neardup",
+    # trains via the same bounded k-row centroid cross-join as
+    # x4_kmeans_cells, then probes with a bounded query batch
+    "x4_ivf_trained_topk",
 }
 
 
@@ -108,6 +111,7 @@ _ALLOWED_HINTED = {
     "x4_ivf_multiprobe",  # same bounded query batch, exploded ×nprobe
     "x4_ivf_indexed",
     "x4_ivf_indexed_multiprobe",
+    "x4_ivf_trained_topk",
     "x4_kmeans_cells",
     "x4_ivf_recall",
 }
