@@ -150,3 +150,66 @@ def test_s_rate_throughput_sustained(spark):
     row = _q_s_rate_throughput(spark, SF_SMOKE).collect()[0]
     assert row["met_rate"] and row["state_bounded"]
     assert row["n_batches"] >= 2  # genuinely multi-batch, not one gulp
+
+
+def test_dedup_within_watermark_expires_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is the BOUNDED-state form of the
+    streaming dedup (s_x2_stream_dedup's docstring contract): a dup
+    arriving while the key's state lives is dropped; once the
+    watermark passes key-ts + delay, the state is evicted and a later
+    copy is re-emitted. Three widely-separated micro-batches (1 file
+    per trigger) make eviction deterministic:
+
+    * batch A (t≈0h)  : keys 1, 2 — both emit (first occurrences)
+    * batch B (t=10h) : keys 2, 3 — key 2's A-state is live, dropped
+    * batch C (t=20h) / batch D (t=30h): repeats of keys 1 and 3.
+
+    The API contract is one-directional: duplicates arriving within
+    the delay are DEFINITELY dropped; eviction beyond it is
+    best-effort (Spark evicts with a batch or two of lag). So the
+    assertions pin (a) every first occurrence emits, (b) every
+    within-delay duplicate is dropped, and (c) key 1 re-emits by
+    batch D — state WAS evicted, i.e. the state store is bounded by
+    the watermark horizon, which is the property that matters at
+    scale — without over-pinning which exact later batch each
+    re-emission lands in.
+    """
+    from odoo_batch_processing_spark.streaming.sources import change_source
+
+    src = str(tmp_path / "src")
+    hours = 60
+    _write_events_file(spark, src, [(1, _ns(0), 1, "k1", 1.0, "{}"),
+                                    (2, _ns(1), 2, "k2", 1.0, "{}")])
+    _write_events_file(spark, src, [(3, _ns(10 * hours), 2, "k2", 1.0, "{}"),
+                                    (4, _ns(10 * hours + 1), 3, "k3", 1.0, "{}")])
+    _write_events_file(spark, src, [(5, _ns(20 * hours), 1, "k1", 1.0, "{}"),
+                                    (6, _ns(20 * hours + 1), 3, "k3", 1.0, "{}")])
+    _write_events_file(spark, src, [(7, _ns(30 * hours), 1, "k1", 1.0, "{}"),
+                                    (8, _ns(30 * hours + 1), 3, "k3", 1.0, "{}")])
+
+    stream = change_source(spark, src, max_files_per_trigger=1)
+    deduped = (
+        stream.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_type"])
+        .select("event_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["event_id"], r["event_type"]) for r in spark.table("dedup_wm").collect()}
+    # (a) first occurrences always emit
+    assert {(1, "k1"), (2, "k2"), (4, "k3")} <= got, got
+    # (b) the within-delay duplicate is definitely dropped
+    assert (3, "k2") not in got, got
+    # (c) key 1's 30h-later copy re-emitted -> its state was evicted
+    assert (7, "k1") in got, got
+    # nothing emits that wasn't staged as a first/expired occurrence
+    assert got <= {(1, "k1"), (2, "k2"), (4, "k3"), (5, "k1"), (7, "k1"), (8, "k3")}, got
