@@ -540,6 +540,60 @@ def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_x3_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding twin of ``x3_incremental_neardup``: nearest
+    cosine neighbor for each NEW vector (top doc-id decile — today's
+    ingest) against the STANDING corpus, probing only the new
+    vectors' quantizer cells. Old×old pairs are never generated, so
+    daily re-ingest cost is O(batch × cell population), not
+    O(corpus²) — with the write-time cell-partitioned index
+    (similarity.write_ivf_index) each probe is a partition prune.
+    The threshold travels as a 1-row aggregate on a constant key
+    (auto-broadcast; same free scalar shape as x3_incremental)."""
+    from pyspark.sql import Window
+
+    from odoo_batch_processing_spark.functions.vector import dot, norm, normalized
+    from odoo_batch_processing_spark.operators.similarity import ivf_bucket
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    unit = (
+        emb.select(
+            "label",
+            ivf_bucket(F.col("embedding")).alias("subcell"),
+            "vec_id",
+            to_double(F.col("embedding")).alias("__v"),
+        )
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            "label", "subcell", "vec_id", normalized(F.col("__v"), F.col("__n")).alias("uv")
+        )
+        .transform(truncate_lineage)
+    )
+    thresh = unit.agg(
+        F.floor(F.lit(9.0) * F.max("vec_id") / F.lit(10.0)).cast("bigint").alias("t")
+    ).withColumn("__k", F.lit(1))
+    probes = (
+        unit.withColumn("__k", F.lit(1))
+        .join(thresh, "__k")
+        .filter(F.col("vec_id") > F.col("t"))
+        .select("label", "subcell", "vec_id", F.col("uv").alias("va"))
+    )
+    index = unit.select(
+        "label", "subcell", F.col("vec_id").alias("nn_id"), F.col("uv").alias("vb")
+    )
+    scored = (
+        probes.join(index, ["label", "subcell"])
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .withColumn("cos_sim", dot(F.col("va"), F.col("vb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos_sim")
+    )
+
+
 # Core: the deduplicated-relation query (THE exact-dedup semantic) and
 # all four near-dup detectors. Extended: the fingerprint-group
 # intermediate and the trivial DISTINCT projection.
@@ -670,6 +724,7 @@ QUERIES_EXT = {
     "x2_dedup_fingerprint": _q_x2_dedup_fingerprint,
     "x2_distinct_pairs": _q_x2_distinct_pairs,
     "x3_minhash_indexed": _q_x3_minhash_indexed,
+    "x3_incremental_embedding_neardup": _q_x3_incremental_embedding_neardup,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -791,6 +846,31 @@ ORACLES["x3_embedding_neardup"] = """
         SELECT a.vec_id, b.vec_id AS nn_id,
                list_dot_product(a.vec, b.vec) AS cos_sim
         FROM v a JOIN v b
+          ON a.label = b.label AND a.subcell = b.subcell AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nn_id, cos_sim FROM (
+        SELECT vec_id, nn_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+"""
+
+ORACLES_EXT["x3_incremental_embedding_neardup"] = """
+    WITH v AS (
+        SELECT vec_id, label,
+               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS subcell,
+               list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS vec
+        FROM (SELECT vec_id, label, embedding, embedding::DOUBLE[] AS raw FROM embeddings)
+    ),
+    t AS (SELECT CAST(floor(9 * MAX(vec_id) / 10.0) AS BIGINT) AS t FROM embeddings),
+    scored AS (
+        SELECT a.vec_id, b.vec_id AS nn_id,
+               list_dot_product(a.vec, b.vec) AS cos_sim
+        FROM v a
+        JOIN t ON a.vec_id > t.t
+        JOIN v b
           ON a.label = b.label AND a.subcell = b.subcell AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, nn_id, cos_sim FROM (

@@ -43,6 +43,7 @@ _ALLOWED_NESTED_LOOP = {
     # the new-batch threshold is a ONE-row aggregate (same free scalar
     # shape as q22/q11/q15)
     "x3_incremental_neardup",
+    "x3_incremental_embedding_neardup",
     # trains via the same bounded k-row centroid cross-join as
     # x4_kmeans_cells, then probes with a bounded query batch
     "x4_ivf_trained_topk",
