@@ -12,6 +12,7 @@ JVM startup.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -30,6 +31,11 @@ def main() -> int:
     from odoo_batch_processing_spark.registry import all_queries
     from odoo_batch_processing_spark.session import get_spark
 
+    # 48g driver heap: the bench session executes ~150 queries
+    # (50 × 3 reps) including checkpoint-heavy dedup pipelines; the
+    # default 24g runs close enough to the GC ceiling that late-suite
+    # queries see multi-second GC stalls (observed 2-10× rep outliers).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -61,6 +67,11 @@ def main() -> int:
             runs.append(time.perf_counter() - t0)
         raw[name] = [round(r, 4) for r in runs]
         timings[name] = round(statistics.median(runs), 4)
+        # drop Python-side DataFrame refs promptly so the ContextCleaner
+        # unpersists localCheckpoint/cache blocks between queries —
+        # otherwise executor-storage pressure from the dedup pipelines
+        # accumulates across the suite and surfaces as GC-stall outliers
+        gc.collect()
     loop_wall = round(time.perf_counter() - t_total, 4)
     # headline = sum of per-query medians (NOT the loop wall, which
     # scales with reps); loop wall is recorded in the raw file

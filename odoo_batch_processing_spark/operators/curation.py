@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.operators.dedup import cap_hot_buckets, shingles
 from odoo_batch_processing_spark.operators.text import quality_features, tokens
-from odoo_batch_processing_spark.session import truncate_lineage
+from odoo_batch_processing_spark.session import materialize_once
 from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 # ---------------------------------------------------------------------------
@@ -223,7 +223,7 @@ def _q_x9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side — three plan branches that would each re-explode
     doc_sh = docs.select(
         "doc_id", "source", F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh")
-    ).transform(truncate_lineage)
+    ).transform(materialize_once)
     # a shingle present in huge numbers of docs (boilerplate) is a skew
     # bomb on the join key — same guard as the LSH band join; the cap
     # sits far above any fixture shingle frequency, so results are
@@ -360,7 +360,7 @@ def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(passes)
         .filter(hash_bucket(F.col("doc_id")) < F.lit(50))  # wider 50% cut
         .select("doc_id", "source", "text", cols["n_tokens"].alias("n_tokens"))
-        .transform(truncate_lineage)
+        .transform(materialize_once)
     )
     bench_sh = (
         docs.filter(F.col("source") == BENCH_SOURCE)
@@ -373,7 +373,7 @@ def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize: the skew cap below reads the index twice (bucket
         # count + semi-join) and the 5-gram construction dominates the
         # whole pipeline — one shingle pass, not two
-        .transform(truncate_lineage)
+        .transform(materialize_once)
     )
     # same boilerplate-shingle skew guard as _q_x9_decontaminate
     corpus_sh = cap_hot_buckets(corpus_sh, ["sh"], cap=100_000)

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.functions.vector import cosine, to_double
 from odoo_batch_processing_spark.operators.text import fingerprint, tokens
-from odoo_batch_processing_spark.session import truncate_lineage
+from odoo_batch_processing_spark.session import materialize_once, truncate_lineage
 from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 SHINGLE_N = 3
@@ -145,7 +145,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
-    ).transform(truncate_lineage)
+    ).transform(materialize_once)
 
 
 def cap_hot_buckets(
@@ -277,7 +277,7 @@ def lsh_candidate_pairs(band_keys: DataFrame, cap: int = HOT_BUCKET_CAP) -> Data
     the whole signature pipeline (scan → shingle → k min-hashes). The
     relation is |docs|×bands short rows — at corpus scale this is the
     signature index you'd write to a table and reuse."""
-    band_keys = band_keys.transform(truncate_lineage)
+    band_keys = band_keys.transform(materialize_once)
     band_keys = cap_hot_buckets(band_keys, ["band", "band_key"], cap)
     a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -379,7 +379,7 @@ def simhash_neardup_pairs(
     # materialized once: both self-join sides read it, and the
     # upstream signature scan should run once, not twice (the
     # lsh_candidate_pairs convention; |docs|×bands short rows)
-    banded = banded.transform(truncate_lineage)
+    banded = banded.transform(materialize_once)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
     )
@@ -422,7 +422,7 @@ def _q_x3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it: project-collapse would otherwise inline the shingle
     # construction into every one of the k array_min columns (k×
     # re-tokenization — measured ~1.7× end-to-end at sf0.1)
-    sets = _doc_shingle_sets(spark, sf_dir).transform(truncate_lineage)
+    sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
     return lsh_candidate_pairs(minhash_band_keys(sets))
 
 
@@ -462,11 +462,11 @@ def _q_x3_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are then exact-Jaccard verified. The threshold travels
     as a 1-row aggregate joined on a constant key (auto-broadcast by
     the size threshold — no hint, no cross join)."""
-    sets = _doc_shingle_sets(spark, sf_dir).transform(truncate_lineage)
+    sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
     thresh = sets.agg(
         F.floor(F.lit(9.0) * F.max("doc_id") / F.lit(10.0)).cast("bigint").alias("t")
     ).withColumn("__k", F.lit(1))
-    bk = minhash_band_keys(sets).transform(truncate_lineage)
+    bk = minhash_band_keys(sets).transform(materialize_once)
     index_side = cap_hot_buckets(bk, ["band", "band_key"]).select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
     )
@@ -567,7 +567,7 @@ def _q_x3_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> Dat
         .select(
             "label", "subcell", "vec_id", normalized(F.col("__v"), F.col("__n")).alias("uv")
         )
-        .transform(truncate_lineage)
+        .transform(materialize_once)
     )
     thresh = unit.agg(
         F.floor(F.lit(9.0) * F.max("vec_id") / F.lit(10.0)).cast("bigint").alias("t")
@@ -652,7 +652,7 @@ def connected_components(
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .transform(truncate_lineage)
+        .transform(materialize_once)
     )
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     labels = labels.transform(truncate_lineage)
@@ -688,7 +688,7 @@ def _q_x3_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # materialized once: consumed by the signature pipeline AND both
     # sides of the verify join (re-tokenizing the corpus 3× otherwise)
-    sets = _doc_shingle_sets(spark, sf_dir).transform(truncate_lineage)
+    sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
     candidates = lsh_candidate_pairs(minhash_band_keys(sets))
     edges = verify_candidate_pairs(candidates, sets)
     # the propagation loop runs over the PAIR GRAPH only (vertices with
@@ -696,7 +696,7 @@ def _q_x3_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isolated documents join back afterward labeling themselves. At
     # 100 TB this keeps every CC iteration proportional to the dup
     # graph, not the corpus.
-    edges = edges.transform(truncate_lineage)  # LSH + verify runs once, not per CC round
+    edges = edges.transform(materialize_once)  # LSH + verify runs once, not per CC round
     edge_vertices = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .union(edges.select(F.col("doc_b").alias("doc_id")))

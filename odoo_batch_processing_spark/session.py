@@ -101,6 +101,28 @@ def truncate_lineage(df):
     return df.localCheckpoint(eager=True)
 
 
+def materialize_once(df):
+    """Barrier for a fan-out intermediate consumed by several plan
+    branches (chain as ``df.transform(materialize_once)``): persist
+    MEMORY_AND_DISK, so (a) the expensive computation below it runs
+    once, not per branch, and (b) the InMemoryRelation stops Catalyst's
+    project-collapse from inlining that computation into every
+    downstream expression (the k× re-tokenization failure mode).
+
+    Deliberately NOT a checkpoint: lineage is retained, so an executor
+    loss just recomputes the lost blocks — strictly better fault
+    behavior than localCheckpoint for a pure recomputable intermediate,
+    and no eager block-store write job (measured: the eager
+    localCheckpoint at these sites stalled 4-25 s under block-manager /
+    host-I/O pressure where persist stays flat). Use
+    :func:`truncate_lineage` only where the lineage itself must be cut:
+    iterative loops (CC, k-means) and self-overwrite guards.
+    """
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+
+
 def get_spark(
     app_name: str = "odoo-batch-processing-spark",
     cpus: int | None = None,
