@@ -134,13 +134,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exploded (doc_id, shingle) inverted-index relation,
     materialized once: every consumer fans out into several plan
     branches (sizes, hot-bucket cap, both self-join sides), and
-    without the checkpoint each branch re-runs scan+tokenize+explode —
+    without the barrier each branch re-runs scan+tokenize+explode —
     measured 2× end-to-end on x3_ngram_jaccard at sf0.1. At corpus
     scale the same move is writing the shingle index to a table and
     reading it back (the index is reused across the dedup suite), so
     materialize-once is the scale-correct shape, not a local trick.
     The scan is fanned out first so the shingle computation (and the
-    checkpoint layout it freezes) uses every core, not the fixture's
+    cached layout it freezes) uses every core, not the fixture's
     single parquet split."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select(
@@ -409,7 +409,7 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map-side input for minhash signatures and Jaccard verify. No
     materialization needed: unlike the exploded inverted index, each
     consumer reads it in a single scan-local pass. Fanned out so the
-    shingle build (and any checkpoint a caller takes of it) is spread
+    shingle build (and any persist/checkpoint a caller takes of it) is spread
     across the session's cores, not the fixture's one parquet split."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select("doc_id", shingles(F.col("text")).alias("sh_set")).withColumn(
