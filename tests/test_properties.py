@@ -105,3 +105,41 @@ def test_r21_merge_property(spark, tmp_path_factory, base_keys, upd_keys):
     merged = merge_into_partitioned(spark, target_dir, updates, key="k", partition_by="part")
     got = {r["k"]: r["v"] for r in merged.collect()}
     assert got == {**base, **upd}
+
+
+# --- X4 multi-probe: Spark probe cells == pure-Python reference ------------
+def _model_probe_cells(vec: list[float], bits: int = 3, nprobe: int = 2) -> list[int]:
+    cell = sum((1 << (bits - 1 - i)) for i in range(bits) if vec[i] > 0)
+    order = sorted(range(bits), key=lambda i: (abs(vec[i]), i))
+    return [cell] + [cell ^ (1 << (bits - 1 - i)) for i in order[: nprobe - 1]]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=4, max_size=6
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(1, 4),
+)
+@SETTINGS
+def test_ivf_probe_cells_property(spark, vecs, nprobe):
+    from odoo_batch_processing_spark.operators.similarity import ivf_probe_cells
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i int, v array<float>"
+    )
+    got = {
+        r["i"]: list(r["p"])
+        for r in df.select(
+            "i", ivf_probe_cells(F.col("v"), bits=3, nprobe=nprobe).alias("p")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        # float32 storage: model must see the same rounded values Spark reads
+        import struct
+
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        assert got[i] == _model_probe_cells(v32, nprobe=nprobe), (v, nprobe)
