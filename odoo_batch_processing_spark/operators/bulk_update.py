@@ -54,6 +54,49 @@ def with_ordinal(df: DataFrame, order_cols: Sequence[str], ord_col: str = ORD_CO
     return df.withColumn(ord_col, F.row_number().over(w))
 
 
+def distributed_ordinal(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    ord_col: str = ORD_COL,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """:func:`with_ordinal`'s 100 TB form: a global 1-based ordinal
+    with NO single-partition sort node (identical output; the SCALE.md
+    prescription implemented).
+
+    Shape: ``repartitionByRange`` on the order keys (range partitions
+    are key-contiguous, so partition-major order IS global order) →
+    per-partition local ``row_number`` keyed on ``spark_partition_id``
+    → add the cumulative row count of earlier partitions, computed on
+    an ``n_parts``-row offset relation and broadcast back. Every stage
+    that touches data is N-way parallel; the only single-partition
+    work is the running sum over N counter rows. Requires the order
+    key to be unique per row (true for every positional op here —
+    ties could otherwise straddle a range boundary).
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    tagged = df.repartitionByRange(n_parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    local = tagged.withColumn("__rn", F.row_number().over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(ord_col, (F.col("__off") + F.col("__rn")).cast("int"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 # ---------------------------------------------------------------------------
 # R2 — visibility filter (user.js:203, 434)
 # ---------------------------------------------------------------------------
@@ -487,6 +530,33 @@ def _q_r09_zip_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated.select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
+def _q_r09_zip_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r09's positional zip-join rebuilt on :func:`distributed_ordinal`
+    — bit-identical output (same oracle), zero single-partition sorts
+    on the data path. This is the form that survives 100 TB: both
+    ordinals are range-partitioned local sorts plus a broadcast of an
+    n_parts-row offset table, and the ordinal equi-join shuffles
+    normally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    vis = F.col("l_linestatus") == "O"
+    rows_ord = distributed_ordinal(
+        li.filter(vis).select("l_orderkey", "l_linenumber", "l_returnflag"),
+        ["l_orderkey", "l_linenumber"],
+        ord_col="__ord",
+    )
+    vals_ord = distributed_ordinal(
+        part.select("p_partkey", "p_name"), ["p_partkey"], ord_col="__ord"
+    ).select("__ord", "p_name")
+    updated = rows_ord.join(vals_ord, "__ord", "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.col("p_name"), F.col("l_returnflag")).alias("l_returnflag"),
+    )
+    untouched = li.filter(~vis).select("l_orderkey", "l_linenumber", "l_returnflag")
+    return updated.unionByName(untouched)
+
+
 def _q_r10_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return limit_ordered(li, 100, ["l_orderkey", "l_linenumber"]).select(
@@ -589,6 +659,7 @@ QUERIES_EXT = {
     # covered by x5's tokenization and r09's ordered zip; the slot went
     # to x3_incremental_neardup
     "r08_multiline_parse": _q_r08_multiline_parse,
+    "r09_zip_join_scaled": _q_r09_zip_join_scaled,
     "r01_scan_ordinal": _q_r01_scan_ordinal,
     "r03_projection": _q_r03_projection,
     "r05_readonly_any": _q_r05_readonly_any,
@@ -711,3 +782,7 @@ ORACLES_EXT = {
         FROM lineitem GROUP BY l_returnflag
     """,
 }
+
+# identical output contract to the core r09 — only the physical
+# ordinal strategy (range-partitioned, no single-partition sort) differs
+ORACLES_EXT["r09_zip_join_scaled"] = ORACLES["r09_zip_join_update"]

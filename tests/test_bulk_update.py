@@ -259,3 +259,39 @@ def test_bulk_update_run_multivalue(spark, listview):
     assert res.updated.count() == 200  # hidden rows retained
     changed = res.updated.filter(F.col("name").isin(values)).count()
     assert 0 < changed <= 3
+
+
+def test_distributed_ordinal_matches_global_window(spark):
+    """distributed_ordinal must equal with_ordinal bit-for-bit, and its
+    DATA-side sort must be partition-local (the single-partition sort
+    the global window needs may appear only on the n_parts-row offset
+    relation, never under the row-bearing exchange)."""
+    from odoo_batch_processing_spark.operators.bulk_update import (
+        distributed_ordinal,
+        with_ordinal,
+    )
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+    keys = ["l_orderkey", "l_linenumber"]
+    a = {
+        (r["l_orderkey"], r["l_linenumber"]): r["row_ord"]
+        for r in with_ordinal(li, keys).collect()
+    }
+    b = {
+        (r["l_orderkey"], r["l_linenumber"]): r["row_ord"]
+        for r in distributed_ordinal(li, keys, n_parts=8).collect()
+    }
+    assert a == b and len(a) > 0
+
+    plan = distributed_ordinal(li, keys, n_parts=8)._jdf.queryExecution().executedPlan().toString()
+    # the row-bearing path must sort after a range exchange, not after
+    # an Exchange SinglePartition (allowed only for the offsets branch,
+    # which carries no l_linenumber column)
+    import re
+
+    # every Sort over the data columns must be non-global (local sort)
+    data_sorts = re.findall(r"Sort \[[^\]]*l_linenumber[^\]]*\], (\w+)", plan)
+    assert data_sorts and all(g == "false" for g in data_sorts), plan[:3000]
