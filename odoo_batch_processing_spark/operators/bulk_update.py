@@ -90,8 +90,12 @@ def distributed_ordinal(
         .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
         .select("__pid", "__off")
     )
+    # no broadcast hint: offsets is n_parts rows, so the size threshold
+    # (or AQE at runtime) picks the broadcast on its own — and the
+    # engine's hint policy forbids hints on subtrees rooted in
+    # SF-scaling scans (tests/test_plan_hygiene.py walks the leaves)
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        local.join(offsets, "__pid")
         .withColumn(ord_col, (F.col("__off") + F.col("__rn")).cast("int"))
         .drop("__pid", "__rn", "__off")
     )
