@@ -377,6 +377,39 @@ def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the enrichment shape of a 100 TB ingest
+    path: a streaming fact (events) inner-joins a STATIC dimension
+    (customer) with no watermark or state store (the static side is
+    re-planned per micro-batch, broadcast under the size threshold;
+    at scale a slowly-changing dim becomes a Delta table the batch
+    re-reads). Aggregated per segment in complete mode; the money sum
+    accumulates in DECIMAL so the result is order-independent and
+    hash-comparable (functions/exprs policy)."""
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = change_source(spark, _events_dir(sf_dir))
+    enriched = stream.join(cust, stream["user_id"] == cust["c_custkey"])
+    name = _mem_name("s_sstatic")
+    q = (
+        enriched.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 #: sustained-rate run: rows/s the rate source generates, and how long
 #: the query is left running (env-tunable so CI can shorten it)
 RATE_ROWS_PER_SEC = 1000
@@ -465,6 +498,7 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_EXT = {
     "s_session_window": _with_stream_shuffle(_q_s_session_window),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
+    "s_stream_static_join": _with_stream_shuffle(_q_s_stream_static_join),
     # rows-only by design: wall-clock throughput is nondeterministic
     "s_rate_throughput": _with_stream_shuffle(_q_s_rate_throughput),
 }
@@ -522,6 +556,15 @@ ORACLES = {
 }
 
 ORACLES_EXT = {
+    # stream-static enrichment == the batch join (single static dim,
+    # inner join — arrival order cannot change the aggregate)
+    "s_stream_static_join": """
+        SELECT c_mktsegment,
+               CAST(COUNT(1) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
     # cross-batch dedup state: two identical copies in, one distinct
     # fingerprint set out
     "s_x2_stream_dedup": r"""
