@@ -57,6 +57,15 @@ def main() -> int:
     for name, fn in sorted(queries.items()):
         runs: list[float] = []
         for _ in range(reps):
+            # every rep measures the FULL pipeline: queries that persist
+            # intermediates (session.materialize_once) register their
+            # plans in the SQL CacheManager, which would substitute the
+            # cached InMemoryRelation into the canonically-identical
+            # plan of the next rep — the median would then time a cache
+            # read, not the query. Clearing also stops cached relations
+            # from ~30 queries pinning executor storage across the
+            # 150-execution suite.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
@@ -68,9 +77,7 @@ def main() -> int:
         raw[name] = [round(r, 4) for r in runs]
         timings[name] = round(statistics.median(runs), 4)
         # drop Python-side DataFrame refs promptly so the ContextCleaner
-        # unpersists localCheckpoint/cache blocks between queries —
-        # otherwise executor-storage pressure from the dedup pipelines
-        # accumulates across the suite and surfaces as GC-stall outliers
+        # releases localCheckpoint RDD blocks between queries
         gc.collect()
     loop_wall = round(time.perf_counter() - t_total, 4)
     # headline = sum of per-query medians (NOT the loop wall, which

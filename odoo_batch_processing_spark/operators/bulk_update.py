@@ -94,9 +94,13 @@ def distributed_ordinal(
     # (or AQE at runtime) picks the broadcast on its own — and the
     # engine's hint policy forbids hints on subtrees rooted in
     # SF-scaling scans (tests/test_plan_hygiene.py walks the leaves)
+    # bigint, not int: past 2^31-1 rows an int ordinal wraps — and this
+    # function exists precisely for scales where that happens (the
+    # global-window with_ordinal inherits row_number's int type and its
+    # limit, one more reason it is the page-scale form)
     return (
         local.join(offsets, "__pid")
-        .withColumn(ord_col, (F.col("__off") + F.col("__rn")).cast("int"))
+        .withColumn(ord_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
         .drop("__pid", "__rn", "__off")
     )
 
@@ -543,7 +547,10 @@ def _q_r09_zip_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     normally."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    vis = F.col("l_linestatus") == "O"
+    # NULL-visibility contract matches zip_join_update: a NULL predicate
+    # means NOT visible — the row is kept untouched, never dropped
+    # (raw ~vis would exclude NULL rows from BOTH branches)
+    vis = F.coalesce(F.col("l_linestatus") == "O", F.lit(False))
     rows_ord = distributed_ordinal(
         li.filter(vis).select("l_orderkey", "l_linenumber", "l_returnflag"),
         ["l_orderkey", "l_linenumber"],

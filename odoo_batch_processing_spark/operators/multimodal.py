@@ -200,9 +200,12 @@ ORACLES = {
           FROM documents
         )
         SELECT doc_id, modality, n_bytes,
-               CAST(list_sum(list_transform(range(1, len(hx) + 1),
+               -- COALESCE: list_sum over an empty list is NULL in
+               -- DuckDB, but the Python decode of an empty payload
+               -- sums to 0
+               CAST(COALESCE(list_sum(list_transform(range(1, len(hx) + 1),
                     i -> (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)
-                         * (strpos('0123456789ABCDEF', hx[i]) - 1))) AS BIGINT) AS byte_sum,
+                         * (strpos('0123456789ABCDEF', hx[i]) - 1))), 0) AS BIGINT) AS byte_sum,
                array_to_string(
                  list_transform(range(1, 17),
                    d -> len(list_filter(range(1, len(hx) + 1, 2),

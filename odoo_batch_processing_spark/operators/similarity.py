@@ -47,6 +47,40 @@ def _unit(df: DataFrame, id_alias: str, out: str, id_col: str, vec_col: str) -> 
     )
 
 
+def _unit_cells(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, embedding, cell, uv): unit-normalized vectors with the
+    sign-bit cell id, RAW embedding retained (probe-cell selection
+    reads its leading-dimension signs/magnitudes). Shared by every IVF
+    query so the normalize/quantize block has one canonical form;
+    Catalyst prunes the embedding column wherever a consumer drops it."""
+    dv = to_double(F.col(vec_col))
+    return (
+        df.select(id_col, vec_col, dv.alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            id_col,
+            vec_col,
+            ivf_bucket(F.col(vec_col)).alias("cell"),
+            normalized(F.col("__v"), F.col("__n")).alias("uv"),
+        )
+    )
+
+
+def _topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """The shared top-k tail: rank (cos_sim desc, neighbor_id) per
+    query — deterministic under score ties."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 def ann_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -65,14 +99,7 @@ def ann_topk(
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _topk(scored, k)
 
 
 def ivf_bucket(vec: F.Column, bits: int = 3) -> F.Column:
@@ -127,38 +154,22 @@ def _q_x4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same queries, search restricted to the query's IVF cell."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id").withColumn(
-        "cell", ivf_bucket(F.col("embedding"))
-    )
-    dv = to_double(F.col("embedding"))
-    unit = (
-        emb.select("vec_id", "cell", dv.alias("__v"))
-        .withColumn("__n", norm(F.col("__v")))
-        .select("vec_id", "cell", normalized(F.col("__v"), F.col("__n")).alias("uv"))
-    )
+    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
     q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("uv").alias("qv"),
-        F.col("cell").alias("qcell"),
+        F.col("cell").alias("pcell"),
     )
     c = unit.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("uv").alias("cv"),
         F.col("cell").alias("ccell"),
     )
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("ccell") == F.col("qcell")) & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("ccell") == F.col("pcell")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
+    return _topk(scored)
 
 
 def _q_x4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,18 +182,7 @@ def _q_x4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     read, never a wider scan. Probe cells are distinct, so no
     (query, neighbor) pair is scored twice and the top-k window needs
     no dedup."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
-    dv = to_double(F.col("embedding"))
-    unit = (
-        emb.select("vec_id", "embedding", dv.alias("__v"))
-        .withColumn("__n", norm(F.col("__v")))
-        .select(
-            "vec_id",
-            "embedding",
-            ivf_bucket(F.col("embedding")).alias("cell"),
-            normalized(F.col("__v"), F.col("__n")).alias("uv"),
-        )
-    )
+    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
     q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("uv").alias("qv"),
@@ -197,12 +197,7 @@ def _q_x4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q),
         (F.col("ccell") == F.col("pcell")) & (F.col("neighbor_id") != F.col("query_id")),
     ).withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _topk(scored)
 
 
 def write_ivf_index(unit_cells: DataFrame, path: str) -> None:
@@ -226,37 +221,24 @@ def _q_x4_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     from odoo_batch_processing_spark.sources.sinks import scratch_dir
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id").withColumn(
-        "cell", ivf_bucket(F.col("embedding"))
-    )
-    dv = to_double(F.col("embedding"))
-    unit = (
-        emb.select("vec_id", "cell", dv.alias("__v"))
-        .withColumn("__n", norm(F.col("__v")))
-        .select("vec_id", "cell", normalized(F.col("__v"), F.col("__n")).alias("uv"))
-    )
+    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
     path = scratch_dir("ivf-index")
-    write_ivf_index(unit, path)
+    write_ivf_index(unit.select("vec_id", "cell", "uv"), path)
     idx = spark.read.parquet(path)
     q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("uv").alias("qv"),
-        F.col("cell").alias("qcell"),
+        F.col("cell").alias("pcell"),
     )
     scored = (
         idx.join(
             F.broadcast(q),
-            (idx["cell"] == F.col("qcell")) & (idx["vec_id"] != F.col("query_id")),
+            (idx["cell"] == F.col("pcell")) & (idx["vec_id"] != F.col("query_id")),
         )
         .withColumn("cos_sim", dot(F.col("qv"), idx["uv"]))
         .withColumnRenamed("vec_id", "neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _topk(scored)
 
 
 def _q_x4_ivf_indexed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,18 +253,7 @@ def _q_x4_ivf_indexed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the physical access path differs."""
     from odoo_batch_processing_spark.sources.sinks import scratch_dir
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
-    dv = to_double(F.col("embedding"))
-    unit = (
-        emb.select("vec_id", "embedding", dv.alias("__v"))
-        .withColumn("__n", norm(F.col("__v")))
-        .select(
-            "vec_id",
-            "embedding",
-            ivf_bucket(F.col("embedding")).alias("cell"),
-            normalized(F.col("__v"), F.col("__n")).alias("uv"),
-        )
-    )
+    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
     path = scratch_dir("ivf-mp-index")
     write_ivf_index(unit.select("vec_id", "cell", "uv"), path)
     idx = spark.read.parquet(path)
@@ -299,12 +270,7 @@ def _q_x4_ivf_indexed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", dot(F.col("qv"), idx["uv"]))
         .withColumnRenamed("vec_id", "neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _topk(scored)
 
 
 K_CELLS = 8
@@ -417,12 +383,7 @@ def _q_x4_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", dot(F.col("qv"), idx["uv"]))
         .withColumnRenamed("vec_id", "neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _topk(scored)
 
 
 def kmeans_lloyd_cells(
@@ -478,12 +439,18 @@ def kmeans_lloyd_cells(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("mv"))
         )
+        # guard degenerate means: a cell whose members sum to the zero
+        # vector would normalize to 0/0 = NaN (NOT NULL — coalesce
+        # alone can't catch it) and poison every later dot product, so
+        # the WHEN gate falls such cells back to their previous
+        # centroid just like empty cells
+        mvn = norm(F.col("mv"))
         new_cent = (
             cent.join(means, "cell", "left")
             .select(
                 "cell",
                 F.coalesce(
-                    normalized(F.col("mv"), norm(F.col("mv"))), F.col("cv")
+                    F.when(mvn > 0, normalized(F.col("mv"), mvn)), F.col("cv")
                 ).alias("cv"),
                 F.col("cv").alias("old_cv"),
             )

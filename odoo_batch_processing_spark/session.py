@@ -90,13 +90,21 @@ def truncate_lineage(df):
     """
     if os.environ.get(RELIABLE_CHECKPOINT_ENV, "").lower() in ("1", "true", "yes"):
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
+        env_dir = os.environ.get(CHECKPOINT_DIR_ENV)
+        current = sc.getCheckpointDir()
+        if env_dir:
+            # the env var always wins: a stale dir set earlier in the
+            # session (e.g. the temp fallback below) must not silently
+            # swallow a later request to checkpoint to shared storage —
+            # that would put "reliable" checkpoints on local disk
+            if current is None or not current.rstrip("/").endswith(
+                env_dir.rstrip("/").removeprefix("file:")
+            ):
+                sc.setCheckpointDir(env_dir)
+        elif current is None:
             import tempfile
 
-            sc.setCheckpointDir(
-                os.environ.get(CHECKPOINT_DIR_ENV)
-                or tempfile.mkdtemp(prefix="spark-graft-ckpt-")
-            )
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-graft-ckpt-"))
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
@@ -141,6 +149,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # GC'd RDDs drop their reliable-checkpoint files too — without
+        # this every CC/k-means iteration leaves a checkpoint copy on
+        # disk for the session lifetime (context conf: build-time only)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
