@@ -166,6 +166,11 @@ def check_all(
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
+        # release persisted intermediates (session.materialize_once)
+        # between queries: a 120-query sweep would otherwise pin a
+        # cached relation per dedup/curation/x4 query in executor
+        # storage for the whole run
+        spark.catalog.clearCache()
         if name not in oracles:
             df = fn(spark, sf_dir)
             n = df.count()

@@ -110,6 +110,10 @@ def main() -> int:
             warmed = True
         row = {"mult": mult, "n_docs": n_docs, "stages": {}}
         for name in STAGES:
+            # honest timing: without this, a timed stage re-reads the
+            # persisted intermediates its own warmup (or a prior stage)
+            # cached, measuring a cache read instead of the pipeline
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             out_rows = queries[name](spark, corpus).count()
             secs = round(time.perf_counter() - t0, 2)
