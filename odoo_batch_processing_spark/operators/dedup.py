@@ -675,6 +675,88 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
 
 
+def connected_components_star(
+    vertices: DataFrame, edges: DataFrame, id_col: str = "doc_id", max_iters: int = 25
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the long-chain upgrade over
+    :func:`connected_components`'s one-hop min-label propagation.
+
+    Each round rewrites the edge set with two groupBy+join passes:
+
+    * **large-star**: every neighbor of ``u`` LARGER than ``u`` is
+      re-pointed at ``min(N(u) ∪ {u})``;
+    * **small-star**: ``u`` and its smaller neighbors are re-pointed
+      at their minimum.
+
+    Distances to the component minimum roughly halve per round, so
+    convergence is O(log n) rounds on a LONG CHAIN where min-label
+    needs O(n) (tests/test_text_dedup.py measures both on a path
+    graph). Converged state is a star per component: every non-min
+    vertex holds one edge to its component minimum. Per-round cost is
+    the same shape as min-label (shuffles on vertex ids, volume
+    bounded by the current edge set, which only shrinks toward one
+    edge per non-min vertex).
+
+    Returns (labels, rounds): (id_col, cluster_id) for every vertex —
+    identical to :func:`connected_components` — plus the round count
+    the loop took.
+    """
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star over the symmetric neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over larger→smaller directed edges
+        dir_ = large.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        ).distinct()
+        mins2 = dir_.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            dir_.join(mins2, "a")
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select(F.col("a").alias("u"), F.col("m").alias("v")))
+            .distinct()
+            .transform(truncate_lineage)
+        )
+        # converged when the edge set is a fixed point (set equality —
+        # both relations are distinct, so two anti-join counts suffice)
+        changed = (
+            small.exceptAll(e).count() + e.exceptAll(small).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    labels = e.groupBy("u").agg(F.min("v").alias("comp"))
+    out = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("u", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("id")).alias("cluster_id"),
+        )
+    )
+    return out, rounds
+
+
 def _q_x3_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup pipeline end-to-end: MinHash-LSH candidates →
     exact-Jaccard verify → connected components → cluster assignment.
@@ -708,6 +790,26 @@ def _q_x3_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_x3_neardup_survivors_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`x3_neardup_survivors` with the large-star/small-star CC
+    (`connected_components_star`) — identical clustering under the
+    same oracle; the difference is O(log n) convergence on long
+    chains, which is the form to run at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
+    candidates = lsh_candidate_pairs(minhash_band_keys(sets))
+    edges = verify_candidate_pairs(candidates, sets).transform(materialize_once)
+    edge_vertices = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp, _rounds = connected_components_star(edge_vertices, edges)
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+
+
 QUERIES = {
     "x2_dedup_survivors": _q_x2_dedup_survivors,
     "x3_neardup_survivors": _q_x3_neardup_survivors,
@@ -725,6 +827,7 @@ QUERIES_EXT = {
     "x2_distinct_pairs": _q_x2_distinct_pairs,
     "x3_minhash_indexed": _q_x3_minhash_indexed,
     "x3_incremental_embedding_neardup": _q_x3_incremental_embedding_neardup,
+    "x3_neardup_survivors_star": _q_x3_neardup_survivors_star,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -924,6 +1027,9 @@ ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}
 # identical output contract to the in-memory signature pipeline — only
 # the physical access path (persisted band-partitioned index) differs
 ORACLES_EXT["x3_minhash_indexed"] = ORACLES["x3_minhash_lsh"]
+# identical clustering — only the CC algorithm (large-star/small-star
+# vs one-hop min-label) differs
+ORACLES_EXT["x3_neardup_survivors_star"] = ORACLES["x3_neardup_survivors"]
 
 # candidate pairs restricted to those whose larger side is in the new
 # batch (the top doc_id decile), then exact-Jaccard verified — the SQL

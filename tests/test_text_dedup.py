@@ -216,3 +216,56 @@ def test_simhash_from_tokens_matches_exploded_groupby(spark):
     assert fast.exceptAll(slow).count() == 0
     assert slow.exceptAll(fast).count() == 0
     assert fast.count() > 0
+
+
+def test_star_cc_matches_minlabel_on_fixture(spark):
+    """Large-star/small-star must produce the identical clustering to
+    the min-label loop on the real verified pair graph."""
+    from odoo_batch_processing_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    sets = D._doc_shingle_sets(spark, sf)
+    edges = D.verify_candidate_pairs(
+        D.lsh_candidate_pairs(D.minhash_band_keys(sets)), sets
+    )
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    simple = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.connected_components(verts, edges).collect()
+    }
+    star, rounds = D.connected_components_star(verts, edges)
+    got = {(r["doc_id"], r["cluster_id"]) for r in star.collect()}
+    assert got == simple and got
+    assert rounds <= 5  # dup clusters are tiny — must converge fast
+
+
+def test_star_cc_log_rounds_on_long_chain(spark):
+    """On a 64-vertex path graph the min-label loop needs O(n) rounds
+    (it does NOT converge within its 25-round cap) while
+    large-star/small-star converges in O(log n) — the reason it is the
+    corpus-scale form."""
+    from odoo_batch_processing_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from pyspark.sql import functions as F
+
+    n = 64
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    star, rounds = connected_components_star(verts, edges, max_iters=25)
+    labels = {r["doc_id"]: r["cluster_id"] for r in star.collect()}
+    assert labels == {i: 0 for i in range(n)}  # one component rooted at 0
+    assert rounds <= 8, f"expected O(log n) rounds, took {rounds}"
+
+    # the one-hop loop capped at the same 25 rounds does NOT finish
+    simple = connected_components(verts, edges, max_iters=25)
+    unconverged = {r["cluster_id"] for r in simple.collect()}
+    assert unconverged != {0}, "min-label should not converge a 64-chain in 25 rounds"
