@@ -637,11 +637,12 @@ def connected_components(
     Each round every vertex takes the min component label among itself
     and its neighbors; convergence in O(component diameter) rounds.
     Near-dup clusters are small and dense (diameter ≲ 4), so a handful
-    of rounds suffice; ``localCheckpoint`` truncates the lineage each
-    round so the plan does not grow with the iteration count. At
-    100 TB scale the same loop runs with the large-star/small-star
-    optimization (halves rounds on long chains); the per-round shape —
-    one shuffle join on the edge key + one groupBy(min) — is unchanged.
+    of rounds suffice; the lineage is truncated each round so the plan
+    does not grow with the iteration count. The long-chain form IS
+    implemented: :func:`connected_components_star` converges in
+    O(log n) rounds on a path graph where this loop needs O(n)
+    (measured by tests/test_text_dedup.py) — prefer it at corpus
+    scale; this one-hop loop stays as the simpler oracle-anchored twin.
 
     Returns (id_col, cluster_id): every vertex labeled with the min
     vertex id of its component (isolated vertices label themselves).
