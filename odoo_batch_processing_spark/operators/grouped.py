@@ -17,6 +17,8 @@ want salting + a two-phase merge like operators/skew.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from odoo_batch_processing_spark.sources.loader import load_table
@@ -84,7 +86,57 @@ def _q_grouped_pandas_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_order_ranks(load_table(spark, sf_dir, "orders"))
 
 
+
+
+def _q_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Python UDAF (pandas_udf GROUPED_AGG) — the third
+    Pandas execution shape next to applyInPandas (grouped map) and
+    mapInPandas (stream of batches): one Arrow batch per group in, ONE
+    scalar out, usable directly inside ``groupBy().agg()``.
+
+    The statistic is the median absolute deviation of the order value
+    in integer CENTS: every intermediate (ints, exact-half medians) is
+    exactly representable in float64, so numpy's result is
+    bit-identical to DuckDB's quantile_cont restatement — a UDAF under
+    the hash gate, not just a rows-only demo."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad_cents(v: pd.Series) -> float:
+        a = v.to_numpy()
+        return float(np.median(np.abs(a - np.median(a))))
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(mad_cents(F.col("cents")).alias("mad_cents"))
+    )
+
 QUERIES = {"grouped_pandas_ranks": _q_grouped_pandas_ranks}
+
+QUERIES_EXT = {"grouped_agg_mad": _q_grouped_agg_mad}
+
+ORACLES_EXT = {
+    # same statistic via two nested medians; ints and exact halves are
+    # exactly representable, so interpolation matches numpy bit-for-bit
+    "grouped_agg_mad": """
+        WITH c AS (
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), m AS (
+            SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med
+            FROM c GROUP BY o_orderpriority
+        )
+        SELECT c.o_orderpriority,
+               quantile_cont(abs(c.cents - m.med), 0.5) AS mad_cents
+        FROM c JOIN m USING (o_orderpriority)
+        GROUP BY c.o_orderpriority
+    """,
+}
 
 ORACLES = {
     # the pandas per-group logic restated in SQL: rank by (price, key),
