@@ -377,3 +377,59 @@ ORACLES["x5_text_features"] = f"""
 
 ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
 ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}
+
+
+def _q_x5_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) — the third user-extension
+    shape next to the pandas scalar/grouped-agg UDFs: one input row in,
+    MANY rows out, composed via LATERAL join in SQL. The function packs
+    a document's tokens into fixed 10-token chunks (the sequence-window
+    shape of a tokenizer-side pipeline).
+
+    Python UDTFs are row-at-a-time — the deliberate slow path, bounded
+    here to 50 docs; the SET-BASED equivalent for corpus scale is the
+    pure-expression chunking in operators/curation.pack_shards /
+    the posexplode-over-slice idiom (same semantics, codegen'd). The
+    oracle restates the chunking in DuckDB, so the UDTF demo still
+    sits under the hash gate.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_text string")
+    class TokenChunks:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t.strip()]
+            for i in range(0, (len(toks) + 9) // 10):
+                chunk = toks[i * 10 : i * 10 + 10]
+                yield i, len(chunk), " ".join(chunk)
+
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    spark.udtf.register("token_chunks", TokenChunks)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM __udtf_docs d, LATERAL token_chunks(d.text) c
+        """
+    )
+
+
+QUERIES_EXT["x5_udtf_chunks"] = _q_x5_udtf_chunks
+ORACLES_EXT["x5_udtf_chunks"] = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> trim(x) <> '') AS tk
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(tk, i*10+1, i*10+10)) AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(tk, i*10+1, i*10+10), ' ') AS chunk_text
+    FROM toks, LATERAL (
+      SELECT unnest(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) AS i
+    ) u
+"""
