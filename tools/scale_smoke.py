@@ -76,6 +76,7 @@ def build_corpus(spark, sf_dir: str, mult: int, out: str) -> int:
 STAGES = (
     "x3_minhash_lsh",
     "x3_neardup_survivors",
+    "x3_neardup_survivors_star",  # large-star/small-star CC engine
     "x3_incremental_neardup",  # batch (top decile) grows with corpus → ~linear
     "x4_cosine_topk",
     "x4_ivf_multiprobe",
