@@ -29,7 +29,7 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from odoo_batch_processing_spark.registry import all_queries
-    from odoo_batch_processing_spark.session import get_spark
+    from odoo_batch_processing_spark.session import get_spark, release_materialized
 
     # 48g driver heap: the bench session executes ~150 queries
     # (50 × 3 reps) including checkpoint-heavy dedup pipelines; the
@@ -65,6 +65,7 @@ def main() -> int:
             # read, not the query. Clearing also stops cached relations
             # from ~30 queries pinning executor storage across the
             # 150-execution suite.
+            release_materialized()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:

@@ -19,16 +19,21 @@ pure ``(DataFrame, params) → DataFrame`` transformation:
   are exact under task retries (Spark accumulators double-count on
   retry — a deliberate departure documented here).
 
-Scale notes: the only shuffle any of these introduce is the global
-``row_number()`` ordinal (a total order is inherently a single-window
-sort). Where the reference's positional semantics aren't required,
-callers should join/update on real keys instead; the ordinal path
-exists for parity and is windowed over the table's declared sort key so
-AQE can plan the sort once and reuse it.
+Scale notes: positional ops need a total order, but NOT a
+single-partition sort — the default ordinal everywhere is
+:func:`distributed_ordinal` (range-partition → local row_number →
+broadcast n_parts-row offsets), and ordered top-N plans
+TakeOrderedAndProject (per-partition top-n, only n·n_parts rows move).
+The global-window :func:`with_ordinal` survives as the explicit
+``page_scale=True`` parity form, mirroring the reference's
+one-visible-page scope (user.js:432-452). Where positional semantics
+aren't actually required, callers should still join/update on real
+keys instead.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -59,6 +64,7 @@ def distributed_ordinal(
     order_cols: Sequence[str],
     ord_col: str = ORD_COL,
     n_parts: int | None = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """:func:`with_ordinal`'s 100 TB form: a global 1-based ordinal
     with NO single-partition sort node (identical output; the SCALE.md
@@ -72,11 +78,28 @@ def distributed_ordinal(
     that touches data is N-way parallel; the only single-partition
     work is the running sum over N counter rows. Requires the order
     key to be unique per row (true for every positional op here —
-    ties could otherwise straddle a range boundary).
+    ties could otherwise straddle a range boundary, making the ordinal
+    nondeterministic across runs AND silently different from
+    :func:`with_ordinal`). Pass ``validate_unique=True`` (or set
+    ``SPARK_GRAFT_VALIDATE_ORDINAL=1``) to fail loudly on duplicate
+    keys instead — one cheap aggregate job, intended for tests and
+    first-run validation, not the steady-state hot path.
     """
     spark = df.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
+    if validate_unique or os.environ.get("SPARK_GRAFT_VALIDATE_ORDINAL") == "1":
+        chk = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in order_cols]).alias("d"),
+        ).first()
+        if chk["n"] != chk["d"]:
+            raise ValueError(
+                f"distributed_ordinal: order key {list(order_cols)} is not "
+                f"unique ({chk['n']} rows, {chk['d']} distinct keys) — ties "
+                "across range-partition boundaries would make the ordinal "
+                "nondeterministic; add a tiebreaker column"
+            )
     cols = [F.col(c) for c in order_cols]
     tagged = df.repartitionByRange(n_parts, *cols).withColumn(
         "__pid", F.spark_partition_id()
@@ -212,6 +235,7 @@ def zip_join_update(
     visible: Column | None = None,
     apply_when: Column | None = None,
     broadcast_values: bool = False,
+    page_scale: bool = False,
 ) -> DataFrame:
     """Assign values[i] to the i-th visible row; rows beyond
     min(len(values), len(rows)) keep their old value (the reference's
@@ -239,14 +263,20 @@ def zip_join_update(
     them), so the operator is row-preserving standalone. A NULL
     ``visible`` is treated as not-visible (kept, untouched).
 
-    100 TB note: both row_numbers are global sorts. This operator
-    mirrors reference semantics for parity; at scale, positional
-    assignment should be re-keyed (zip values to a real key first).
+    100 TB note: both ordinals default to :func:`distributed_ordinal`
+    (range-partitioned local sorts + an n_parts-row broadcast offset
+    table — no single-partition sort node anywhere on the data path);
+    the ordinal equi-join then shuffles normally. ``page_scale=True``
+    switches back to the global-window :func:`with_ordinal`, which
+    mirrors the reference's one-visible-page semantic (user.js:432-452)
+    and plans fewer stages on tiny inputs, but funnels the whole table
+    through one sort partition — never use it on an SF-scaling input.
     """
     zip_ord = "__zip_ord"  # private: must not collide with caller columns
+    ordinal = with_ordinal if page_scale else distributed_ordinal
     vis = None if visible is None else F.coalesce(visible, F.lit(False))
-    rows = with_ordinal(df if vis is None else df.filter(vis), order_cols, zip_ord)
-    vals = with_ordinal(
+    rows = ordinal(df if vis is None else df.filter(vis), order_cols, zip_ord)
+    vals = ordinal(
         values.select(*values_order_cols, F.col(values_col).alias("__new_value")),
         values_order_cols,
         zip_ord,
@@ -269,10 +299,26 @@ def zip_join_update(
 # ---------------------------------------------------------------------------
 # R10 — limit: first N rows in table order (user.js:451, 454)
 # ---------------------------------------------------------------------------
-def limit_ordered(df: DataFrame, n: int, order_cols: Sequence[str]) -> DataFrame:
-    """Ordered top-N. Bare .limit(n) is order-nondeterministic in a
-    distributed plan; the reference's N is positional, so rank first."""
-    return with_ordinal(df, order_cols).filter(F.col(ORD_COL) <= n)
+def limit_ordered(
+    df: DataFrame, n: int, order_cols: Sequence[str], page_scale: bool = False
+) -> DataFrame:
+    """Ordered top-N with the row's global ordinal attached. Bare
+    .limit(n) is order-nondeterministic in a distributed plan; the
+    reference's N is positional (user.js:451), so rank first.
+
+    Scale shape (default): ``orderBy(...).limit(n)`` — Spark plans
+    TakeOrderedAndProject, i.e. each partition keeps its local top-n
+    and only n·n_parts candidate rows ever move; NO full-table shuffle
+    or single-partition sort of the input. The ordinal is then attached
+    to the n surviving rows via :func:`distributed_ordinal`, so the
+    whole plan is bounded by n, not by table size. ``page_scale=True``
+    keeps the round-1 global-window form (rank everything, then
+    filter ≤ n) for parity comparison.
+    """
+    if page_scale:
+        return with_ordinal(df, order_cols).filter(F.col(ORD_COL) <= n)
+    top = df.orderBy(*[F.col(c) for c in order_cols]).limit(n)
+    return distributed_ordinal(top, order_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -521,6 +567,11 @@ def _q_r08_multiline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_r09_zip_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core r09 — since round 4 this certifies the SCALE-SAFE form:
+    zip_join_update defaults to distributed_ordinal on both sides, so
+    the driver's CORRECTNESS row covers the plan with no
+    single-partition sort (the page-scale global-window variant is the
+    ext-tier ``r09_zip_join_page``, same oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     updated = zip_join_update(
@@ -538,34 +589,27 @@ def _q_r09_zip_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated.select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
-def _q_r09_zip_join_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r09's positional zip-join rebuilt on :func:`distributed_ordinal`
-    — bit-identical output (same oracle), zero single-partition sorts
-    on the data path. This is the form that survives 100 TB: both
-    ordinals are range-partitioned local sorts plus a broadcast of an
-    n_parts-row offset table, and the ordinal equi-join shuffles
-    normally."""
+def _q_r09_zip_join_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r09's page-scale parity form (``page_scale=True``): global-window
+    ordinals, mirroring the reference's one-visible-page loop
+    (user.js:432-452). Bit-identical to the core r09 (same oracle) —
+    kept ext-tier so both physical ordinal strategies stay under
+    oracle coverage after round 4 swapped the core onto
+    distributed_ordinal."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    # NULL-visibility contract matches zip_join_update: a NULL predicate
-    # means NOT visible — the row is kept untouched, never dropped
-    # (raw ~vis would exclude NULL rows from BOTH branches)
-    vis = F.coalesce(F.col("l_linestatus") == "O", F.lit(False))
-    rows_ord = distributed_ordinal(
-        li.filter(vis).select("l_orderkey", "l_linenumber", "l_returnflag"),
+    updated = zip_join_update(
+        li,
         ["l_orderkey", "l_linenumber"],
-        ord_col="__ord",
+        "l_returnflag",
+        part,
+        ["p_partkey"],
+        "p_name",
+        visible=F.col("l_linestatus") == "O",
+        broadcast_values=False,
+        page_scale=True,
     )
-    vals_ord = distributed_ordinal(
-        part.select("p_partkey", "p_name"), ["p_partkey"], ord_col="__ord"
-    ).select("__ord", "p_name")
-    updated = rows_ord.join(vals_ord, "__ord", "left").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.coalesce(F.col("p_name"), F.col("l_returnflag")).alias("l_returnflag"),
-    )
-    untouched = li.filter(~vis).select("l_orderkey", "l_linenumber", "l_returnflag")
-    return updated.unionByName(untouched)
+    return updated.select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
 def _q_r10_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +714,7 @@ QUERIES_EXT = {
     # covered by x5's tokenization and r09's ordered zip; the slot went
     # to x3_incremental_neardup
     "r08_multiline_parse": _q_r08_multiline_parse,
-    "r09_zip_join_scaled": _q_r09_zip_join_scaled,
+    "r09_zip_join_page": _q_r09_zip_join_page,
     "r01_scan_ordinal": _q_r01_scan_ordinal,
     "r03_projection": _q_r03_projection,
     "r05_readonly_any": _q_r05_readonly_any,
@@ -715,7 +759,7 @@ ORACLES = {
     "r10_limit": """
         SELECT l_orderkey, l_linenumber, row_ord FROM (
             SELECT l_orderkey, l_linenumber,
-                   CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS row_ord
+                   ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS row_ord
             FROM lineitem
         ) WHERE row_ord <= 100
     """,
@@ -795,5 +839,6 @@ ORACLES_EXT = {
 }
 
 # identical output contract to the core r09 — only the physical
-# ordinal strategy (range-partitioned, no single-partition sort) differs
-ORACLES_EXT["r09_zip_join_scaled"] = ORACLES["r09_zip_join_update"]
+# ordinal strategy differs (core = distributed_ordinal since round 4;
+# this ext entry keeps the page-scale global-window form oracle-checked)
+ORACLES_EXT["r09_zip_join_page"] = ORACLES["r09_zip_join_update"]

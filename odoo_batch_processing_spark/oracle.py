@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from odoo_batch_processing_spark.schemas import TABLE_NAMES
+from odoo_batch_processing_spark.session import release_materialized
 
 
 def duckdb_connection(sf_dir: str):
@@ -169,7 +170,9 @@ def check_all(
         # release persisted intermediates (session.materialize_once)
         # between queries: a 120-query sweep would otherwise pin a
         # cached relation per dedup/curation/x4 query in executor
-        # storage for the whole run
+        # storage for the whole run (release_materialized also drains
+        # the tracking list so it can't grow across the sweep)
+        release_materialized()
         spark.catalog.clearCache()
         if name not in oracles:
             df = fn(spark, sf_dir)

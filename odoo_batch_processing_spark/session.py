@@ -109,6 +109,11 @@ def truncate_lineage(df):
     return df.localCheckpoint(eager=True)
 
 
+#: every DataFrame pinned by :func:`materialize_once`, so callers can
+#: release them without knowing which queries persisted what
+_MATERIALIZED: list = []
+
+
 def materialize_once(df):
     """Barrier for a fan-out intermediate consumed by several plan
     branches (chain as ``df.transform(materialize_once)``): persist
@@ -125,10 +130,38 @@ def materialize_once(df):
     host-I/O pressure where persist stays flat). Use
     :func:`truncate_lineage` only where the lineage itself must be cut:
     iterative loops (CC, k-means) and self-overwrite guards.
+
+    LIFETIME CONTRACT: nothing here unpersists. A caller that runs
+    several catalog queries in one session must release the pinned
+    blocks between queries — either :func:`release_materialized`
+    (unpins exactly what this function pinned, in order) or the
+    blunter ``spark.catalog.clearCache()``; the repo's own harnesses
+    (oracle_check / bench / scale_smoke) do both between queries.
+    Skipping the release leaks MEMORY_AND_DISK blocks for the session
+    lifetime, one per materialized intermediate per query run.
     """
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _MATERIALIZED.append(df)
+    return df
+
+
+def release_materialized(blocking: bool = False) -> int:
+    """Unpersist every DataFrame :func:`materialize_once` pinned since
+    the last release; returns how many were released. Safe to call at
+    any point (already-unpersisted entries no-op) — the per-query
+    teardown for direct library callers that don't want to nuke the
+    whole cache with ``clearCache()``."""
+    released = 0
+    while _MATERIALIZED:
+        df = _MATERIALIZED.pop()
+        try:
+            df.unpersist(blocking)
+            released += 1
+        except Exception:
+            pass  # session already stopped — nothing left to unpin
+    return released
 
 
 def get_spark(

@@ -44,10 +44,14 @@ def events_ts_unit(path: str) -> str:
     is scanned.
 
     Invariant: all files under a directory share one ``ts`` unit (only
-    the lexicographically-first file is probed). The cache keys on that
-    first file's name + mtime, so rewriting a directory in-session with
-    a different fixture generation re-probes instead of silently reusing
-    a stale unit.
+    the lexicographically-first file is probed). The cache keys on the
+    probed file's (path, basename, mtime_ns, size), so rewriting a
+    directory in-session with a different fixture generation re-probes
+    instead of silently reusing a stale unit — mtime in NANOSECONDS
+    plus the byte size, because 1-second mtime granularity on some
+    filesystems would otherwise let a same-second same-name rewrite
+    slip through with the old unit (the exact 1000× timeline
+    compression this probe exists to prevent).
     """
     probe = path
     if os.path.isdir(path):
@@ -55,7 +59,10 @@ def events_ts_unit(path: str) -> str:
         if not files:
             raise FileNotFoundError(f"no *.parquet files under {path!r} to probe events.ts unit")
         probe = files[0]
-    return _events_ts_unit_cached(probe, f"{os.path.basename(probe)}:{os.path.getmtime(probe)}")
+    st = os.stat(probe)
+    return _events_ts_unit_cached(
+        probe, f"{os.path.basename(probe)}:{st.st_mtime_ns}:{st.st_size}"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -167,6 +167,32 @@ def test_no_broadcast_hints_on_sf_scaling_relations(spark):
     assert not offenders, f"broadcast hints on SF-scaling relations: {offenders}"
 
 
+def test_core_positional_queries_have_no_global_data_sort(spark):
+    """Round-4 certification (VERDICT r3 #1): the driver-checked r09/r10
+    ride the scale-safe ordinal — no global (single-partition) sort
+    over row-bearing columns anywhere in the physical plan. The only
+    unpartitioned sort distributed_ordinal plans is the n_parts-row
+    offsets branch, which carries no data columns; ordered top-N must
+    plan TakeOrderedAndProject (per-partition top-n), not a full sort."""
+    import re
+
+    from odoo_batch_processing_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("r09_zip_join_update", "r10_limit"):
+        plan = qs[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        global_data_sorts = re.findall(
+            r"Sort \[[^\]]*(?:l_orderkey|l_linenumber|p_partkey)[^\]]*\], true", plan
+        )
+        assert not global_data_sorts, (
+            f"{name}: global sort on the data path\n{plan[:3000]}"
+        )
+    top_n_plan = (
+        qs["r10_limit"](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in top_n_plan, top_n_plan[:2000]
+
+
 def test_star_joins_broadcast(spark):
     from odoo_batch_processing_spark.registry import all_queries
 

@@ -93,7 +93,7 @@ def main() -> int:
     mults = [int(m) for m in args.mults.split(",")]
 
     from odoo_batch_processing_spark.registry import all_queries
-    from odoo_batch_processing_spark.session import get_spark
+    from odoo_batch_processing_spark.session import get_spark, release_materialized
     from odoo_batch_processing_spark.sources.sinks import scratch_dir
 
     spark = get_spark("scale-smoke", cpus=args.cpus, shuffle_partitions=args.cpus)
@@ -114,6 +114,7 @@ def main() -> int:
             # honest timing: without this, a timed stage re-reads the
             # persisted intermediates its own warmup (or a prior stage)
             # cached, measuring a cache read instead of the pipeline
+            release_materialized()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             out_rows = queries[name](spark, corpus).count()
