@@ -427,10 +427,25 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest rate would fall below the configured rate.
 
     Asserted in-query (fail = exception, driver-visible):
-    * achieved rate ≥ 50% of configured (slack for ramp-up, trigger
-      boundaries, and an uncounted tail batch on a shared box);
+    * **no growing backlog**: the newest COMMITTED row's source
+      timestamp must be within LAG_MAX of the stop instant. A query
+      that falls behind accumulates exactly this lag (the source
+      stamps rows at generation time), so the gate fires on any
+      sustained shortfall — unlike a discounted-throughput check,
+      which a backlogged query can still pass;
+    * **achieved ≥ 1.0× configured** over the source window actually
+      consumed: total ingested rows ÷ (max − min committed timestamp)
+      must reach the configured rate — catches dropped/uncommitted
+      rows inside the window;
     * state bounded: the aggregation keys on value % 100, so the state
       store must hold ≤ 100 rows no matter how long the run.
+
+    Counting note (round-4 fix): the update-mode memory sink APPENDS
+    each batch's updated rows, and streaming counts are running totals
+    — so per key the latest value is ``max(n)``, and total ingested is
+    ``sum(max(n) per key)``. A plain ``sum(n)`` over the sink counts
+    every key once per batch it appeared in (≈ (n_batches+1)/2 ×
+    overcount), which is why the old 0.5× gate could never fire.
 
     Rows-only check by design: wall-clock throughput is inherently
     nondeterministic, so the returned row carries the booleans and the
@@ -444,7 +459,11 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .withColumn("key", F.pmod(F.col("value"), F.lit(_RATE_KEYS)).cast("int"))
     )
-    counts = stream.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    counts = stream.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("timestamp").alias("ts_max"),
+        F.min("timestamp").alias("ts_min"),
+    )
     name = _mem_name("s_rate")
     q = (
         counts.writeStream.outputMode("update")
@@ -457,19 +476,28 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         while time.time() < deadline:
             time.sleep(0.25)
     finally:
+        t_stop = time.time()
         q.stop()
-    # total ingested rows come from the SINK, not recentProgress: the
-    # progress list is a ring buffer (numRecentProgressUpdates, default
-    # 100), and an untriggered query can run >100 micro-batches in the
-    # window — summing it would undercount and spuriously "fall
-    # behind". The update-mode aggregate's per-key counts sum to
-    # exactly the rows ingested across ALL batches.
-    rows_in = (
-        spark.table(name).agg(F.sum("n").cast("bigint").alias("s")).collect()[0]["s"]
-    ) or 0
+    # per-key running totals are monotone, so latest-per-key = max(n);
+    # the committed-frontier timestamps ride along the same aggregate
+    agg = (
+        spark.table(name)
+        .groupBy("key")
+        .agg(
+            F.max("n").alias("n_latest"),
+            F.max("ts_max").alias("ts_max"),
+            F.min("ts_min").alias("ts_min"),
+        )
+        .agg(
+            F.sum("n_latest").cast("bigint").alias("rows_in"),
+            F.max("ts_max").alias("frontier"),
+            F.min("ts_min").alias("first_ts"),
+        )
+        .collect()[0]
+    )
+    rows_in = agg["rows_in"] or 0
     progresses = [p for p in q.recentProgress if p is not None]
     n_batches = len([p for p in progresses if p["numInputRows"] > 0])
-    achieved = rows_in / max(RATE_RUN_SECONDS, 1e-9)
     last = q.lastProgress
     state_rows = max(
         (op["numRowsTotal"] for op in (last["stateOperators"] if last else [])),
@@ -479,12 +507,29 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the check, and a silent True would defeat the driver-visible gate
     if rows_in <= 0:
         raise RuntimeError("rate source produced no rows")
-    # 0.5 slack for ramp-up and trigger boundaries on a shared box; a
-    # genuinely backlogged query trends toward 0 as input queues.
-    if achieved < 0.5 * RATE_ROWS_PER_SEC:
+    lag = t_stop - agg["frontier"].timestamp()
+    # slack = one in-flight micro-batch + trigger boundary; a query
+    # processing at even 0.9× the source accumulates ~1s of NEW lag per
+    # 10s run and trips this within a couple of runs
+    lag_max = float(os.environ.get("SPARK_GRAFT_RATE_LAG_MAX", "3.0"))
+    if lag > lag_max:
         raise RuntimeError(
-            f"fell behind the source: {achieved:.0f} rows/s < "
-            f"0.5 x {RATE_ROWS_PER_SEC} configured"
+            f"backlog grew: newest committed row is {lag:.1f}s behind the "
+            f"stop instant (max {lag_max}s) — the query is not keeping up "
+            f"with {RATE_ROWS_PER_SEC} rows/s"
+        )
+    consumed = agg["frontier"].timestamp() - agg["first_ts"].timestamp()
+    # + one inter-row tick: n rows span (n-1) ticks of 1/rate seconds
+    consumed += 1.0 / RATE_ROWS_PER_SEC
+    achieved = rows_in / max(consumed, 1e-9)
+    # 0.5% tolerance = millisecond timestamp quantization and float
+    # division, NOT throughput slack — a real drop of even one batch
+    # (≥ rate × trigger ≈ hundreds of rows over a 10 s run) is a ≥3%
+    # shortfall and still trips
+    if achieved < 0.995 * RATE_ROWS_PER_SEC:
+        raise RuntimeError(
+            f"rows dropped inside the consumed window: achieved "
+            f"{achieved:.0f} rows/s < 1.0 x {RATE_ROWS_PER_SEC} configured"
         )
     if state_rows > _RATE_KEYS:
         raise RuntimeError(f"state not bounded: {state_rows} rows")
@@ -492,12 +537,15 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             RATE_ROWS_PER_SEC,
             int(n_batches),
-            True,  # met_rate — verified above
+            True,  # met_rate — achieved ≥ 1.0× over the consumed window
+            True,  # caught_up — committed frontier within lag_max of stop
             True,  # state_bounded — verified above
         )
     ]
     return spark.createDataFrame(
-        row, "configured_rate bigint, n_batches int, met_rate boolean, state_bounded boolean"
+        row,
+        "configured_rate bigint, n_batches int, met_rate boolean, "
+        "caught_up boolean, state_bounded boolean"
     )
 
 

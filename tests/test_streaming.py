@@ -148,8 +148,24 @@ def test_s_rate_throughput_sustained(spark):
     from odoo_batch_processing_spark.streaming.queries import _q_s_rate_throughput
 
     row = _q_s_rate_throughput(spark, SF_SMOKE).collect()[0]
-    assert row["met_rate"] and row["state_bounded"]
+    assert row["met_rate"] and row["caught_up"] and row["state_bounded"]
     assert row["n_batches"] >= 2  # genuinely multi-batch, not one gulp
+
+
+def test_s_rate_throughput_gate_fires(spark, monkeypatch):
+    """The backlog gate must actually be able to FAIL (round-3 VERDICT
+    flagged the 0.5× discount as vacuous; the r3 ADVICE showed the old
+    sum('n') overcount made it literally unable to fire). With the lag
+    budget forced to an impossible value the same code path must raise
+    — proving the raise is wired to the measured committed-row lag, not
+    to a constant-true condition."""
+    import pytest
+
+    from odoo_batch_processing_spark.streaming.queries import _q_s_rate_throughput
+
+    monkeypatch.setenv("SPARK_GRAFT_RATE_LAG_MAX", "-1")
+    with pytest.raises(RuntimeError, match="backlog grew"):
+        _q_s_rate_throughput(spark, SF_SMOKE)
 
 
 def test_dedup_within_watermark_expires_state(spark, tmp_path):
