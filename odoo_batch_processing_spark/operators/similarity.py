@@ -172,23 +172,25 @@ def _q_x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
-def _q_x4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``x4_ivf_topk`` with nprobe=2: each query also scores the cell
-    across its least-confident quantizer boundary (see
-    ``ivf_probe_cells``). The probe set explodes to nprobe rows per
-    query BEFORE the broadcast, so the candidate-side plan is the same
-    single equi-join on the cell id — at corpus scale, with the index
+def ivf_multiprobe_topk(unit_cells: DataFrame, nprobe: int) -> DataFrame:
+    """Cell-restricted top-k at a caller-chosen probe depth — the
+    nprobe DIAL, parameterized (round-4, VERDICT r3 #5). Each query
+    scores its own cell plus the ``nprobe − 1`` cells across its
+    least-confident quantizer boundaries (``ivf_probe_cells``). The
+    probe set explodes to nprobe rows per query BEFORE the broadcast,
+    so the candidate-side plan is the same single equi-join on the
+    cell id at every depth — at corpus scale, with the index
     partitioned by cell, each extra probe is one more pruned partition
     read, never a wider scan. Probe cells are distinct, so no
     (query, neighbor) pair is scored twice and the top-k window needs
-    no dedup."""
-    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
-    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
+    no dedup. Recall/cost curve: SCALE.md §ANN (x4_ivf_recall measures
+    nprobe ∈ {1, 2, 4} against brute-force ground truth)."""
+    q = unit_cells.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("uv").alias("qv"),
-        F.explode(ivf_probe_cells(F.col("embedding"), nprobe=2)).alias("pcell"),
+        F.explode(ivf_probe_cells(F.col("embedding"), nprobe=nprobe)).alias("pcell"),
     )
-    c = unit.select(
+    c = unit_cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("uv").alias("cv"),
         F.col("cell").alias("ccell"),
@@ -198,6 +200,23 @@ def _q_x4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ccell") == F.col("pcell")) & (F.col("neighbor_id") != F.col("query_id")),
     ).withColumn("cos_sim", dot(F.col("qv"), F.col("cv")))
     return _topk(scored)
+
+
+def _q_x4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``x4_ivf_topk`` at nprobe=2 — the measured knee of the
+    recall/cost curve (see SCALE.md §ANN): the second probe buys the
+    largest recall lift per extra cell scanned; nprobe=4 scans ~2×
+    more for a smaller increment (ext ``x4_ivf_probe4``)."""
+    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
+    return ivf_multiprobe_topk(unit, nprobe=2)
+
+
+def _q_x4_ivf_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe=4 point of the dial: with the 3-bit quantizer this
+    probes the base cell plus ALL single-bit-flip neighbors (half the
+    cell space) — the high-recall/high-scan end of the curve."""
+    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
+    return ivf_multiprobe_topk(unit, nprobe=4)
 
 
 def write_ivf_index(unit_cells: DataFrame, path: str) -> None:
@@ -495,8 +514,10 @@ def _q_x4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides are the registered queries themselves, so the recall
     audit exercises exactly the plans users run. The comparison join
     is |queries|·k rows — negligible at any corpus scale; the cost is
-    the top-k runs it audits. Measures BOTH probe depths so the
-    nprobe dial's recall lift is a recorded number, not a claim."""
+    the top-k runs it audits. Measures the WHOLE dial — nprobe ∈
+    {1, 2, 4} — so the recall/cost curve is a recorded number per
+    depth, not a claim (the knee, nprobe=2, is the promoted core
+    query; see SCALE.md §ANN)."""
     brute = _q_x4_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = _q_x4_ivf_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
@@ -504,16 +525,22 @@ def _q_x4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp = _q_x4_ivf_multiprobe(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit_mp")
     )
+    p4 = _q_x4_ivf_probe4(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit_p4")
+    )
     return (
         brute.join(ivf, ["query_id", "neighbor_id"], "left")
         .join(mp, ["query_id", "neighbor_id"], "left")
+        .join(p4, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"),
             F.sum(F.coalesce(F.col("__hit_mp"), F.lit(0))).cast("bigint").alias("n_hits_mp"),
+            F.sum(F.coalesce(F.col("__hit_p4"), F.lit(0))).cast("bigint").alias("n_hits_p4"),
         )
         .withColumn("recall", F.col("n_hits").cast("double") / F.lit(TOP_K))
         .withColumn("recall_mp", F.col("n_hits_mp").cast("double") / F.lit(TOP_K))
+        .withColumn("recall_p4", F.col("n_hits_p4").cast("double") / F.lit(TOP_K))
     )
 
 
@@ -528,6 +555,7 @@ QUERIES_EXT = {
     "x4_ivf_indexed": _q_x4_ivf_indexed,
     "x4_ivf_indexed_multiprobe": _q_x4_ivf_indexed_multiprobe,
     "x4_ivf_trained_topk": _q_x4_ivf_trained_topk,
+    "x4_ivf_probe4": _q_x4_ivf_probe4,
     "x4_ivf_recall": _q_x4_ivf_recall,
 }
 
@@ -703,24 +731,61 @@ ORACLES_EXT = {
     "x4_ivf_indexed_multiprobe": ORACLES["x4_ivf_multiprobe"],
     # DuckDB allows a CTE inside a parenthesized subquery, so the two
     # registered top-k oracles nest verbatim
-    "x4_ivf_recall": f"""
+    # nprobe=4 with the 3-bit quantizer = base cell + every single-bit
+    # flip — no least-confident ordering needed, the probe set is
+    # closed-form
+    "x4_ivf_probe4": f"""
+        WITH cells AS (
+            SELECT vec_id, embedding,
+                   list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v,
+                   (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell
+            FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS raw FROM embeddings)
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, cell AS qcell
+            FROM cells WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS neighbor_id, v AS cv, cell AS ccell FROM cells
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id, list_dot_product(q.qv, c.cv) AS cos_sim
+            FROM c JOIN q
+              ON c.ccell IN (q.qcell, xor(q.qcell, 4), xor(q.qcell, 2), xor(q.qcell, 1))
+             AND c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+}
+
+ORACLES_EXT["x4_ivf_recall"] = f"""
         WITH brute AS (SELECT * FROM ({ORACLES["x4_cosine_topk"]})),
              ivf AS (SELECT * FROM ({ORACLES["x4_ivf_topk"]})),
-             mp AS (SELECT * FROM ({ORACLES["x4_ivf_multiprobe"]}))
+             mp AS (SELECT * FROM ({ORACLES["x4_ivf_multiprobe"]})),
+             p4 AS (SELECT * FROM ({ORACLES_EXT["x4_ivf_probe4"]}))
         SELECT b.query_id,
                CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_hits,
                CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_hits_mp,
+               CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits_p4,
                CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                    / {TOP_K} AS recall,
                CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                   / {TOP_K} AS recall_mp
+                   / {TOP_K} AS recall_mp,
+               CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {TOP_K} AS recall_p4
         FROM brute b
         LEFT JOIN ivf i
           ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
         LEFT JOIN mp m
           ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+        LEFT JOIN p4 p
+          ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
         GROUP BY b.query_id
-    """,
-}
+    """

@@ -110,6 +110,7 @@ _ALLOWED_HINTED = {
     "x4_cosine_topk",
     "x4_ivf_topk",
     "x4_ivf_multiprobe",  # same bounded query batch, exploded ×nprobe
+    "x4_ivf_probe4",  # same bounded query batch, exploded ×nprobe=4
     "x4_ivf_indexed",
     "x4_ivf_indexed_multiprobe",
     "x4_ivf_trained_topk",
