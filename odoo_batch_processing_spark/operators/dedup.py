@@ -729,7 +729,11 @@ def verify_candidate_pairs(
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, id_col: str = "doc_id", max_iters: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+    stall_rounds: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — pure
     DataFrame ops, driver-side loop.
@@ -741,8 +745,21 @@ def connected_components(
     does not grow with the iteration count. The long-chain form IS
     implemented: :func:`connected_components_star` converges in
     O(log n) rounds on a path graph where this loop needs O(n)
-    (measured by tests/test_text_dedup.py) — prefer it at corpus
-    scale; this one-hop loop stays as the simpler oracle-anchored twin.
+    (measured by tests/test_text_dedup.py).
+
+    ``stall_rounds`` arms the structure probe (decision rule in
+    SCALE.md §Dedup): the per-round changed-label count is itself a
+    diameter estimate — dense shallow components collapse
+    geometrically (changed at least halves each round), while a long
+    chain advances its label frontier ~one hop per round (changed
+    stays flat). If changed fails to halve for ``stall_rounds``
+    consecutive transitions, the graph is deep and this loop is the
+    wrong engine: delegate to :func:`connected_components_star` for
+    its O(log n) rounds. ``None`` (the default) never escapes — the
+    plain loop is the measured winner on the shallow graphs near-dup
+    actually produces (SCALE_SMOKE.json: min-label 7.8 s vs star
+    10.5 s at 8× docs). :func:`connected_components_auto` is the
+    armed-probe convenience wrapper.
 
     Returns (id_col, cluster_id): every vertex labeled with the min
     vertex id of its component (isolated vertices label themselves).
@@ -757,6 +774,7 @@ def connected_components(
     )
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     labels = labels.transform(truncate_lineage)
+    history: list[int] = []
     for _ in range(max_iters):
         nbr = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("comp")
@@ -773,7 +791,39 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        history.append(changed)
+        if (
+            stall_rounds is not None
+            and len(history) > stall_rounds
+            and all(
+                history[-i] > 0.5 * history[-i - 1]
+                for i in range(1, stall_rounds + 1)
+            )
+        ):
+            # deep graph: the frontier is crawling, not collapsing —
+            # hand the ORIGINAL edge set to the O(log n) engine (its
+            # rounds rewrite edges, so partial labels don't transfer)
+            out, _rounds = connected_components_star(
+                vertices, edges, id_col=id_col, max_iters=max_iters
+            )
+            return out
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
+
+
+def connected_components_auto(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Structure-adaptive CC — the library default for callers that
+    don't know their graph shape: min-label with the stall probe armed
+    (``stall_rounds=2``), escaping to large-star/small-star when the
+    changed-label trajectory says the graph is deep. Decision rule and
+    the measured crossover behind it: SCALE.md §Dedup."""
+    return connected_components(
+        vertices, edges, id_col=id_col, max_iters=max_iters, stall_rounds=2
+    )
 
 
 def connected_components_star(
@@ -911,6 +961,27 @@ def _q_x3_neardup_survivors_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_x3_neardup_survivors_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`x3_neardup_survivors` through the structure-adaptive dispatch
+    (`connected_components_auto`): min-label with the stall probe
+    armed. On the fixture's shallow dup graph the probe never fires
+    and this IS the min-label plan; on a deep graph it escapes to
+    star. Same clustering either way — same oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
+    candidates = lsh_candidate_pairs(minhash_band_keys(sets))
+    edges = verify_candidate_pairs(candidates, sets).transform(materialize_once)
+    edge_vertices = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components_auto(edge_vertices, edges)
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+
+
 QUERIES = {
     "x2_dedup_survivors": _q_x2_dedup_survivors,
     "x3_neardup_survivors": _q_x3_neardup_survivors,
@@ -929,6 +1000,7 @@ QUERIES_EXT = {
     "x3_minhash_indexed": _q_x3_minhash_indexed,
     "x3_incremental_embedding_neardup": _q_x3_incremental_embedding_neardup,
     "x3_neardup_survivors_star": _q_x3_neardup_survivors_star,
+    "x3_neardup_survivors_auto": _q_x3_neardup_survivors_auto,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -1131,6 +1203,9 @@ ORACLES_EXT["x3_minhash_indexed"] = ORACLES["x3_minhash_lsh"]
 # identical clustering — only the CC algorithm (large-star/small-star
 # vs one-hop min-label) differs
 ORACLES_EXT["x3_neardup_survivors_star"] = ORACLES["x3_neardup_survivors"]
+# identical clustering again — the structure-adaptive dispatch picks
+# one of the two oracle-identical engines at runtime
+ORACLES_EXT["x3_neardup_survivors_auto"] = ORACLES["x3_neardup_survivors"]
 
 # candidate pairs restricted to those whose larger side is in the new
 # batch (the top doc_id decile), then exact-Jaccard verified — the SQL

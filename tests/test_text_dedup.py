@@ -269,3 +269,46 @@ def test_star_cc_log_rounds_on_long_chain(spark):
     simple = connected_components(verts, edges, max_iters=25)
     unconverged = {r["cluster_id"] for r in simple.collect()}
     assert unconverged != {0}, "min-label should not converge a 64-chain in 25 rounds"
+
+
+def test_cc_auto_picks_engine_by_structure(spark, monkeypatch):
+    """The structure-adaptive dispatch (SCALE.md §Dedup decision rule):
+    on a long chain the changed-label counts stay flat (frontier
+    crawls one hop/round), so the stall probe fires and the star
+    engine finishes the job; on a shallow dense graph the counts
+    collapse geometrically, the probe never fires, and star is never
+    invoked. Both paths must produce the exact min-id clustering."""
+    import odoo_batch_processing_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    calls = []
+    orig = D.connected_components_star
+
+    def spy(*a, **k):
+        calls.append("star")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(D, "connected_components_star", spy)
+
+    # deep: a 40-vertex path — min-label would need ~40 rounds
+    n = 40
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = D.connected_components_auto(verts, chain)
+    assert calls == ["star"], "stall probe should escape to star on a chain"
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+
+    # shallow: disjoint triangles {3k, 3k+1, 3k+2} — collapses in one
+    # round, the probe must NOT fire
+    calls.clear()
+    tri = spark.range(30).select(
+        F.col("id").alias("doc_a"),
+        ((F.col("id") - F.col("id") % 3) + (F.col("id") + 1) % 3).alias("doc_b"),
+    )
+    verts3 = spark.range(30).select(F.col("id").alias("doc_id"))
+    out3 = D.connected_components_auto(verts3, tri)
+    assert calls == [], "shallow graph must stay on min-label"
+    got = {r["doc_id"]: r["cluster_id"] for r in out3.collect()}
+    assert got == {i: i - i % 3 for i in range(30)}
