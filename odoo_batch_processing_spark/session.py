@@ -39,6 +39,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Never emit legacy INT96 timestamps: INT96 is deprecated, skips
+    # vectorized-reader fast paths in other engines, and is physically
+    # untyped (pyarrow surfaces it as timestamp[ns]), which breaks
+    # footer-based unit probes like loader.events_ts_unit. MICROS is
+    # what the fixtures use and what DuckDB/Spark agree on exactly.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # 64 MB: dims up to supplier-at-sf100 stay broadcast; anything
     # bigger falls to shuffle joins that AQE can still re-plan. Set

@@ -27,7 +27,22 @@ def _events_ts_unit_cached(path: str, cache_token: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(path).schema_arrow.field("ts").type
+    pf = pq.ParquetFile(path)
+    # Legacy INT96 (files written by engines predating the
+    # outputTimestampType default, session.RUNTIME_CONFS): physically
+    # untyped, so pyarrow surfaces it as timestamp[ns] — but Spark's
+    # vectorized reader decodes INT96 into TimestampType natively, so
+    # it must take the "us" (plain TimestampType schema) branch, NOT
+    # the raw-int64-nanos branch the arrow type alone would suggest.
+    try:
+        idx = pf.schema_arrow.get_field_index("ts")
+        if pf.metadata.num_row_groups > 0 and (
+            pf.metadata.row_group(0).column(idx).physical_type == "INT96"
+        ):
+            return "us"
+    except Exception:
+        pass  # fall through to the arrow-type probe
+    t = pf.schema_arrow.field("ts").type
     # A non-timestamp ``ts`` (plain int64) IS the raw-nanos staging
     # contract used by the streaming fixtures — same branch as NANOS.
     if not pa.types.is_timestamp(t):

@@ -87,3 +87,58 @@ def test_merge_into_partitioned_upsert_and_insert(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert o_files_before == o_files_after, "untouched partition was rewritten"
+
+
+def test_events_clone_roundtrip_never_int96(spark, tmp_path):
+    """An engine-written events clone reloads identically: the session
+    writes TIMESTAMP_MICROS (never legacy INT96), and even a foreign
+    INT96 file routes through the probe's physical-type branch instead
+    of being misread as raw int64 nanos (the ts-unit mismatch that
+    broke the first scale_suite clone)."""
+    import pyarrow.parquet as pq
+
+    from odoo_batch_processing_spark.sources.loader import events_ts_unit, load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events.parquet")
+    events.write.mode("overwrite").parquet(out)
+
+    part = sorted(
+        str(p) for p in (tmp_path / "events.parquet").glob("*.parquet")
+    )[0]
+    assert (
+        pq.ParquetFile(part).metadata.row_group(0).column(1).physical_type
+        != "INT96"
+    )
+    assert events_ts_unit(out) == "us"
+
+    back = load_table(spark, str(tmp_path), "events")
+    assert back.schema["ts"].dataType == events.schema["ts"].dataType
+    a = sorted(tuple(r) for r in events.select("event_id", "ts").collect())
+    b = sorted(tuple(r) for r in back.select("event_id", "ts").collect())
+    assert a == b
+
+    # foreign INT96 file (legacy writer): probe must pick the
+    # TimestampType branch, and the reload must still match
+    legacy_root = tmp_path / "legacy"
+    legacy = str(legacy_root / "events.parquet")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        events.write.mode("overwrite").parquet(legacy)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    part = sorted(
+        str(p) for p in (legacy_root / "events.parquet").glob("*.parquet")
+    )[0]
+    assert (
+        pq.ParquetFile(part).metadata.row_group(0).column(1).physical_type
+        == "INT96"
+    )
+    assert events_ts_unit(legacy) == "us"
+    c = sorted(
+        tuple(r)
+        for r in load_table(spark, str(legacy_root), "events")
+        .select("event_id", "ts")
+        .collect()
+    )
+    assert a == c
