@@ -8,6 +8,16 @@ Scale note: `from_json` with an explicit schema is a single
 codegen'd projection; schema inference (`schema_of_json`) samples the
 data and is dev-path only, mirroring the engine's schema-on-read rule
 (schemas.py docstring).
+
+Spark 4 adds VARIANT (`parse_json`/`variant_get`): one parse per row
+into a binary encoding, then any number of typed path extractions
+WITHOUT re-parsing — the right shape when a payload is heterogeneous
+or deeply nested and a fixed `from_json` schema can't be declared up
+front. Repeated `get_json_object` calls re-parse the string per call;
+at 100 TB that's the difference between one scan-side decode and k of
+them. `x6_variant_shred` exercises the full path surface (nested
+object, array index, typed get, missing-path NULL) under the hash
+gate.
 """
 
 from __future__ import annotations
@@ -70,6 +80,47 @@ def _q_x6_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_nested_payload() -> Column:
+    """A deterministic nested JSON document built from the event row
+    (object nesting, an int array, and the original props object
+    embedded) — the heterogeneous-payload stand-in the flat fixture
+    props lacks. FLOOR(value*100) is IEEE-double arithmetic identical
+    in Spark and DuckDB, so the oracle can recompute every field
+    straight from the source columns."""
+    return F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","cents":'),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit(',"ids":['),
+        F.col("user_id").cast("string"),
+        F.lit(","),
+        F.col("event_id").cast("string"),
+        F.lit(']},"props":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+
+
+def _q_x6_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT shred: parse the nested payload ONCE (`parse_json` →
+    binary variant), then five typed path extractions — nested object
+    field, array element, typed int through the embedded props object,
+    and a missing path that must yield NULL via `try_variant_get`.
+    The scan-side cost is one decode per row regardless of how many
+    paths are read (vs one re-parse per `get_json_object` call)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(synth_nested_payload())
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.meta.cents", "bigint").alias("cents"),
+        F.variant_get(v, "$.meta.ids[0]", "bigint").alias("first_id"),
+        F.variant_get(v, "$.props.k", "int").alias("k"),
+        F.try_variant_get(v, "$.meta.absent", "int").alias("absent"),
+    )
+
+
 # Core: the grouped query (its grouping key IS a JSON extraction, so
 # it covers typed parse + aggregation in one). Extended: the per-row
 # extraction projection and the JSON-flavored null-safe equality
@@ -82,6 +133,7 @@ QUERIES = {
 QUERIES_EXT = {
     "x6_json_extract": _q_x6_json_extract,
     "x6_null_safe_eq": _q_x6_null_safe_eq,
+    "x6_variant_shred": _q_x6_variant_shred,
 }
 
 ORACLES = {
@@ -105,6 +157,18 @@ ORACLES = {
                  IS NOT DISTINCT FROM CAST(json_extract_string(props, '$.absent') AS INTEGER) AS missing_selfmatch,
                CAST(json_extract_string(props, '$.absent') AS INTEGER)
                  = CAST(json_extract_string(props, '$.absent') AS INTEGER) AS plain_eq_is_null
+        FROM events
+    """,
+    # the oracle recomputes each shredded field straight from the
+    # source columns — the variant build→extract roundtrip must land
+    # on exactly these values
+    "x6_variant_shred": """
+        SELECT event_id,
+               event_type AS vtype,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               user_id AS first_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               CAST(NULL AS INTEGER) AS absent
         FROM events
     """,
 }

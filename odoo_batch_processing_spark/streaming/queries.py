@@ -63,11 +63,26 @@ def _with_stream_shuffle(fn):
 
 
 def _events_dir(sf_dir: str) -> str:
-    """The streaming file source requires a DIRECTORY; the fixture is a
-    single parquet file. Stage a per-run scratch dir holding a symlink
-    to it (zero copy, fixtures untouched)."""
+    """The streaming file source requires a DIRECTORY of data files.
+    Stage a per-run scratch dir of symlinks (zero copy, fixtures
+    untouched). The fixture ships as a single parquet FILE; an
+    engine-written corpus (e.g. the scale_suite clone) is a parquet
+    DIRECTORY whose member files are linked individually — a symlink
+    to the directory itself would hide the files from both the file
+    source's listing and the ts-unit probe. Targets are absolute so a
+    relative ``sf_dir`` can't produce dangling links."""
+    import glob as _glob
+
     d = _scratch_dir("events-src")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-000.parquet"))
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.isdir(src):
+        members = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        if not members:
+            raise FileNotFoundError(f"no *.parquet members under {src!r}")
+        for i, f in enumerate(members):
+            os.symlink(f, os.path.join(d, f"part-{i:03d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(d, "part-000.parquet"))
     return d
 
 
@@ -250,6 +265,45 @@ def _q_s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    return spark.table(name)
+
+
+def _q_s_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_q_s_stateful_totals` on the Spark-4 successor API
+    (``transformWithStateInPandas``), certified against the SAME
+    oracle — the migration contract off the deprecated
+    applyInPandasWithState. The new API only runs on the RocksDB
+    state store provider, so it is set for this query and restored
+    after (the legacy-API queries keep the default HDFS-backed store;
+    provider choice is per-query at stream start)."""
+    from odoo_batch_processing_spark.streaming.stateful import running_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = change_source(spark, _events_dir(sf_dir))
+        name = _mem_name("s_state_tws")
+        q = (
+            running_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _scratch_dir("state-tws-ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     return spark.table(name)
 
 
@@ -553,7 +607,29 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is already driver-covered by s_x7_stream_hourly (streaming windows) +
 # x7_sessionize (session semantics); keep it oracle-checked in the
 # extended tier to free a core slot for R19.
+def _has_tws_deps() -> bool:
+    """``transformWithStateInPandas`` talks to its Python state server
+    over protobuf; this container ships pyspark without the
+    ``google.protobuf`` extra and installs are off-limits, so the
+    successor-API query registers only where the dep exists (the
+    operator itself, streaming/stateful.py:running_totals_tws, is
+    complete and certified by the same oracle wherever it can run)."""
+    import importlib.util
+
+    try:
+        # find_spec on a dotted name imports the parent package, which
+        # raises (not returns None) when 'google' itself is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 QUERIES_EXT = {
+    **(
+        {"s_stateful_totals_tws": _with_stream_shuffle(_q_s_stateful_totals_tws)}
+        if _has_tws_deps()
+        else {}
+    ),
     "s_session_window": _with_stream_shuffle(_q_s_session_window),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
     "s_stream_static_join": _with_stream_shuffle(_q_s_stream_static_join),
@@ -614,6 +690,20 @@ ORACLES = {
 }
 
 ORACLES_EXT = {
+    # the successor-API run must land on the identical per-user totals
+    **(
+        {
+            "s_stateful_totals_tws": """
+        SELECT user_id,
+               COUNT(1) AS n_events,
+               MIN(event_id) AS min_event_id,
+               MAX(event_id) AS max_event_id
+        FROM events GROUP BY user_id
+    """
+        }
+        if _has_tws_deps()
+        else {}
+    ),
     # stream-static enrichment == the batch join (single static dim,
     # inner join — arrival order cannot change the aggregate)
     "s_stream_static_join": """

@@ -54,3 +54,62 @@ def running_totals(stream_df: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(stream_df: DataFrame) -> DataFrame:
+    """The same operator on ``transformWithStateInPandas`` — Spark 4's
+    successor arbitrary-state API (SPARK-49564): typed state handles
+    (value/list/map state) instead of one opaque tuple, per-key timers,
+    state TTL, and schema evolution of state between job versions.
+    Requires the RocksDB state store provider (the caller sets it;
+    session.RUNTIME_CONFS leaves the default provider alone so the
+    legacy-API queries keep their HDFS-backed store).
+
+    Semantics are identical to :func:`running_totals` by construction —
+    the registry certifies BOTH against the same per-user-totals
+    oracle, which is exactly the migration contract a production
+    pipeline needs when moving off the deprecated API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, mn, mx = (
+                self._totals.get() if self._totals.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                batch_mn = int(pdf["event_id"].min())
+                batch_mx = int(pdf["event_id"].max())
+                mn = batch_mn if mn is None else min(mn, batch_mn)
+                mx = batch_mx if mx is None else max(mx, batch_mx)
+            self._totals.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_event_id": [mn],
+                    "max_event_id": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.select("user_id", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TotalsProcessor(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -229,3 +229,37 @@ def test_dedup_within_watermark_expires_state(spark, tmp_path):
     assert (7, "k1") in got, got
     # nothing emits that wasn't staged as a first/expired occurrence
     assert got <= {(1, "k1"), (2, "k2"), (4, "k3"), (5, "k1"), (7, "k1"), (8, "k3")}, got
+
+
+def test_tws_gate_matches_environment():
+    """The transformWithStateInPandas catalog entry registers exactly
+    when its protobuf dependency exists; the operator module itself
+    always imports (the gate is on the CATALOG, not the code)."""
+    from odoo_batch_processing_spark.registry import all_oracles, all_queries
+    from odoo_batch_processing_spark.streaming.queries import _has_tws_deps
+    from odoo_batch_processing_spark.streaming.stateful import running_totals_tws  # noqa: F401
+
+    has_dep = _has_tws_deps()
+    q = all_queries(extended=True)
+    o = all_oracles(extended=True)
+    assert ("s_stateful_totals_tws" in q) == has_dep
+    assert ("s_stateful_totals_tws" in o) == has_dep
+
+
+def test_tws_running_totals_if_available(spark, tmp_path):
+    """Where protobuf exists, the successor-API operator must land on
+    the same per-user totals as the legacy-API core query."""
+    import pytest as _pytest
+
+    from odoo_batch_processing_spark.streaming.queries import _has_tws_deps
+
+    if not _has_tws_deps():
+        _pytest.skip("google.protobuf not installed (transformWithState state server)")
+
+    from odoo_batch_processing_spark.registry import all_queries
+
+    got = all_queries(extended=True)["s_stateful_totals_tws"](
+        spark, "/root/testdata/sf0.001"
+    )
+    legacy = all_queries()["s_stateful_totals"](spark, "/root/testdata/sf0.001")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, legacy.collect()))

@@ -136,6 +136,18 @@ def main() -> int:
     parser.add_argument("--reps", type=int, default=2)
     parser.add_argument("--flag-at", type=float, default=1.5)
     parser.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    parser.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query subset; results MERGE into an existing "
+        "SCALE_SUITE.json instead of replacing it (patch a fixed query "
+        "without re-running the suite)",
+    )
+    parser.add_argument(
+        "--reuse-dir",
+        default=None,
+        help="existing M-times clone dir to reuse instead of rebuilding",
+    )
     args = parser.parse_args()
 
     from odoo_batch_processing_spark.registry import all_queries
@@ -146,12 +158,22 @@ def main() -> int:
     spark = get_spark("scale-suite", cpus=args.cpus, shuffle_partitions=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            parser.error(f"unknown queries: {unknown}")
+        queries = {n: queries[n] for n in names}
 
-    scaled_dir = scratch_dir(f"scale-suite-{args.mult}x")
-    t0 = time.perf_counter()
-    counts = build_star(spark, args.sf_dir, args.mult, scaled_dir)
-    print(f"built {args.mult}x corpus in {time.perf_counter()-t0:.1f}s: "
-          + " ".join(f"{k}={v}" for k, v in counts.items()), file=sys.stderr)
+    if args.reuse_dir:
+        scaled_dir = args.reuse_dir
+        counts = {}
+    else:
+        scaled_dir = scratch_dir(f"scale-suite-{args.mult}x")
+        t0 = time.perf_counter()
+        counts = build_star(spark, args.sf_dir, args.mult, scaled_dir)
+        print(f"built {args.mult}x corpus in {time.perf_counter()-t0:.1f}s: "
+              + " ".join(f"{k}={v}" for k, v in counts.items()), file=sys.stderr)
 
     # warmup (JVM/codegen/parquet footers) outside the timed loops
     next(iter(sorted(queries.items())))[1](spark, args.sf_dir).count()
@@ -179,18 +201,30 @@ def main() -> int:
             flagged.append(name)
             per_query[name]["superlinear"] = True
 
-    payload = {
-        "metric": "scale_suite",
-        "mult": args.mult,
-        "reps": args.reps,
-        "stat": "min",
-        "base_sf_dir": args.sf_dir,
-        "table_rows": counts,
-        "queries": per_query,
-        "flagged_superlinear": flagged,
-    }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALE_SUITE.json"), "w") as fh:
+    out_path = os.path.join(repo, "SCALE_SUITE.json")
+    if args.only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            payload = json.load(fh)
+        payload["queries"].update(per_query)
+        payload["flagged_superlinear"] = sorted(
+            set(payload.get("flagged_superlinear", [])) - set(per_query)
+            | set(flagged)
+        )
+        if counts:
+            payload["table_rows"] = counts
+    else:
+        payload = {
+            "metric": "scale_suite",
+            "mult": args.mult,
+            "reps": args.reps,
+            "stat": "min",
+            "base_sf_dir": args.sf_dir,
+            "table_rows": counts,
+            "queries": per_query,
+            "flagged_superlinear": flagged,
+        }
+    with open(out_path, "w") as fh:
         json.dump(payload, fh, separators=(",", ":"))
         fh.write("\n")
     print(json.dumps({"metric": "scale_suite", "mult": args.mult,
