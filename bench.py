@@ -45,12 +45,15 @@ def main() -> int:
 
     # Host timing is noisy (shared 32-core box running 50 Spark jobs
     # back-to-back; round-2 n=2 runs differed by 23% total). Run each
-    # query >=3 times and report the per-query MEDIAN — robust to a
-    # one-off GC/compaction stall in either direction — keeping every
-    # raw rep in BENCH_LAST_RAW.json so a regression is attributable
+    # query 5 times and report the per-query MEDIAN — robust to TWO
+    # outlier reps (round-4 A/B: the round-3 code re-benched on a
+    # noisy-day box showed the same query at [3.3, 4.1, 7.9, 16.3,
+    # 46.3] s — identical code, microVM I/O stalls; a median-of-3
+    # can land on a stall, a median-of-5 rarely does). Every raw rep
+    # is kept in BENCH_LAST_RAW.json so a regression is attributable
     # to a plan change vs. host noise. One failing query reports -1
     # instead of killing the bench.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     t_total = time.perf_counter()

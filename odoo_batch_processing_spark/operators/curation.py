@@ -29,7 +29,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from odoo_batch_processing_spark.operators.dedup import cap_hot_buckets, shingles
 from odoo_batch_processing_spark.operators.text import quality_features, tokens
@@ -269,6 +269,46 @@ def _q_x9_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-group sample size for the fixed-size draw
+GROUP_SAMPLE_K = 100
+
+#: seed for the sample's ranking hash — a different seed is an
+#: independent draw; the same seed reproduces it on any engine
+GROUP_SAMPLE_SEED = 7
+
+
+def fixed_size_group_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, seed: int
+) -> DataFrame:
+    """Deterministic k-rows-PER-GROUP sample (the reservoir-sampling
+    contract, without reservoir state): rank each group's rows by a
+    seeded md5 of the key and keep the k smallest. Percentage sampling
+    (:func:`hash_bucket`) can't hold eval sets or per-source caps to a
+    FIXED size when group cardinalities differ by orders of magnitude;
+    this can, and the draw is uniform because the hash order is
+    independent of any data attribute.
+
+    Scale shape: Spark plans the `row_number() <= k` window as a
+    partial/final rank-limit (the x4 top-k idiom) — each map task
+    forwards at most k rows per group, so the shuffle carries
+    O(groups × k × tasks-with-that-group), never the corpus. No
+    driver-side reservoir, no rand() nondeterminism."""
+    order_key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(key_col))
+    return df.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    ).drop("__rk")
+
+
+def _q_x9_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-source draw: exactly min(k, |source|) docs per
+    source, reproducible bit-for-bit on any engine/cluster size."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    return fixed_size_group_sample(
+        docs, "source", "doc_id", GROUP_SAMPLE_K, GROUP_SAMPLE_SEED
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: bin documents into token-budget training shards
 # ---------------------------------------------------------------------------
@@ -457,6 +497,7 @@ QUERIES_EXT = {
     "x9_quality_gates": _q_x9_quality_gates,
     "x9_decontaminate": _q_x9_decontaminate,
     "x9_hash_sample": _q_x9_hash_sample,
+    "x9_group_sample": _q_x9_group_sample,
     "x9_epoch_shuffle": _q_x9_epoch_shuffle,
 }
 
@@ -560,6 +601,17 @@ ORACLES_EXT = {
         SELECT doc_id, source
         FROM documents
         WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < {SAMPLE_PCT}
+    """,
+    "x9_group_sample": f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('{GROUP_SAMPLE_SEED}' || ':' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {GROUP_SAMPLE_K}
     """,
     "x9_pack_shards": f"""
         WITH with_tok AS (

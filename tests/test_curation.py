@@ -125,3 +125,26 @@ def test_epoch_shuffle_is_a_deterministic_permutation(spark):
         ).collect()
     }
     assert other != rows  # an independent permutation, not a relabeling
+
+
+def test_fixed_size_group_sample_exact_k_and_deterministic(spark):
+    """Every group yields exactly min(k, |group|) rows, the draw is
+    identical across runs, and a different seed draws a different
+    (same-sized) sample."""
+    from odoo_batch_processing_spark.operators.curation import (
+        fixed_size_group_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i % 3 else "small") for i in range(90)], "id bigint, grp string"
+    )
+    a = fixed_size_group_sample(df, "grp", "id", 10, seed=7)
+    sizes = {r["grp"]: r["n"] for r in a.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 10, "small": 10}
+    b = fixed_size_group_sample(df, "grp", "id", 10, seed=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = fixed_size_group_sample(df, "grp", "id", 10, seed=8)
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+    # k larger than the group: the whole group comes back
+    tiny = fixed_size_group_sample(df.filter("id < 4"), "grp", "id", 10, seed=7)
+    assert tiny.count() == 4
