@@ -29,7 +29,10 @@ def _neardup_rows(spark):
 
 def test_reliable_checkpoint_same_results(spark, tmp_path, monkeypatch):
     """x3_neardup_survivors (the heaviest checkpoint user: shingle index,
-    band keys, CC loop) must produce identical clusters on both paths."""
+    band keys, CC loop) must produce identical clusters on both paths.
+    The CC local fast path is disabled so the distributed loop — the
+    only lineage-cut user in this query — actually runs."""
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_CAP", "0")
     local = _neardup_rows(spark)
 
     monkeypatch.setenv(RELIABLE_CHECKPOINT_ENV, "1")

@@ -164,8 +164,17 @@ def test_connected_components_min_label(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)], "doc_a bigint, doc_b bigint"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+    # default path: the graph is under CC_LOCAL_EDGE_CAP, so this is
+    # the driver-side union-find
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(vertices, edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+    assert got == want
+    # distributed loop forced (local_cap=0): identical labels
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(vertices, edges, local_cap=0).collect()
+    }
+    assert dist == want
 
 
 def test_minhash_signatures_match_exploded_min(spark):
@@ -266,7 +275,9 @@ def test_star_cc_log_rounds_on_long_chain(spark):
     assert rounds <= 8, f"expected O(log n) rounds, took {rounds}"
 
     # the one-hop loop capped at the same 25 rounds does NOT finish
-    simple = connected_components(verts, edges, max_iters=25)
+    # (local_cap=0: the point is the DISTRIBUTED loop's round bound —
+    # the union-find fast path would trivially solve it)
+    simple = connected_components(verts, edges, max_iters=25, local_cap=0)
     unconverged = {r["cluster_id"] for r in simple.collect()}
     assert unconverged != {0}, "min-label should not converge a 64-chain in 25 rounds"
 
@@ -296,7 +307,7 @@ def test_cc_auto_picks_engine_by_structure(spark, monkeypatch):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     verts = spark.range(n).select(F.col("id").alias("doc_id"))
-    out = D.connected_components_auto(verts, chain)
+    out = D.connected_components_auto(verts, chain, local_cap=0)
     assert calls == ["star"], "stall probe should escape to star on a chain"
     assert {r["cluster_id"] for r in out.collect()} == {0}
 
@@ -308,7 +319,7 @@ def test_cc_auto_picks_engine_by_structure(spark, monkeypatch):
         ((F.col("id") - F.col("id") % 3) + (F.col("id") + 1) % 3).alias("doc_b"),
     )
     verts3 = spark.range(30).select(F.col("id").alias("doc_id"))
-    out3 = D.connected_components_auto(verts3, tri)
+    out3 = D.connected_components_auto(verts3, tri, local_cap=0)
     assert calls == [], "shallow graph must stay on min-label"
     got = {r["doc_id"]: r["cluster_id"] for r in out3.collect()}
     assert got == {i: i - i % 3 for i in range(30)}
