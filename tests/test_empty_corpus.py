@@ -1,0 +1,52 @@
+"""Zero-row robustness: every major pipeline must run (and return an
+empty, correctly-typed relation) on an empty corpus. At 100 TB this is
+the everyday case of a filter/partition-pruning step leaving zero rows
+for a downstream operator — an engine that throws on empty input
+cannot be composed."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from odoo_batch_processing_spark.schemas import SCHEMAS, TABLE_NAMES
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty-sf"))
+    for name in TABLE_NAMES:
+        spark.createDataFrame([], SCHEMAS[name]).write.mode("overwrite").parquet(
+            os.path.join(d, f"{name}.parquet")
+        )
+    return d
+
+
+# one representative per family: star agg, positional update, dedup
+# survivors (LSH -> verify -> CC), similarity top-k, curation pipeline,
+# text features, JSON/VARIANT, windows, approx sketches
+EMPTY_SAFE = [
+    "q05_revenue_by_nation",
+    "r09_zip_join_update",
+    "x2_dedup_survivors",
+    "x3_neardup_survivors",
+    "x3_minhash_lsh",
+    "x4_cosine_topk",
+    "x9_curation_pipeline",
+    "x5_text_features",
+    "x6_json_grouped",
+    "x7_sliding_windows",
+    "x8_approx_aggs",
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
+    from odoo_batch_processing_spark.registry import all_queries
+
+    df = all_queries()[name](spark, empty_sf_dir)
+    # must execute without raising; aggregates may legitimately return
+    # a single all-NULL/zero row, everything else returns no rows
+    assert df.count() <= 1
+    assert len(df.columns) >= 1

@@ -142,3 +142,30 @@ def test_events_clone_roundtrip_never_int96(spark, tmp_path):
         .collect()
     )
     assert a == c
+
+
+def test_merge_schema_read_across_file_generations(spark, tmp_path):
+    """Schema evolution on read: a directory holding an old-generation
+    file (no o_comment) and a new-generation file (with it) reads as
+    the union schema under mergeSchema, old rows NULL-filled — the
+    contract for evolving a 100 TB table in place without rewriting
+    history."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    out = str(tmp_path / "evolving")
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(out)
+    orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_comment", F.concat(F.lit("c-"), F.col("o_orderkey"))
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"o_orderkey", "o_orderstatus", "o_comment"}
+    n = orders.count()
+    assert merged.count() == n
+    nulls = merged.filter(F.col("o_comment").isNull()).count()
+    assert nulls == orders.filter(F.col("o_orderkey") % 2 == 0).count()
