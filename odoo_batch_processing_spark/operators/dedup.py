@@ -549,6 +549,18 @@ def _q_x3_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "doc_id",
     )
+    return probe_standing_index(spark, sf_dir, new_docs)
+
+
+def probe_standing_index(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """The O(batch) probe core shared by the batch incremental query
+    and its streaming (per-micro-batch) form: band keys from the new
+    docs' text only → equi-join against the standing write-time index
+    → exact-Jaccard verify over the touched docs. Returns verified
+    (doc_a, doc_b, jaccard) with doc_b drawn from ``new_docs``."""
+    docs = load_table(spark, sf_dir, "documents")
     # barrier before the k signature expressions: project-collapse
     # would otherwise inline the shingle build into every one of the
     # k array_min columns (k× re-shingle of the batch — measured 3s

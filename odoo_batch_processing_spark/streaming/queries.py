@@ -268,6 +268,58 @@ def _q_s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest near-dup as a STREAM: today's batch (the top
+    doc_id decile, same slice as core `x3_incremental_neardup`) arrives
+    in three files; each micro-batch probes the standing write-time
+    MinHash index (`dedup.probe_standing_index` — band keys from the
+    batch's text only, O(batch) per trigger, the corpus never
+    re-tokenized) and appends its verified pairs to a parquet sink.
+    The union over micro-batches equals the batch query exactly — a
+    pair (a,b) is emitted by the one micro-batch holding doc_b, so no
+    pair is duplicated or lost regardless of how the batch is chunked
+    — and the same DuckDB oracle certifies it."""
+    from odoo_batch_processing_spark.operators.dedup import probe_standing_index
+    from odoo_batch_processing_spark.schemas import SCHEMAS
+    from odoo_batch_processing_spark.sources.loader import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.agg(
+        F.floor(F.lit(9.0) * F.max("doc_id") / F.lit(10.0)).cast("bigint").alias("t")
+    ).first()["t"]
+    staging = _scratch_dir("x3-stream-batch")
+    docs.filter(F.col("doc_id") > t).repartition(3).write.mode("overwrite").parquet(
+        staging
+    )
+    out_dir = _scratch_dir("x3-stream-pairs")
+    # seed the sink with an empty, correctly-typed relation so the
+    # final read works even if a run yields zero pairs
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint, jaccard double")
+    empty.write.mode("overwrite").parquet(out_dir)
+
+    def _probe(batch_df, _epoch_id):
+        pairs = probe_standing_index(
+            spark, sf_dir, fan_out(batch_df, spark, "doc_id")
+        )
+        pairs.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", _scratch_dir("x3-stream-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
 def _q_s_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`_q_s_stateful_totals` on the Spark-4 successor API
     (``transformWithStateInPandas``), certified against the SAME
@@ -631,6 +683,9 @@ QUERIES_EXT = {
         else {}
     ),
     "s_session_window": _with_stream_shuffle(_q_s_session_window),
+    "s_x3_stream_incremental_neardup": _with_stream_shuffle(
+        _q_s_x3_stream_incremental_neardup
+    ),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
     "s_stream_static_join": _with_stream_shuffle(_q_s_stream_static_join),
     # rows-only by design: wall-clock throughput is nondeterministic
@@ -713,6 +768,9 @@ ORACLES_EXT = {
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """,
+    # the streamed probe must union to EXACTLY the batch incremental
+    # result — same oracle text as core x3_incremental_neardup (bound
+    # below after the dedup module's oracles are importable)
     # cross-batch dedup state: two identical copies in, one distinct
     # fingerprint set out
     "s_x2_stream_dedup": r"""
@@ -744,3 +802,12 @@ ORACLES_EXT = {
         FROM numbered GROUP BY user_id, sid
     """,
 }
+
+# bound here (not in the dict literal) to reuse the dedup module's
+# oracle verbatim: the streamed probe's contract IS "unions to the
+# batch incremental result"
+from odoo_batch_processing_spark.operators.dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
+
+ORACLES_EXT["s_x3_stream_incremental_neardup"] = _DEDUP_ORACLES[
+    "x3_incremental_neardup"
+]
