@@ -1,0 +1,82 @@
+"""Z-order layout: the measurable claim is stat-box tightness — under
+z-clustering EVERY row group carries a narrow min/max range on BOTH
+dimensions, so a conjunctive filter prunes row groups that a
+single-column sort must read."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def _stat_spans(out_dir: str, col: str) -> list[tuple[int, int]]:
+    """(min, max) of ``col`` per row group across all files."""
+    spans = []
+    for f in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index(col)
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    return spans
+
+
+def _mean_span(spans: list[tuple[int, int]]) -> float:
+    return sum(mx - mn for mn, mx in spans) / len(spans)
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    from odoo_batch_processing_spark.sources.layout import zorder_write
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    n_files = 8
+
+    z_dir = str(tmp_path / "zorder")
+    zorder_write(li, ("l_partkey", "l_suppkey"), z_dir, n_files=n_files)
+
+    # baseline: perfect single-column clustering on l_partkey only
+    single_dir = str(tmp_path / "single")
+    (
+        li.repartitionByRange(n_files, F.col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(single_dir)
+    )
+
+    # relation identical under both layouts
+    assert (
+        spark.read.parquet(z_dir).count()
+        == spark.read.parquet(single_dir).count()
+        == li.count()
+    )
+
+    part_range = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).cast("double")
+    ).first()[0]
+    supp_range = li.agg(
+        (F.max("l_suppkey") - F.min("l_suppkey")).cast("double")
+    ).first()[0]
+
+    # z-layout: BOTH dimensions clustered — every row group's stat box
+    # is a fraction of the global range on each axis
+    z_part = _mean_span(_stat_spans(z_dir, "l_partkey")) / part_range
+    z_supp = _mean_span(_stat_spans(z_dir, "l_suppkey")) / supp_range
+    assert z_part < 0.75, f"z-layout l_partkey span ratio {z_part:.2f}"
+    assert z_supp < 0.6, f"z-layout l_suppkey span ratio {z_supp:.2f}"
+
+    # single-column layout: the sorted dimension is tight but the
+    # OTHER dimension's row groups span ~the whole domain — the reason
+    # one sort key cannot serve two filter columns
+    s_part = _mean_span(_stat_spans(single_dir, "l_partkey")) / part_range
+    s_supp = _mean_span(_stat_spans(single_dir, "l_suppkey")) / supp_range
+    assert s_part < z_part  # single-key clustering wins its own axis
+    assert s_supp > 0.9, f"expected untamed l_suppkey, got {s_supp:.2f}"
+    assert z_supp < s_supp / 1.5, "z-order must tighten the second axis"
