@@ -544,6 +544,63 @@ def _q_x4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: symmetric int8 budget: values land in [-127, 127]
+INT8_TOP = 127
+
+
+def quantize_int8(unit_vec: F.Column) -> tuple[F.Column, F.Column]:
+    """Per-vector symmetric int8 quantization of a UNIT vector:
+    ``scale = 127 / max|u_i|``, ``q_i = clamp(floor(u_i·scale + .5))``
+    stored as ``array<tinyint>`` — 8× smaller than the double working
+    form and 4× smaller than the float storage form. Returns
+    (quantized array, max|u_i|); reconstruction is
+    ``u_i ≈ q_i · mx / 127``, so an integer dot product times
+    ``mxA·mxB / 127²`` approximates the cosine. All arithmetic is
+    floor/least/greatest — reproducible bit-for-bit in the oracle.
+
+    At 100 TB this is the bandwidth lever: scoring reads 1/4 the bytes
+    of float32 (fits 4× more corpus in page cache / shuffle), and the
+    integer products are exact in doubles, so the only error is the
+    quantization itself (recall measured in tests/test_int8_recall)."""
+    mx = F.array_max(F.transform(unit_vec, F.abs))
+    scale = F.lit(float(INT8_TOP)) / mx
+    q = F.transform(
+        unit_vec,
+        lambda x: F.least(
+            F.lit(INT8_TOP), F.greatest(F.lit(-INT8_TOP), F.floor(x * scale + F.lit(0.5)).cast("int"))
+        ).cast("tinyint"),
+    )
+    return q, mx
+
+
+def _q_x4_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute top-k over int8-quantized vectors: the write-time asset is
+    the ``(vec_id, array<tinyint>, mx)`` relation; scoring is an exact
+    integer dot (cast to double — products ≤ 127² · 64 dims are
+    integer-exact) rescaled by the two max-magnitudes."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    unit = _unit(emb, "vec_id", "uv", "vec_id", "embedding")
+    qv, mx = quantize_int8(F.col("uv"))
+    qz = unit.select("vec_id", qv.alias("qvec"), mx.alias("mx"))
+    q = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qa"),
+        F.col("mx").alias("mxa"),
+    )
+    c = qz.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("qb"),
+        F.col("mx").alias("mxb"),
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "cos_sim",
+        dot(to_double(F.col("qa")), to_double(F.col("qb")))
+        * (F.col("mxa") * F.col("mxb"))
+        / F.lit(float(INT8_TOP * INT8_TOP)),
+    )
+    return _topk(scored)
+
+
 QUERIES = {
     "x4_cosine_topk": _q_x4_cosine_topk,
     "x4_ivf_topk": _q_x4_ivf_topk,
@@ -557,6 +614,7 @@ QUERIES_EXT = {
     "x4_ivf_trained_topk": _q_x4_ivf_trained_topk,
     "x4_ivf_probe4": _q_x4_ivf_probe4,
     "x4_ivf_recall": _q_x4_ivf_recall,
+    "x4_int8_topk": _q_x4_int8_topk,
 }
 
 # normalize-first, exactly like the Spark plan: unit = v / sqrt(v·v),
@@ -723,6 +781,40 @@ def _trained_topk_oracle_sql(
 
 
 ORACLES_EXT = {
+    # same unit-normalize → quantize → integer-dot → rescale chain,
+    # operation for operation: floor/least/greatest/int products are
+    # engine-exact, and the one float multiply-divide is ordered
+    # identically, so the approximate scores hash-match exactly
+    "x4_int8_topk": f"""
+        WITH unit AS ({_UNIT}),
+        qz AS (
+            SELECT vec_id,
+                   list_transform(uv, x -> CAST(LEAST(127, GREATEST(-127,
+                       CAST(FLOOR(x * (127.0 / mx) + 0.5) AS INTEGER))) AS DOUBLE)) AS qvec,
+                   mx
+            FROM (
+                SELECT vec_id, uv,
+                       list_aggregate(list_transform(uv, x -> abs(x)), 'max') AS mx
+                FROM unit
+            )
+        ),
+        q AS (
+            SELECT vec_id AS query_id, qvec AS qa, mx AS mxa FROM qz
+            WHERE vec_id < {N_QUERIES}
+        ), c AS (
+            SELECT vec_id AS neighbor_id, qvec AS qb, mx AS mxb FROM qz
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   list_dot_product(q.qa, c.qb) * (q.mxa * c.mxb) / 16129.0 AS cos_sim
+            FROM c JOIN q ON c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
     "x4_kmeans_cells": _kmeans_oracle_sql(),
     "x4_ivf_trained_topk": _trained_topk_oracle_sql(),
     # identical output contract to the in-memory cell-restricted scan —
