@@ -46,6 +46,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # what the fixtures use and what DuckDB/Spark agree on exactly.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Unfiltered MIN/MAX/COUNT aggregates answer from parquet footer
+    # statistics instead of scanning data pages (off by default in
+    # Spark; exact — footer stats are not estimates). Only the DSv2
+    # read path honors it; the engine keeps parquet on V1 by default
+    # (bucketed zero-shuffle joins are V1-only), so this activates
+    # through loader.stats_probe, which takes a V2 read just for
+    # metadata-only aggregates.
+    "spark.sql.parquet.aggregatePushdown": "true",
     # 64 MB: dims up to supplier-at-sf100 stay broadcast; anything
     # bigger falls to shuffle joins that AQE can still re-plan. Set
     # here (runtime-settable) so driver-provided sessions get the same

@@ -129,6 +129,39 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def stats_probe(
+    spark: SparkSession, sf_dir: str, name: str, *cols: str
+) -> dict:
+    """COUNT(*) plus MIN/MAX of ``cols`` answered from parquet FOOTER
+    statistics — a metadata sweep, not a data read (R6's count probe
+    at 100 TB: row counts over a petabyte table should not scan it).
+
+    Aggregate pushdown is DSv2-only while the engine's default reads
+    stay on V1 (bucketed zero-shuffle joins are V1-only), so this
+    helper flips ``useV1SourceList`` around plan construction —
+    single query, driver-side, restored in ``finally``. The pushed
+    plan carries ``PushedAggregation`` (asserted in
+    tests/test_stats_probe.py) and the numbers are exact: parquet
+    footer row counts and typed min/max are not estimates. Falls back
+    transparently (same result, data scan) if pushdown declines —
+    e.g. a filter, nested type, or a writer that omitted stats."""
+    configure(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = "spark.sql.sources.useV1SourceList"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "")
+    try:
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        row = df.agg(*aggs).first()
+    finally:
+        spark.conf.set(key, prev)
+    return row.asDict()
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view for the SQL API path."""
     for name in TABLE_NAMES:
