@@ -1,0 +1,76 @@
+"""Data profiling: the per-column health sweep an ingest pipeline
+runs on every batch before accepting it (null spike? cardinality
+collapse? domain drift on min/max?).
+
+No reference analog (the closest is the dialog's row-count info text,
+Odoo-Batch-Processing.user.js:202-208 — R6); this is engine-
+completeness surface. Shape: ONE scan computes every column's
+aggregates side by side (Catalyst collapses them into a single
+partial+final aggregation), then the 1×(4·k) row is unpivoted
+driver-free into the (column, stat) long form with ``stack`` — the
+profile of a 100 TB table costs one pass, not one pass per column.
+
+Exact COUNT(DISTINCT) is used so the whole profile sits under the
+DuckDB hash gate; at real scale swap `approx_count_distinct` (the
+x8 family documents the sketch-vs-exact contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from odoo_batch_processing_spark.sources.loader import load_table
+
+#: columns profiled by the catalog query — a numeric, a string, a
+#: date-typed and a key column, covering every stat branch
+PROFILE_COLS = ("l_quantity", "l_returnflag", "l_shipdate", "l_partkey")
+
+
+def profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_value, max_value) per
+    profiled column; min/max stringified so heterogeneous types share
+    one schema (timestamps in UTC ISO form via date_format — DuckDB's
+    VARCHAR cast prints the identical shape)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack_args}) as (column, n_null, n_distinct, min_value, max_value)",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+def _q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile(load_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+QUERIES_EXT = {"profile_lineitem": _q_profile_lineitem}
+
+
+def _col_profile_sql(c: str) -> str:
+    return f"""
+        SELECT '{c}' AS column,
+               (SELECT COUNT(1) FROM lineitem) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM lineitem
+    """
+
+
+ORACLES_EXT = {
+    "profile_lineitem": " UNION ALL ".join(_col_profile_sql(c) for c in PROFILE_COLS)
+}

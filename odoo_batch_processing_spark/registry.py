@@ -51,6 +51,7 @@ _MODULES = (
     "odoo_batch_processing_spark.operators.skew",
     "odoo_batch_processing_spark.operators.grouped",
     "odoo_batch_processing_spark.operators.multimodal",
+    "odoo_batch_processing_spark.operators.profile",
     "odoo_batch_processing_spark.sources.sinks",
     "odoo_batch_processing_spark.sources.pyds",
     "odoo_batch_processing_spark.sources.layout",
