@@ -47,6 +47,9 @@ _ALLOWED_NESTED_LOOP = {
     # trains via the same bounded k-row centroid cross-join as
     # x4_kmeans_cells, then probes with a bounded query batch
     "x4_ivf_trained_topk",
+    # same deliberate broadcast(5-row query batch) BNLJ as
+    # x4_cosine_topk, over the quantized relation
+    "x4_int8_topk",
 }
 
 
@@ -116,6 +119,7 @@ _ALLOWED_HINTED = {
     "x4_ivf_trained_topk",
     "x4_kmeans_cells",
     "x4_ivf_recall",
+    "x4_int8_topk",  # same bounded query batch, int8-quantized
 }
 
 
