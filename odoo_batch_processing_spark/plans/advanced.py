@@ -35,6 +35,24 @@ def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form ROLLUP/CUBE
+    specialize: ((flag, status), (flag), ()) skips the (status)-only
+    set a CUBE would compute, so Expand emits 3 replicas per row, not
+    4 — at scale, exactly the sets you need and no more. SQL-string
+    path (the DataFrame API exposes only rollup/cube; groupingSets is
+    SQL surface in Spark)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               COUNT(1) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
 def _q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT linestatus into columns (explicit value list so the plan
     needs no discovery pass — at scale an implicit pivot is an extra
@@ -358,6 +376,7 @@ QUERIES = {
 QUERIES_EXT = {
     "agg_rollup": _q_agg_rollup,
     "agg_cube": _q_agg_cube,
+    "agg_grouping_sets": _q_agg_grouping_sets,
     "agg_pivot": _q_agg_pivot,
     "agg_unpivot": _q_agg_unpivot,
     "q02_min_cost_supplier": _q_q02_min_cost_supplier,
@@ -377,6 +396,13 @@ ORACLES = {
                COUNT(1) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               COUNT(1) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
     "agg_cube": """
         SELECT o_orderpriority, o_orderstatus,
