@@ -31,8 +31,8 @@ def main() -> int:
     from odoo_batch_processing_spark.registry import all_queries
     from odoo_batch_processing_spark.session import get_spark, release_materialized
 
-    # 48g driver heap: the bench session executes ~150 queries
-    # (50 × 3 reps) including checkpoint-heavy dedup pipelines; the
+    # 48g driver heap: the bench session executes ~250 queries
+    # (50 × 5 reps) including checkpoint-heavy dedup pipelines; the
     # default 24g runs close enough to the GC ceiling that late-suite
     # queries see multi-second GC stalls (observed 2-10× rep outliers).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -67,7 +67,7 @@ def main() -> int:
             # plan of the next rep — the median would then time a cache
             # read, not the query. Clearing also stops cached relations
             # from ~30 queries pinning executor storage across the
-            # 150-execution suite.
+            # 250-execution suite.
             release_materialized()
             spark.catalog.clearCache()
             t0 = time.perf_counter()

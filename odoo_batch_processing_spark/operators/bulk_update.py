@@ -89,9 +89,15 @@ def distributed_ordinal(
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
     if validate_unique or os.environ.get("SPARK_GRAFT_VALIDATE_ORDINAL") == "1":
+        # distinct over a STRUCT of the key columns: bare
+        # count_distinct skips rows where any key column is NULL
+        # (SQL DISTINCT-aggregate semantics), which would flag a
+        # genuinely unique key carrying NULLs as a duplicate; a
+        # struct with a NULL field is itself non-NULL, so every row
+        # is counted and NULL keys compare like values
         chk = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*[F.col(c) for c in order_cols]).alias("d"),
+            F.count_distinct(F.struct(*[F.col(c) for c in order_cols])).alias("d"),
         ).first()
         if chk["n"] != chk["d"]:
             raise ValueError(

@@ -480,7 +480,14 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         bk.join(sizes, ["band", "band_key"]).write.mode("overwrite").partitionBy(
             "band"
         ).parquet(path)
-    return spark.read.parquet(path).select(
+    # explicit schema: an EMPTY corpus writes a partitioned dir with
+    # zero data files, and schema inference on it would throw — the
+    # index contract (including "probe an empty standing corpus")
+    # must not depend on at least one row existing
+    index_schema = (
+        "doc_id bigint, band_key string, bucket_n bigint, band int"
+    )
+    return spark.read.schema(index_schema).parquet(path).select(
         "doc_id", F.col("band").cast("int").alias("band"), "band_key", "bucket_n"
     )
 
@@ -754,7 +761,13 @@ def _cc_local(vertices: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
     a count action, a lineage cut — ~2 s on a 261-edge fixture graph
     for work a union-find does in microseconds). Same contract as the
     distributed engines: every vertex labeled with the min vertex id
-    of its component."""
+    of its component.
+
+    Only EDGE ENDPOINTS are ever collected (≤ 2·edge-cap ids) — the
+    vertex relation may be corpus-scale (isolated vertices label
+    themselves), so isolates stay distributed: an anti-join against
+    the endpoint labels, unioned back. The edge cap therefore bounds
+    driver memory regardless of |vertices|."""
     parent: dict = {}
 
     def find(x):
@@ -765,15 +778,25 @@ def _cc_local(vertices: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    ids = [r[0] for r in vertices.select(id_col).collect()]
+    touched: set = set()
     for a, b in edges.select("doc_a", "doc_b").collect():
+        touched.add(a)
+        touched.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-id root ⇒ min-id label
     spark = vertices.sparkSession
-    rows = [(i, find(i)) for i in ids]
-    schema = f"{id_col} {dict(vertices.dtypes)[id_col]}, cluster_id {dict(vertices.dtypes)[id_col]}"
-    return spark.createDataFrame(rows, schema)
+    id_type = dict(vertices.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, cluster_id {id_type}"
+    labeled = spark.createDataFrame(
+        [(i, find(i)) for i in sorted(touched)], schema
+    )
+    isolates = vertices.select(id_col).join(
+        labeled.select(id_col), id_col, "left_anti"
+    )
+    return labeled.union(
+        isolates.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    )
 
 
 def connected_components(

@@ -79,6 +79,12 @@ def zorder_write(
     lo_hi = df.agg(
         *[f for c in dims for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
     ).first()
+    if lo_hi[f"lo_{dims[0]}"] is None or lo_hi[f"lo_{dims[1]}"] is None:
+        # zero rows (or an all-NULL dimension): nothing to cluster —
+        # write the empty/degenerate relation as-is instead of
+        # crashing in the normalizer
+        df.write.mode("overwrite").parquet(out_dir)
+        return
     top = (1 << bits) - 1
 
     def norm(c: str) -> Column:

@@ -31,17 +31,33 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.
 
 _SCRATCH_TTL_SECONDS = 24 * 3600
 
+#: dirs under .scratch that keyed_scratch_dir manages: content-keyed
+#: standing indexes whose lifecycle is "stale when the KEY changes",
+#: never mtime — the TTL sweep must not delete a still-valid index a
+#: long-lived session may re-read lazily at any point
+_KEYED_PREFIX = "keyed-"
+
 
 def _sweep_stale(root: str) -> None:
     """Best-effort removal of scratch dirs older than the TTL so
-    repeated rounds don't accumulate sink/checkpoint debris."""
+    repeated rounds don't accumulate sink/checkpoint debris.
+    Content-keyed index dirs (``keyed-*``) are exempt: their
+    staleness is governed by the content key, and sweeping one could
+    yank files out from under a lazy DataFrame created earlier in the
+    session (orphaned keys ARE eventually collected — a key dir whose
+    SOURCE fingerprint can no longer recur just stops being opened,
+    and a stricter janitor can match keys against live fixtures)."""
     import shutil
     import time
 
     try:
         now = time.time()
         for entry in os.scandir(root):
-            if entry.is_dir() and now - entry.stat().st_mtime > _SCRATCH_TTL_SECONDS:
+            if (
+                entry.is_dir()
+                and not entry.name.startswith(_KEYED_PREFIX)
+                and now - entry.stat().st_mtime > _SCRATCH_TTL_SECONDS
+            ):
                 shutil.rmtree(entry.path, ignore_errors=True)
     except OSError:
         pass
@@ -57,14 +73,16 @@ def keyed_scratch_dir(name: str, key: str) -> str:
     """STABLE scratch path for a write-time index: same (name, key) →
     same directory across calls, so an index built once per corpus
     content is found again by every later query in the session (and
-    by later processes inside the TTL). ``key`` must fingerprint the
-    source data (see dedup.corpus_fingerprint) — staleness is handled
-    by the key changing, not by mtime sweeps. Unlike :func:`scratch_dir`
-    this does NOT mkdtemp: the caller checks for Spark's ``_SUCCESS``
+    by later processes). ``key`` must fingerprint the source data
+    (see dedup.corpus_fingerprint) — staleness is handled by the key
+    changing, not by mtime sweeps, and the TTL janitor skips these
+    dirs (``keyed-`` prefix) so a standing index can never be swept
+    out from under a lazy reader. Unlike :func:`scratch_dir` this
+    does NOT mkdtemp: the caller checks for Spark's ``_SUCCESS``
     marker to decide build-vs-reuse (a torn write never leaves one)."""
     os.makedirs(_SCRATCH, exist_ok=True)
     _sweep_stale(_SCRATCH)
-    return os.path.join(_SCRATCH, f"{name}-{key}")
+    return os.path.join(_SCRATCH, f"{_KEYED_PREFIX}{name}-{key}")
 
 
 def write_roundtrip(

@@ -292,16 +292,24 @@ def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
         staging
     )
     out_dir = _scratch_dir("x3-stream-pairs")
-    # seed the sink with an empty, correctly-typed relation so the
-    # final read works even if a run yields zero pairs
+    # seed an empty, correctly-typed epoch so the final partitioned
+    # read works even if a run yields zero pairs (epoch=-1 can never
+    # collide with a real foreachBatch epoch id)
     empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint, jaccard double")
-    empty.write.mode("overwrite").parquet(out_dir)
+    empty.write.mode("overwrite").parquet(os.path.join(out_dir, "epoch=-1"))
 
-    def _probe(batch_df, _epoch_id):
+    def _probe(batch_df, epoch_id):
         pairs = probe_standing_index(
             spark, sf_dir, fan_out(batch_df, spark, "doc_id")
         )
-        pairs.write.mode("append").parquet(out_dir)
+        # foreachBatch is at-least-once: a crash between a blind
+        # append and the checkpoint commit would replay the epoch and
+        # duplicate its pairs. Overwriting a PER-EPOCH directory makes
+        # the replay idempotent — the exact-multiset oracle depends
+        # on it.
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
 
     stream = (
         spark.readStream.schema(SCHEMAS["documents"])
@@ -317,7 +325,9 @@ def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out_dir)
+    # partition discovery surfaces the epoch column; the relation the
+    # oracle certifies is the epoch-independent union
+    return spark.read.parquet(out_dir).select("doc_a", "doc_b", "jaccard")
 
 
 def _q_s_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -295,3 +295,19 @@ def test_distributed_ordinal_matches_global_window(spark):
     # every Sort over the data columns must be non-global (local sort)
     data_sorts = re.findall(r"Sort \[[^\]]*l_linenumber[^\]]*\], (\w+)", plan)
     assert data_sorts and all(g == "false" for g in data_sorts), plan[:3000]
+
+
+def test_validate_unique_accepts_null_keys(spark):
+    """NULL-carrying keys that are genuinely unique must pass the
+    uniqueness guard (struct-distinct counts NULL keys as values);
+    true duplicates must still raise."""
+    import pytest as _pytest
+
+    from odoo_batch_processing_spark.operators.bulk_update import distributed_ordinal
+
+    ok = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    assert distributed_ordinal(ok, ["k"], validate_unique=True).count() == 3
+
+    dup = spark.createDataFrame([(1,), (1,), (None,)], "k int")
+    with _pytest.raises(ValueError, match="not unique"):
+        distributed_ordinal(dup, ["k"], validate_unique=True)

@@ -38,7 +38,24 @@ EMPTY_SAFE = [
     "x6_json_grouped",
     "x7_sliding_windows",
     "x8_approx_aggs",
+    # standing-index path: build + probe must survive a zero-row
+    # corpus (empty partitioned index dir, explicit-schema read-back)
+    "x3_incremental_neardup",
 ]
+
+
+def test_zorder_write_empty(spark, empty_sf_dir, tmp_path):
+    """Layout writer on a filters-to-zero relation: writes the empty
+    relation instead of crashing in the normalizer."""
+    from odoo_batch_processing_spark.sources.layout import zorder_write
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    li = load_table(spark, empty_sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    out = str(tmp_path / "z-empty")
+    zorder_write(li, ("l_partkey", "l_suppkey"), out)
+    assert spark.read.parquet(out).count() == 0
 
 
 @pytest.mark.parametrize("name", EMPTY_SAFE)

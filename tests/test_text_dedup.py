@@ -323,3 +323,27 @@ def test_cc_auto_picks_engine_by_structure(spark, monkeypatch):
     assert calls == [], "shallow graph must stay on min-label"
     got = {r["doc_id"]: r["cluster_id"] for r in out3.collect()}
     assert got == {i: i - i % 3 for i in range(30)}
+
+
+def test_cc_local_never_collects_corpus_scale_vertices(spark):
+    """The local fast path's driver memory is bounded by the EDGE cap,
+    not the vertex count: isolates stay distributed (anti-join), so a
+    huge vertex relation with a tiny edge set must work and label
+    every isolate with itself."""
+    from odoo_batch_processing_spark.operators.dedup import connected_components
+    from pyspark.sql import functions as F
+
+    n = 200_000  # corpus-scale stand-in; far above any sane collect
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    out = connected_components(verts, edges)
+    assert out.count() == n
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in out.filter(F.col("doc_id") < 10).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+    # spot-check an isolate deep in the range
+    assert out.filter(F.col("doc_id") == n - 1).first()["cluster_id"] == n - 1

@@ -93,8 +93,11 @@ def build_star(spark, sf_dir: str, mult: int, out: str) -> dict[str, int]:
                 )
             )
         df = df.drop("__rep")
-        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
-        counts[name] = df.count()
+        out_path = os.path.join(out, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(out_path)
+        # count the WRITTEN files (footer metadata, no data scan) —
+        # df.count() would re-execute the whole crossJoin lineage
+        counts[name] = spark.read.parquet(out_path).count()
     for name in ("region", "nation"):
         df = load_table(spark, sf_dir, name)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
