@@ -39,6 +39,7 @@ _MODULES = (
     "odoo_batch_processing_spark.plans.advanced",
     "odoo_batch_processing_spark.plans.tpch_rest",
     "odoo_batch_processing_spark.operators.asof",
+    "odoo_batch_processing_spark.operators.scd",
     "odoo_batch_processing_spark.operators.bulk_update",
     "odoo_batch_processing_spark.operators.dedup",
     "odoo_batch_processing_spark.operators.similarity",
