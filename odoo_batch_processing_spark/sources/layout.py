@@ -21,7 +21,7 @@ under the hash gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from odoo_batch_processing_spark.sources.loader import load_table
 
@@ -120,10 +120,81 @@ def _q_lake_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    file_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Assign each small file to a compaction group, per table
+    partition: files are taken in ``file_col`` order and binned by
+    their *starting byte offset* within the partition's cumulative
+    size (``group = floor((cumsum - size) / target)``).
+
+    This is offset binning, not greedy first-fit: every group's size
+    is within one file of ``target_bytes`` on either side (a file
+    straddling a bin boundary lands in the bin its start falls in) —
+    the same packing quality Spark's own `FilePartition` packing and
+    Delta/Iceberg bin-packing OPTIMIZE give. Greedy first-fit with a running reset
+    is inherently sequential per partition; offset binning is a plain
+    prefix sum, so the whole plan is one window over (partition →
+    file) — shuffles once on the partition column, scales to
+    millions of files, and (unlike greedy) is expressible in ANSI SQL,
+    which keeps the planner itself under the DuckDB hash gate.
+
+    Compacting 800k 128 MB files (a 100 TB table) is a metadata-scale
+    job: the listing is ~tens of MB, the plan one shuffle, and the
+    rewrite itself is embarrassingly parallel per group.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start_offset = F.sum(bytes_col).over(w) - F.col(bytes_col)
+    return files.withColumn(
+        "group_id", F.floor(start_offset / F.lit(target_bytes)).cast("int")
+    )
+
+
+#: simulated-listing parameters for the certified query: 8 files per
+#: source (doc_id mod), 2 KB target → a handful of multi-file groups
+#: per source at sf0.01.
+_COMPACT_FILES_PER_PART = 8
+_COMPACT_TARGET_BYTES = 2000
+
+
+def _q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction groups over a simulated small-file listing of the
+    documents table (file = doc_id mod 8 within each source, size =
+    the files' text bytes), summarized per group. The planner logic —
+    ordered prefix-sum offset binning — is exactly what would run on a
+    real `_metadata.file_size` listing (tests/test_layout.py applies
+    it to one); the simulation only exists so the DuckDB oracle can
+    see the same input."""
+    docs = load_table(spark, sf_dir, "documents")
+    listing = docs.groupBy(
+        "source", (F.col("doc_id") % _COMPACT_FILES_PER_PART).alias("file_id")
+    ).agg(F.sum(F.octet_length("text")).alias("bytes"))
+    plan = compaction_plan(
+        listing, "source", "file_id", "bytes", _COMPACT_TARGET_BYTES
+    )
+    return plan.groupBy("source", "group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("group_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-QUERIES_EXT = {"lake_zorder_keys": _q_lake_zorder_keys}
+QUERIES_EXT = {
+    "lake_zorder_keys": _q_lake_zorder_keys,
+    "lake_compaction_plan": _q_lake_compaction_plan,
+}
 
 _MASK = (1 << Z_BITS) - 1
 ORACLES_EXT = {
@@ -131,5 +202,23 @@ ORACLES_EXT = {
         SELECT l_orderkey, l_linenumber,
                {z_value_sql(f"(l_partkey & {_MASK})", f"(l_suppkey & {_MASK})")} AS zkey
         FROM lineitem
-    """
+    """,
+    # strlen() in DuckDB counts BYTES (Spark's octet_length twin)
+    "lake_compaction_plan": f"""
+        WITH listing AS (
+            SELECT source, doc_id % {_COMPACT_FILES_PER_PART} AS file_id,
+                   CAST(SUM(strlen(text)) AS BIGINT) AS bytes
+            FROM documents GROUP BY source, doc_id % {_COMPACT_FILES_PER_PART}
+        ), plan AS (
+            SELECT source, file_id, bytes,
+                   CAST(FLOOR((SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+                                ROWS UNBOUNDED PRECEDING) - bytes)
+                              / {_COMPACT_TARGET_BYTES}.0) AS INTEGER) AS group_id
+            FROM listing
+        )
+        SELECT source, group_id, COUNT(1) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+               MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        FROM plan GROUP BY source, group_id
+    """,
 }

@@ -80,3 +80,50 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     assert s_part < z_part  # single-key clustering wins its own axis
     assert s_supp > 0.9, f"expected untamed l_suppkey, got {s_supp:.2f}"
     assert z_supp < s_supp / 1.5, "z-order must tighten the second axis"
+
+
+def test_compaction_plan_on_real_file_listing(spark, tmp_path):
+    """Run the planner over an ACTUAL parquet directory's _metadata
+    file listing (the production input) and check the bin-packing
+    bounds: groups are contiguous runs of the listing order and every
+    group's size is within one file of the target on either side
+    (last group excepted below)."""
+    from odoo_batch_processing_spark.sources.layout import compaction_plan
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    out = str(tmp_path / "many_small_files")
+    docs = load_table(spark, SF_CORRECT, "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(out)
+
+    listing = (
+        spark.read.parquet(out)
+        .select(
+            F.col("_metadata.file_path").alias("path"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .distinct()
+        .withColumn("part", F.lit("t"))  # unpartitioned table: one partition
+    )
+    target = int(
+        listing.agg(F.sum("bytes")).first()[0] // 4
+    )  # aim for ~4 compacted outputs
+    plan = compaction_plan(listing, "part", "path", "bytes", target).collect()
+    plan.sort(key=lambda r: r["path"])
+
+    n_files = len(plan)
+    assert n_files == 16
+    # groups are contiguous and nondecreasing in listing order
+    gids = [r["group_id"] for r in plan]
+    assert gids == sorted(gids)
+    by_group: dict[int, list] = {}
+    for r in plan:
+        by_group.setdefault(r["group_id"], []).append(r)
+    last_gid = max(by_group)
+    max_file = max(r["bytes"] for r in plan)
+    for gid, rows in by_group.items():
+        gbytes = sum(r["bytes"] for r in rows)
+        # overshoot bounded by one file
+        assert gbytes < target + max_file
+        # undershoot bounded by one file (except the tail group)
+        if gid != last_gid:
+            assert gbytes > target - max_file
