@@ -107,6 +107,26 @@ def _q_x8_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: histogram bin width for events.value
+_HIST_WIDTH = 10.0
+
+
+def _q_x8_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (width-10 bins, NULLs in
+    their own bucket): the one-pass distribution profile a data-quality
+    sweep runs next to the percentile sketch. A single partial+final
+    aggregate on the bin key — no sort, no sketch state; at 100 TB the
+    map-side combine reduces each partition to ~|bins| rows before the
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_id = F.floor(F.col("value") / F.lit(_HIST_WIDTH)).cast("int")
+    return ev.groupBy(bin_id.alias("bin_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
 QUERIES = {
     # x8_approx_aggs strictly subsumes the exact twin since round 3:
     # it emits the same exact measures PLUS the sketch-tolerance
@@ -121,6 +141,7 @@ QUERIES_EXT = {
     "x8_approx_distinct": _q_x8_approx_distinct,
     "x8_exact_percentiles": _q_x8_exact_percentiles,
     "x8_approx_percentiles": _q_x8_approx_percentiles,
+    "x8_value_histogram": _q_x8_value_histogram,
 }
 
 ORACLES = {
@@ -155,5 +176,10 @@ ORACLES_EXT = {
                quantile_cont(o_totalprice, 0.5) AS p50,
                quantile_cont(o_totalprice, 0.9) AS p90
         FROM orders GROUP BY o_orderpriority
+    """,
+    "x8_value_histogram": """
+        SELECT CAST(FLOOR(value / 10.0) AS INTEGER) AS bin_id,
+               COUNT(1) AS n, MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY 1
     """,
 }

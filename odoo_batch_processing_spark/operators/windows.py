@@ -112,6 +112,32 @@ def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 24-hour activity (count + value sum) at every
+    event — a RANGE frame over event-time seconds, the window shape
+    rate-limiters and trailing-metric features use. Unlike a ROWS
+    frame the width is in TIME, so peers at the same second aggregate
+    together on both engines. One shuffle (partitionBy user_id);
+    decimal sum keeps the result order-independent. Second-truncated
+    epoch on both sides — Spark's timestamp→long cast truncates where
+    a DuckDB double epoch()→BIGINT cast would round."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-(86_400 - 1), 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_24h"),
+    )
+
+
 # Core: sliding windows (tumbling is its slide==size special case) +
 # sessionization. Extended: the tumbling special case, plus the
 # window-function micro-queries whose expressions the merged
@@ -125,6 +151,7 @@ QUERIES_EXT = {
     "x7_tumbling_hourly": _q_x7_tumbling_hourly,
     "w_topk_per_group": _q_topk_per_group,
     "w_running_total": _q_running_total,
+    "w_rolling_24h": _q_rolling_24h,
 }
 
 ORACLES = {
@@ -181,6 +208,15 @@ ORACLES = {
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         FROM orders
+    """,
+    "w_rolling_24h": """
+        SELECT user_id, event_id,
+               COUNT(1) OVER w AS n_24h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_24h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                     RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
     """,
 }
 
