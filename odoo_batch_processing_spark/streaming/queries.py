@@ -533,6 +533,85 @@ RATE_RUN_SECONDS = float(os.environ.get("SPARK_GRAFT_RATE_SECONDS", "10"))
 _RATE_KEYS = 100
 
 
+def _q_s_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once upsert: foreachBatch + an idempotent
+    commit ledger over the partition-overwrite MERGE sink.
+
+    The canonical production sink pattern Structured Streaming itself
+    doesn't ship: foreachBatch gives at-least-once delivery (a batch
+    can REPLAY after a failure), so a non-idempotent read-modify-write
+    (here: value ← current + 100, a counter-style accumulate) would
+    double-apply on replay. The fix is the standard epoch ledger —
+    commit the batch and record its epoch id atomically-enough
+    (marker file beside the target; a real deployment uses the table
+    format's txn log via ``txnAppId``/``txnVersion``), and skip any
+    epoch already recorded.
+
+    The claim is certified, not asserted: after the first run
+    completes, the SAME source is re-streamed against the same target
+    with a FRESH checkpoint, so every batch replays from epoch 0. The
+    ledger skips them all; had it failed, every purchase would gain
+    +200 and the DuckDB oracle (which expects exactly +100) would
+    hash-mismatch. Target seeded with the even-id half of events, so
+    the MERGE exercises both UPDATE (even purchases) and INSERT (odd
+    purchases) arms."""
+    from odoo_batch_processing_spark.sources.sinks import merge_into_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    target = _scratch_dir("s-merge-target")
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(target)
+    )
+    src_dir = _events_multi_dir(spark, sf_dir, 3)
+    ledger = _scratch_dir("s-merge-ledger")
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        if os.path.exists(marker):  # replayed batch: already committed
+            return
+        batch = batch_df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "event_type", F.col("value").alias("src_value")
+        )
+        current = spark.read.parquet(target).select(
+            "event_id", F.col("value").alias("old_value")
+        )
+        upd = batch.join(current, "event_id", "left").select(
+            "event_id",
+            "event_type",
+            (F.coalesce("old_value", "src_value") + F.lit(100.0)).alias("value"),
+        )
+        merge_into_partitioned(
+            spark, target, upd, key="event_id", partition_by="event_type"
+        )
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    for attempt in ("first", "replay"):
+        q = (
+            change_source(spark, src_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", _scratch_dir(f"s-merge-ckpt-{attempt}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sustained-rate evidence: the built-in ``rate`` source generates
     exactly RATE_ROWS_PER_SEC rows/s for ~RATE_RUN_SECONDS through a
@@ -698,6 +777,7 @@ QUERIES_EXT = {
     ),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
     "s_stream_static_join": _with_stream_shuffle(_q_s_stream_static_join),
+    "s_merge_upsert": _with_stream_shuffle(_q_s_merge_upsert),
     # rows-only by design: wall-clock throughput is nondeterministic
     "s_rate_throughput": _with_stream_shuffle(_q_s_rate_throughput),
 }
@@ -755,6 +835,23 @@ ORACLES = {
 }
 
 ORACLES_EXT = {
+    # final upserted state: every purchase incremented exactly ONCE
+    # (+100 over its pre-merge value — target value for even ids,
+    # source value for odd inserts, which are equal by construction),
+    # union the untouched non-purchase half of the seed. A failed
+    # replay guard would add +200 and hash-mismatch here.
+    "s_merge_upsert": """
+        WITH final AS (
+            SELECT event_id, event_type, value + 100.0 AS value
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 2 = 0 AND event_type <> 'purchase'
+        )
+        SELECT event_type, COUNT(1) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM final GROUP BY event_type
+    """,
     # the successor-API run must land on the identical per-user totals
     **(
         {
