@@ -53,6 +53,7 @@ _MODULES = (
     "odoo_batch_processing_spark.operators.grouped",
     "odoo_batch_processing_spark.operators.multimodal",
     "odoo_batch_processing_spark.operators.profile",
+    "odoo_batch_processing_spark.operators.ivm",
     "odoo_batch_processing_spark.sources.sinks",
     "odoo_batch_processing_spark.sources.pyds",
     "odoo_batch_processing_spark.sources.layout",
