@@ -72,7 +72,77 @@ def _q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """Inner equi-join where the FACT side is skewed on ``key`` and the
+    dim side is too big (or the join too deep) for a plain broadcast:
+    each fact row gets a deterministic salt, the dim side is replicated
+    across all ``n_salts`` shards, and the equi-join runs on
+    (key, salt) — a hot key's rows now spread over ``n_salts`` tasks
+    instead of one straggler.
+
+    Cost: the dim side shuffles ``n_salts``× its size; pick
+    ``n_salts`` ≈ hot-key rows / healthy-task rows. Result is
+    row-identical to the plain join (the oracle's form). AQE's skew
+    split (session.RUNTIME_CONFS) handles most sort-merge cases at
+    runtime; this explicit shape is for when the skewed join feeds a
+    same-key aggregation or the optimizer can't see the skew (e.g.
+    post-filter hot keys). The salt must be deterministic per row
+    (``salt_on`` a unique column), never rand() — retried tasks must
+    re-salt identically.
+    """
+    salt = F.pmod(
+        F.xxhash64(salt_on if salt_on is not None else F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    )
+    return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")
+
+
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity by brand through the salted-replicated join; the oracle
+    is the PLAIN lineitem ⋈ part aggregate — the rewrite must be
+    result-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(
+        li,
+        part,
+        "l_partkey",
+        n_salts=8,
+        salt_on=F.col("l_orderkey") * 7 + F.col("l_linenumber"),
+    )
+    return joined.groupBy("p_brand").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {"skew_salted_agg": _q_skew_salted_agg}
+
+QUERIES_EXT = {"skew_salted_join": _q_skew_salted_join}
+
+ORACLES_EXT = {
+    "skew_salted_join": """
+        SELECT p_brand,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(1) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+}
 
 ORACLES = {
     "skew_salted_agg": """
