@@ -1074,6 +1074,43 @@ def _q_x3_neardup_survivors_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_x3_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance ≤ 2) self-join of part names within brand
+    buckets — the entity-matching primitive (typo'd product names,
+    OCR'd titles) the set-based near-dup family can't express because
+    Levenshtein respects character ORDER.
+
+    Scale shape is the same capped-blocking discipline as LSH: the
+    equi-join key (brand block) bounds the candidate pair space, a
+    CHEAP necessary condition prunes before the O(n·m) DP —
+    ``|len(a) − len(b)| ≤ k`` must hold for distance ≤ k — and only
+    surviving candidates pay `levenshtein()` (JVM codegen, no UDF).
+    On real data the block key is a cheap canonical key (soundex /
+    first-k chars / length band) rather than an existing column.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.select(
+        "p_brand",
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        "p_brand",
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, "p_brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.length("name_a") - F.length("name_b")).between(-2, 2)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+    )
+    return pairs.select("id_a", "id_b", "dist")
+
+
 QUERIES = {
     "x2_dedup_survivors": _q_x2_dedup_survivors,
     "x3_neardup_survivors": _q_x3_neardup_survivors,
@@ -1093,6 +1130,7 @@ QUERIES_EXT = {
     "x3_incremental_embedding_neardup": _q_x3_incremental_embedding_neardup,
     "x3_neardup_survivors_star": _q_x3_neardup_survivors_star,
     "x3_neardup_survivors_auto": _q_x3_neardup_survivors_auto,
+    "x3_fuzzy_join_parts": _q_x3_fuzzy_join_parts,
 }
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -1200,6 +1238,17 @@ ORACLES["x3_simhash"] = f"""
 """
 
 ORACLES_EXT: dict[str, str] = {}
+
+# DuckDB's levenshtein() is the same unrestricted edit distance as
+# Spark's; the length prefilter is a necessary condition of dist<=2,
+# so the plain-join oracle needs no twin of it.
+ORACLES_EXT["x3_fuzzy_join_parts"] = """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
 
 ORACLES["x3_embedding_neardup"] = """
     WITH v AS (
