@@ -138,6 +138,81 @@ def _q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase): how many users
+    reach each stage IN ORDER — a view before the signup doesn't
+    count. The classic event-analytics operator plain joins get wrong
+    (they lose the ordering) and per-user UDFs get slow.
+
+    Shape: three chained window selects over the SAME (user → ts)
+    partitioning — running earliest signup, then earliest qualifying
+    view (≥ that signup), then earliest qualifying purchase — so
+    Catalyst plans ONE shuffle for all three; then a per-user rollup
+    and a global count. Cumulative mins make each row's stage
+    assignment depend only on its prefix, which is what lets the whole
+    funnel stream through one sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = ev.withColumn(
+        "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "v_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts") >= F.col("s_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("v_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max(F.col("s_ts").isNotNull().cast("int")).alias("did_signup"),
+        F.max(F.col("v_ts").isNotNull().cast("int")).alias("did_view"),
+        F.max(F.col("p_ts").isNotNull().cast("int")).alias("did_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.sum("did_signup").cast("bigint").alias("users_signup"),
+        F.sum("did_view").cast("bigint").alias("users_view_after_signup"),
+        F.sum("did_purchase").cast("bigint").alias("users_purchase_after_view"),
+    )
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (cohort), counted distinct in each subsequent week offset. The
+    first-activity week comes from an unbounded window min over the
+    same user partitioning the grouping needs — no self-join, one
+    shuffle on user, then the (cohort, offset) aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    with_cohort = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("active_week"),
+        F.date_trunc("week", F.min("ts").over(w_user)).alias("cohort_week"),
+    )
+    return (
+        with_cohort.groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
 # Core: sliding windows (tumbling is its slide==size special case) +
 # sessionization. Extended: the tumbling special case, plus the
 # window-function micro-queries whose expressions the merged
@@ -152,6 +227,8 @@ QUERIES_EXT = {
     "w_topk_per_group": _q_topk_per_group,
     "w_running_total": _q_running_total,
     "w_rolling_24h": _q_rolling_24h,
+    "x7_funnel_steps": _q_funnel_steps,
+    "x7_retention_cohorts": _q_retention_cohorts,
 }
 
 ORACLES = {
@@ -217,6 +294,52 @@ ORACLES = {
         WINDOW w AS (PARTITION BY user_id
                      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
                      RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+    """,
+    "x7_funnel_steps": """
+        WITH staged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS s_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), staged2 AS (
+            SELECT user_id, ts, event_id, event_type, s_ts,
+                   MIN(CASE WHEN event_type = 'view' AND ts >= s_ts THEN ts END) OVER w AS v_ts
+            FROM staged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), staged3 AS (
+            SELECT user_id,
+                   s_ts, v_ts,
+                   MIN(CASE WHEN event_type = 'purchase' AND ts >= v_ts THEN ts END) OVER w AS p_ts
+            FROM staged2
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN s_ts IS NOT NULL THEN 1 ELSE 0 END) AS did_signup,
+                   MAX(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS did_view,
+                   MAX(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS did_purchase
+            FROM staged3 GROUP BY user_id
+        )
+        SELECT COUNT(1) AS users_total,
+               CAST(SUM(did_signup) AS BIGINT) AS users_signup,
+               CAST(SUM(did_view) AS BIGINT) AS users_view_after_signup,
+               CAST(SUM(did_purchase) AS BIGINT) AS users_purchase_after_view
+        FROM per_user
+    """,
+    "x7_retention_cohorts": """
+        WITH c AS (
+            SELECT user_id,
+                   -- DuckDB's date_trunc('week') yields DATE; Spark's a TIMESTAMP
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week,
+                   CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS TIMESTAMP) AS cohort_week
+            FROM events
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER) AS week_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM c GROUP BY 1, 2
     """,
 }
 
