@@ -183,3 +183,79 @@ ORACLES_EXT = {
         FROM events GROUP BY 1
     """,
 }
+
+
+def heavy_hitters(items: DataFrame, col: str = "token", k: int = 32) -> DataFrame:
+    """Exact φ-heavy hitters (φ = 1/k) over an item stream via the
+    standard two-pass Misra–Gries scheme: a bounded-memory
+    per-partition summary generates a small candidate set, then one
+    exact recount over the candidates filters to the true hitters.
+
+    Why not plain wordcount? At 100 TB the stream's VOCABULARY can
+    itself be shuffle-heavy (URLs, ids, typos → billions of keys);
+    Misra–Gries bounds pass-1 state to k−1 counters PER PARTITION and
+    ships only ≤ (k−1)·partitions candidate items. Pigeonhole gives
+    the guarantee: any item with global count > n/k exceeds the local
+    n_p/k bound in at least one partition, and MG with k−1 counters
+    never evicts such an item — so candidates ⊇ true hitters, and the
+    recount (a broadcast-able semi-join, then groupBy over ONLY the
+    candidate keys) makes the final answer EXACT. That is why a DuckDB
+    exact-frequency oracle can hash-gate a sketch-based plan.
+
+    Pass 1 is an Arrow-batched mapInPandas (iterator form: ONE summary
+    per partition, not per batch); the hot recount path is pure JVM.
+    """
+
+    def misra_gries(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[col]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k - 1:
+                    counters[t] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    tok = items.select(col)
+    candidates = tok.mapInPandas(misra_gries, f"{col} string").distinct()
+    total = tok.count()  # scalar pass: count folds into the plan
+    return (
+        tok.join(candidates, col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # exact threshold in integers: cnt > n/k  ⇔  cnt·k > n
+        .filter(F.col("cnt") * k > F.lit(total))
+        .orderBy(F.col("cnt").desc(), col)
+    )
+
+
+def _q_x8_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ = 1/32 heavy hitters over the documents token stream — see
+    :func:`heavy_hitters` for the two-pass Misra–Gries contract."""
+    from odoo_batch_processing_spark.operators.text import tokens
+    from odoo_batch_processing_spark.sources.loader import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(tok, "token", k=32)
+
+
+QUERIES_EXT["x8_heavy_hitters"] = _q_x8_heavy_hitters
+ORACLES_EXT["x8_heavy_hitters"] = """
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> trim(x) <> '')) AS token
+        FROM documents
+    ), tot AS (SELECT COUNT(1) AS n FROM tok)
+    SELECT token, COUNT(1) AS cnt
+    FROM tok, tot
+    GROUP BY token, tot.n
+    HAVING COUNT(1) * 32 > tot.n
+    ORDER BY cnt DESC, token
+"""

@@ -419,6 +419,280 @@ def _q_x5_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigrams(toks: Column) -> Column:
+    """Adjacent token bigrams as space-joined strings; empty array for
+    docs with <2 tokens (guarded — Spark's sequence(1, 0) would count
+    DOWN, not produce an empty array)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _trigrams(toks: Column) -> Column:
+    """Adjacent token trigrams (the shingle unit for boilerplate
+    detection and sparse doc similarity below — 3 chosen from the
+    fixture's measured df curve: 2-grams are near-universal, 5-grams
+    near-unique)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _q_x5_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (public Rae et al. 2021
+    heuristics): per-document duplicate-token fraction, duplicate-bigram
+    fraction, and top-bigram fraction, plus the composed repetitive
+    flag. The reference has no text-quality surface (its only string
+    ops are trim/split/lower, user.js:297-298); this is part of the
+    driver-mandated LLM-pipeline extension.
+
+    Scale shape: token-level stats are pure per-row expressions (one
+    scan); bigram stats need the MOST-FREQUENT bigram per doc, which a
+    per-row expression can only do in O(len²) — so instead it is one
+    explode + two-level aggregation keyed by doc_id (shuffle volume
+    O(distinct bigrams), map-side partial aggs), then a doc_id
+    equi-join back. All fractions are a single IEEE division over
+    exact bigint counts — bit-identical across engines.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_tok_distinct"),
+        _bigrams(toks).alias("bigrams"),
+    )
+    bg = (
+        base.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("bg_total"),
+            F.count(F.lit(1)).alias("bg_distinct"),
+            F.max("c").alias("bg_top"),
+        )
+    )
+    dup_token_frac = F.lit(1.0) - F.col("n_tok_distinct").cast("double") / F.when(
+        F.col("n_tok") > 0, F.col("n_tok")
+    )
+    dup_bigram_frac = F.lit(1.0) - F.col("bg_distinct").cast("double") / F.col("bg_total")
+    top_bigram_frac = F.col("bg_top").cast("double") / F.col("bg_total")
+    return (
+        base.drop("bigrams")
+        .join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            dup_token_frac.alias("dup_token_frac"),
+            dup_bigram_frac.alias("dup_bigram_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            ((top_bigram_frac > 0.18) | (dup_token_frac > 0.6)).alias("repetitive"),
+        )
+    )
+
+
+def _q_x5_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate shingle detection (the C4/RefinedWeb
+    'remove lines seen across many pages' pass, restated over token
+    trigrams because the fixture has no newlines): trigrams present in
+    ≥ max(2, ceil(1% of docs)) DISTINCT documents, top-100 by document
+    frequency.
+
+    Scale shape: shingles are deduped PER DOC before the explode
+    (array_distinct), so groupBy(shingle).count() IS the document
+    frequency with no countDistinct — one shuffle of O(doc × distinct
+    shingles) keys with map-side partials. The df threshold is
+    relative (1% of corpus), so the query is sf-invariant; the corpus
+    size folds in as a driver-side scalar (column-pruned count scan,
+    same idiom as x5_tfidf_top_terms)."""
+    import math
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    n_docs = docs.count()  # scalar: fixed per sf_dir, folds into the plan
+    min_df = max(2, int(math.ceil(0.01 * n_docs)))
+    return (
+        docs.select(F.explode(F.array_distinct(_trigrams(tokens(F.col("text"))))).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(100)
+    )
+
+
+def _q_x5_doc_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse text similarity WITHOUT embeddings: top-100 document
+    pairs by cosine over trigram-shingle count vectors, computed
+    through an inverted index — the classic sparse complement to the
+    x4 dense-vector path.
+
+    Scale shape: an all-pairs cosine is O(docs²); the inverted index
+    generates candidates only for pairs that SHARE a shingle —
+    postings self-join on the shingle key (equi-join, hash-partitioned
+    by shingle), then one groupBy(pair) to sum dot products. Two
+    standard prunings bound the postings: shingles in ONE doc cannot
+    produce a pair (df ≥ 2), and shingles in more than 5% of docs are
+    stop-shingles (df ≤ cap) — the same hot-key cap the LSH dedup path
+    uses (dedup.cap_hot_buckets). Norms are over the pruned vector
+    space so cosine stays a true cosine there.
+
+    Oracle determinism: dot and squared norms are EXACT bigint sums;
+    the only floating ops are two correctly-rounded sqrts, one
+    multiply, one divide — bit-identical across engines (same design
+    as x4_int8_topk's exact-arithmetic contract)."""
+    import math
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    n_docs = docs.count()  # scalar (see x5_tfidf_top_terms)
+    max_df = max(2, int(math.ceil(0.05 * n_docs)))
+    doc_terms = (
+        docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    keep = (
+        doc_terms.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("shingle")
+    )
+    pruned = doc_terms.join(keep, "shingle")
+    norms = pruned.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("sq")
+    )
+    a = pruned.select(
+        "shingle", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = pruned.select(
+        "shingle", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("sq").alias("sq_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("sq").alias("sq_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("sq_a").cast("double")) * F.sqrt(F.col("sq_b").cast("double")))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+_BIGRAMS_SQL = (
+    "CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), "
+    "i -> tk[i] || ' ' || tk[i+1]) ELSE CAST([] AS VARCHAR[]) END"
+)
+_TRIGRAMS_SQL = (
+    "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE CAST([] AS VARCHAR[]) END"
+)
+
+QUERIES_EXT["x5_gopher_repetition"] = _q_x5_gopher_repetition
+ORACLES_EXT["x5_gopher_repetition"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_tok_distinct,
+               {_BIGRAMS_SQL} AS bigrams
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    ), bg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS bg_total,
+               COUNT(1) AS bg_distinct,
+               CAST(MAX(c) AS BIGINT) AS bg_top
+        FROM (
+            SELECT doc_id, b, COUNT(1) AS c
+            FROM (SELECT doc_id, unnest(bigrams) AS b FROM base)
+            GROUP BY doc_id, b
+        )
+        GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           1.0 - CAST(n_tok_distinct AS DOUBLE) / nullif(n_tok, 0) AS dup_token_frac,
+           1.0 - CAST(bg_distinct AS DOUBLE) / bg_total AS dup_bigram_frac,
+           CAST(bg_top AS DOUBLE) / bg_total AS top_bigram_frac,
+           (CAST(bg_top AS DOUBLE) / bg_total > 0.18)
+            OR (1.0 - CAST(n_tok_distinct AS DOUBLE) / nullif(n_tok, 0) > 0.6) AS repetitive
+    FROM base LEFT JOIN bg USING (doc_id)
+"""
+
+QUERIES_EXT["x5_boilerplate_ngrams"] = _q_x5_boilerplate_ngrams
+ORACLES_EXT["x5_boilerplate_ngrams"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_TRIGRAMS_SQL})) AS shingle
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    )
+    SELECT shingle, COUNT(1) AS df
+    FROM sh
+    GROUP BY shingle
+    HAVING COUNT(1) >= greatest(2, CAST(ceil(0.01 * (SELECT COUNT(1) FROM documents)) AS BIGINT))
+    ORDER BY df DESC, shingle
+    LIMIT 100
+"""
+
+QUERIES_EXT["x5_doc_sim_cosine"] = _q_x5_doc_sim_cosine
+ORACLES_EXT["x5_doc_sim_cosine"] = f"""
+    WITH doc_terms AS (
+        SELECT doc_id, shingle, COUNT(1) AS tf
+        FROM (
+            SELECT doc_id, unnest({_TRIGRAMS_SQL}) AS shingle
+            FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+        )
+        GROUP BY doc_id, shingle
+    ), keep AS (
+        SELECT shingle FROM doc_terms GROUP BY shingle
+        HAVING COUNT(1) >= 2
+           AND COUNT(1) <= greatest(2, CAST(ceil(0.05 * (SELECT COUNT(1) FROM documents)) AS BIGINT))
+    ), pruned AS (
+        SELECT doc_terms.* FROM doc_terms JOIN keep USING (shingle)
+    ), norms AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS sq FROM pruned GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM pruned a JOIN pruned b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, dot,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT 100
+"""
+
 QUERIES_EXT["x5_udtf_chunks"] = _q_x5_udtf_chunks
 ORACLES_EXT["x5_udtf_chunks"] = """
     WITH toks AS (

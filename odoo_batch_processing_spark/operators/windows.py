@@ -345,3 +345,80 @@ ORACLES = {
 
 ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
 ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}
+
+
+def _q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's event stream to
+    an hourly grid over their own [first, last] activity span and
+    forward-fill the hourly value through gaps — the gap-fill /
+    LOCF operator of time-series engines, composed from three
+    primitives Spark already has: per-key ``sequence`` + ``explode``
+    to synthesize the grid, a left equi-join to align observations,
+    and ``last(ignorenulls)`` over an ordered per-key window to fill.
+
+    Scale shape: the grid is generated PER KEY from that key's own
+    min/max (no global scalar, no cross join), so grid size is bounded
+    by keys × span-hours and generation is embarrassingly parallel
+    after one groupBy(user_id). Join and fill window share the
+    user_id partitioning, so AQE coalesces them onto one shuffle
+    footprint. The hourly sums go through decimal so accumulation
+    order can't perturb the double (same contract as w_rolling_24h).
+    At 100 TB you'd clamp the span per key; here spans are the
+    fixture's 30 days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("hour_value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("hour_value").isNotNull().alias("observed"),
+    )
+
+
+QUERIES_EXT["w_gap_fill_ffill"] = _q_gap_fill_ffill
+ORACLES_EXT["w_gap_fill_ffill"] = """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hour_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    )
+    SELECT g.user_id, g.hour, h.hour_value,
+           last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           h.hour_value IS NOT NULL AS observed
+    FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+"""
