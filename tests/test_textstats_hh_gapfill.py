@@ -89,3 +89,22 @@ def test_gap_fill_forward_fills_through_gaps(spark, tmp_path):
     assert [r["observed"] for r in out] == [True, False, False, True]
     assert [r["hour_value"] for r in out] == [12.5, None, None, 7.0]
     assert [r["filled_value"] for r in out] == [12.5, 12.5, 12.5, 7.0]
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Star graph (hub 0 ↔ leaves 1..5, symmetrized): the hub
+    concentrates rank, leaves tie exactly, and total mass stays ≈ 1
+    (no dangling loss — every vertex has an out-edge)."""
+    from odoo_batch_processing_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)],
+        "src bigint, dst bigint",
+    )
+    out = {r["id"]: (r["deg"], r["rank"]) for r in pagerank(edges, iters=3).collect()}
+    assert out[0][0] == 5
+    leaf_ranks = {out[i][1] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1  # exact tie — fixed-point arithmetic
+    assert out[0][1] > 3 * out[1][1]
+    total = sum(r for _, r in out.values())
+    assert abs(total - 1.0) < 1e-6  # quantization loss ≤ deg·1e-12·iters
