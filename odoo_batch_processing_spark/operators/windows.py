@@ -399,6 +399,59 @@ def _q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence transition matrix: for each user,
+    pair every event with its successor (lead over the per-user
+    timeline), then count (from → to) transitions corpus-wide and
+    derive the per-source transition probability — the Markov-chain
+    summary behind next-action prediction and anomaly scoring.
+
+    Scale shape: ONE shuffle for the lead window (partitionBy
+    user_id, the natural event-log partitioning) and one for the
+    (from, to) count — whose key space is event_types², tiny by
+    construction, so the second agg is all map-side combine. The
+    probability is one IEEE division over exact bigint counts; the
+    per-source total comes from a window over the counted matrix
+    (event_types² rows — negligible), not a second pass over events.
+    Tie-break (ts, event_id) matches x7_sessionize so duplicate
+    timestamps can't flip successor choice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(by_user).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counted = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_from = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(per_from).cast("double")
+        ).alias("p"),
+    )
+
+
+QUERIES_EXT["x7_event_transitions"] = _q_event_transitions
+ORACLES_EXT["x7_event_transitions"] = """
+    WITH steps AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), counted AS (
+        SELECT from_type, to_type, COUNT(1) AS n
+        FROM steps WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM counted
+"""
+
 QUERIES_EXT["w_gap_fill_ffill"] = _q_gap_fill_ffill
 ORACLES_EXT["w_gap_fill_ffill"] = """
     WITH hourly AS (

@@ -81,6 +81,14 @@ STAGES = (
     "x4_cosine_topk",
     "x4_ivf_multiprobe",
     "x9_curation_pipeline",
+    # round-4 session additions over the documents corpus:
+    # - doc_sim/pagerank: scrambled replicas' shingles are all df=1 →
+    #   pruned; postings stay ~constant while the index side grows M
+    # - heavy hitters: interposer tokens add ~27k·M unique rare keys —
+    #   the exact adversarial load Misra–Gries bounds state against
+    "x5_doc_sim_cosine",
+    "g_pagerank_simgraph",
+    "x8_heavy_hitters",
 )
 
 
