@@ -62,6 +62,15 @@ def pagerank(
     # one column-pruned count over the (already aggregated) degree
     # table — the same driver-side scalar idiom as x5_tfidf_top_terms
     n = deg.count()
+    if n == 0:
+        # empty graph: 1/n below would divide by zero — return the
+        # correctly-typed empty relation so the operator composes
+        # after a filters-to-zero upstream (tests/test_empty_corpus.py)
+        return deg.select(
+            F.col(src).alias("id"),
+            F.col("deg"),
+            F.lit(None).cast("double").alias("rank"),
+        )
     out_edges = edges.join(deg, src).transform(materialize_once)
     ranks = nodes.select(
         "id", F.lit(1.0 / float(n)).alias("rank")

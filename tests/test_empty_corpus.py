@@ -41,6 +41,17 @@ EMPTY_SAFE = [
     # standing-index path: build + probe must survive a zero-row
     # corpus (empty partitioned index dir, explicit-schema read-back)
     "x3_incremental_neardup",
+    # round-4 session additions: repetition/boilerplate/doc-sim (all
+    # driver-scalar n_docs=0 paths), two-pass Misra–Gries (empty
+    # summaries), per-key grid synthesis, empty-graph PageRank,
+    # lead-window transitions
+    "x5_gopher_repetition",
+    "x5_boilerplate_ngrams",
+    "x5_doc_sim_cosine",
+    "x8_heavy_hitters",
+    "w_gap_fill_ffill",
+    "g_pagerank_simgraph",
+    "x7_event_transitions",
 ]
 
 
@@ -62,7 +73,7 @@ def test_zorder_write_empty(spark, empty_sf_dir, tmp_path):
 def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
     from odoo_batch_processing_spark.registry import all_queries
 
-    df = all_queries()[name](spark, empty_sf_dir)
+    df = all_queries(extended=True)[name](spark, empty_sf_dir)
     # must execute without raising; aggregates may legitimately return
     # a single all-NULL/zero row, everything else returns no rows
     assert df.count() <= 1
