@@ -360,6 +360,42 @@ def _q_q05_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) walking a hierarchy:
+    customers arranged as a deterministic binary tree (node k's parent
+    is (k−1) div 2 — the heap rule, so the fixture needs no parent
+    column), rolled up to nodes-and-balance per depth. This pins the
+    engine's iterative-SQL surface: the recursion Catalyst unrolls
+    here is the same loop shape the DataFrame API expresses with the
+    CC/PageRank operators, but sourced from plain SQL.
+
+    Termination is structural (a tree: child keys strictly greater),
+    depth ≈ log2(customers) ≪ the engine's recursion limit. The
+    per-level step is an equi-join on the computed parent key, so at
+    scale each level is one hash join, not a nested loop; the decimal
+    sum keeps the rollup order-independent.
+    """
+    from odoo_batch_processing_spark.sources.loader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE h AS (
+            SELECT c_custkey, c_acctbal, 0 AS depth
+            FROM customer WHERE c_custkey = 0
+            UNION ALL
+            SELECT c.c_custkey, c.c_acctbal, h.depth + 1
+            FROM customer c JOIN h ON (c.c_custkey - 1) DIV 2 = h.c_custkey
+            WHERE c.c_custkey > 0
+        )
+        SELECT depth,
+               COUNT(1) AS n_nodes,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM h GROUP BY depth
+        """
+    )
+
+
 # Core: cross-dimension pairs, anti-join + scalar subquery, and the
 # merged scalar/window breadth projection. Extended: the outer-join
 # distribution / correlated-aggregate / disjunctive-pushdown shapes
@@ -387,6 +423,7 @@ QUERIES_EXT = {
     "q19_disjunctive": _q_q19_disjunctive,
     "scalar_breadth": _q_scalar_breadth,
     "window_breadth": _q_window_breadth,
+    "sql_recursive_hierarchy": _q_sql_recursive_hierarchy,
 }
 
 ORACLES = {
@@ -580,3 +617,20 @@ ORACLES = {
 # split the oracle literals along the query-tier boundary
 ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
 ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}
+
+# DuckDB's integer division is // (DIV in Spark); otherwise the oracle
+# restates the identical recursion
+ORACLES_EXT["sql_recursive_hierarchy"] = """
+    WITH RECURSIVE h AS (
+        SELECT c_custkey, c_acctbal, 0 AS depth
+        FROM customer WHERE c_custkey = 0
+        UNION ALL
+        SELECT c.c_custkey, c.c_acctbal, h.depth + 1
+        FROM customer c JOIN h ON (c.c_custkey - 1) // 2 = h.c_custkey
+        WHERE c.c_custkey > 0
+    )
+    SELECT depth,
+           COUNT(1) AS n_nodes,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM h GROUP BY depth
+"""
