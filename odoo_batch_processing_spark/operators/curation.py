@@ -664,3 +664,22 @@ ORACLES_EXT = {
 # split the oracle dict along the same core/extended line as QUERIES
 ORACLES = {k: v for k, v in ORACLES_EXT.items() if k in QUERIES}
 ORACLES_EXT = {k: v for k, v in ORACLES_EXT.items() if k not in QUERIES}
+
+
+def observed(df, name: str, *metric_cols):
+    """Attach runtime metrics to a relation with ``df.observe`` — the
+    engine's zero-extra-pass QA surface: the accumulators fill in as
+    the SAME action that writes/collects the data runs, so pipeline
+    health counters (rows kept, nulls seen, balance sums) cost no
+    second scan. At 100 TB that is the difference between "metrics"
+    and "rerun the job to count".
+
+    Returns ``(df_with_observation, Observation)``; read
+    ``observation.get`` AFTER the first action. Works on any batch
+    DataFrame (streaming uses the listener path in
+    streaming/progress.py instead).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metric_cols), obs

@@ -148,3 +148,33 @@ def test_fixed_size_group_sample_exact_k_and_deterministic(spark):
     # k larger than the group: the whole group comes back
     tiny = fixed_size_group_sample(df.filter("id < 4"), "grp", "id", 10, seed=7)
     assert tiny.count() == 4
+
+
+def test_observed_metrics_fill_from_the_same_action(spark):
+    """observe() counters must match a separately-computed aggregate
+    while costing zero extra jobs — the curation pipeline's keep/drop
+    health counters ride the action that materializes the keep-set."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.curation import observed
+
+    from tests.conftest import SF_SMOKE
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = docs.filter(F.col("n_chars") >= 100)
+    gated, obs = observed(
+        kept,
+        "keepset",
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("chars_kept"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    n_action = gated.count()  # the ONE action; metrics fill as a side effect
+    m = obs.get
+    assert m["rows_kept"] == n_action
+    expected = kept.agg(
+        F.sum(F.col("n_chars").cast("bigint")), F.min("doc_id")
+    ).first()
+    assert m["chars_kept"] == expected[0]
+    assert m["first_doc"] == expected[1]
