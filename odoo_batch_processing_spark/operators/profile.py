@@ -74,3 +74,50 @@ def _col_profile_sql(c: str) -> str:
 ORACLES_EXT = {
     "profile_lineitem": " UNION ALL ".join(_col_profile_sql(c) for c in PROFILE_COLS)
 }
+
+
+def table_checksum(df: DataFrame, key_cols: tuple[str, ...], group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Order-independent content checksum: XOR-fold a per-row md5-
+    derived 60-bit integer, optionally per group — the anti-entropy
+    primitive for verifying a replicated/migrated table without
+    sorting it (two copies match iff their checksums match, any row
+    diff flips bits).
+
+    Why XOR and not SUM: XOR is order- and partition-independent like
+    SUM but cannot overflow, so it needs no modulus at any row count —
+    and a mismatch localizes by re-checksumming halves (the standard
+    anti-entropy descent). Caveat (documented, inherent to XOR): an
+    EVEN number of identical duplicate rows cancels out; run after
+    exact dedup or include a unique key column. The hash is the first
+    15 hex chars of md5 over the '|'-joined key columns — engine-
+    portable (identical in DuckDB), unlike xxhash64 whose seeds
+    differ across engines.
+    """
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in key_cols])), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    gb = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(row_h).alias("checksum"),
+    )
+
+
+def _q_profile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source checksum of the documents table (doc_id + text as
+    the content key): one scan, map-side partial XORs, a shuffle of
+    one row per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return table_checksum(docs, ("doc_id", "text"), ("source",))
+
+
+QUERIES_EXT["profile_checksum"] = _q_profile_checksum
+ORACLES_EXT["profile_checksum"] = """
+    SELECT source,
+           COUNT(1) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS checksum
+    FROM documents
+    GROUP BY source
+"""

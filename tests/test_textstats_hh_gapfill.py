@@ -108,3 +108,21 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert out[0][1] > 3 * out[1][1]
     total = sum(r for _, r in out.values())
     assert abs(total - 1.0) < 1e-6  # quantization loss ≤ deg·1e-12·iters
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    """Same content in any row order / partitioning → same checksum;
+    any single-row change flips it."""
+    from odoo_batch_processing_spark.operators.profile import table_checksum
+
+    rows = [(i, f"text-{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id bigint, text string").coalesce(1)
+    ca = table_checksum(a, ("doc_id", "text")).first()
+    cb = table_checksum(b, ("doc_id", "text")).first()
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+
+    mutated = [(i, f"text-{i}" if i != 50 else "TAMPERED") for i in range(100)]
+    c = spark.createDataFrame(mutated, "doc_id bigint, text string")
+    cc = table_checksum(c, ("doc_id", "text")).first()
+    assert cc["checksum"] != ca["checksum"]
