@@ -765,12 +765,80 @@ def _has_tws_deps() -> bool:
         return False
 
 
+def _events_time_sliced_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Stage the events fixture as ``n_files`` TIME-SLICED parquet
+    files: range-partitioned on (ts, event_id) so file k's events all
+    precede file k+1's, with strictly increasing mtimes so the file
+    source's (mtime, path) ordering processes them in that order.
+    With maxFilesPerTrigger=1 this makes micro-batch order = event
+    time order — the precondition order-SENSITIVE stateful operators
+    (transitions) need to be exact. Raw read (no ts conversion), same
+    as _events_multi_dir."""
+    import glob as _glob
+
+    d = _scratch_dir("events-src-sliced")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartitionByRange(n_files, "ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    parts = sorted(_glob.glob(os.path.join(d, "part-*.parquet")))
+    base = time.time() - 2 * len(parts)
+    for i, f in enumerate(parts):
+        os.utime(f, (base + 2 * i, base + 2 * i))
+    return d
+
+
+def _q_s_x7_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch transition matrix
+    (operators/windows._q_event_transitions): per-user last-event
+    state pairs each event with its successor across micro-batches
+    (stateful.transitions_stream), over a time-sliced one-file-per-
+    trigger source so batch order is event-time order. The appended
+    pair stream is aggregated to the same (from, to, n, p) relation —
+    and certified against the SAME exact oracle as the batch form."""
+    from pyspark.sql import Window
+
+    from odoo_batch_processing_spark.streaming.stateful import transitions_stream
+
+    d = _events_time_sliced_dir(spark, sf_dir, _N_BATCH_FILES)
+    stream = change_source(spark, d, max_files_per_trigger=1)
+    name = _mem_name("s_trans")
+    q = (
+        transitions_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counted = (
+        spark.table(name)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_from = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(per_from).cast("double")
+        ).alias("p"),
+    )
+
+
 QUERIES_EXT = {
     **(
         {"s_stateful_totals_tws": _with_stream_shuffle(_q_s_stateful_totals_tws)}
         if _has_tws_deps()
         else {}
     ),
+    "s_x7_transitions": _with_stream_shuffle(_q_s_x7_transitions),
     "s_session_window": _with_stream_shuffle(_q_s_session_window),
     "s_x3_stream_incremental_neardup": _with_stream_shuffle(
         _q_s_x3_stream_incremental_neardup
@@ -918,3 +986,10 @@ from odoo_batch_processing_spark.operators.dedup import ORACLES as _DEDUP_ORACLE
 ORACLES_EXT["s_x3_stream_incremental_neardup"] = _DEDUP_ORACLES[
     "x3_incremental_neardup"
 ]
+
+# order-sensitive stateful streaming under the EXACT batch oracle —
+# the time-sliced staging makes the contract "identical to the batch
+# lead-window transition matrix", so reuse that SQL verbatim
+from odoo_batch_processing_spark.operators.windows import ORACLES_EXT as _WIN_ORACLES  # noqa: E402
+
+ORACLES_EXT["s_x7_transitions"] = _WIN_ORACLES["x7_event_transitions"]
