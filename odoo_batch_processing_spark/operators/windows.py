@@ -475,3 +475,53 @@ ORACLES_EXT["w_gap_fill_ffill"] = """
     FROM grid g
     LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
 """
+
+
+def _q_rolling_median5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (5-row trailing frame per user) — the
+    robust-smoothing operator time-series engines ship natively and
+    Spark has no window function for. Composed from built-ins with no
+    UDF: collect_list over the frame → array_sort → middle element
+    (odd n) or mean of the two middles (even n, the warm-up rows).
+
+    Determinism: both engines SORT the collected frame before
+    indexing, so collect order can't matter; the index arithmetic
+    uses explicit floor() because a bare double→int CAST truncates in
+    Spark but ROUNDS in DuckDB. Cost is O(w log w) per row with w=5 —
+    constant; at scale the only data movement is the user_id window
+    shuffle shared with every other per-user op.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_odd = F.floor((n + 1) / 2).cast("int")
+    lo = F.floor(n / 2).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(arr, mid_odd)).otherwise(
+        (F.element_at(arr, lo) + F.element_at(arr, lo + F.lit(1))) / 2.0
+    )
+    return ev.select("user_id", "event_id", med.alias("med5"))
+
+
+QUERIES_EXT["w_rolling_median5"] = _q_rolling_median5
+ORACLES_EXT["w_rolling_median5"] = """
+    SELECT user_id, event_id,
+           CASE WHEN n % 2 = 1 THEN lst[CAST(floor((n + 1) / 2) AS INT)]
+                ELSE (lst[CAST(floor(n / 2) AS INT)]
+                      + lst[CAST(floor(n / 2) AS INT) + 1]) / 2.0
+           END AS med5
+    FROM (
+        SELECT user_id, event_id,
+               list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS lst,
+               len(list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS n
+        FROM events
+    )
+"""
