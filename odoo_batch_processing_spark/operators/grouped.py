@@ -153,3 +153,70 @@ ORACLES = {
                g AS (PARTITION BY o_custkey)
     """,
 }
+
+
+def _q_grouped_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third grouped-Pandas shape next to grouped-map and the
+    UDAF: ``cogroup(...).applyInPandas`` — TWO relations shuffled to
+    the same key, each group pair handed to one vectorized Python
+    call. The semantics here (per-customer event rollup enriched with
+    the dimension row) are deliberately join-expressible so the whole
+    cogroup machinery sits under an exact DuckDB oracle; the API
+    exists for per-key logic joins canNOT express (custom alignment,
+    model scoring over both sides), which inherits this certified
+    shuffle/batching shape.
+
+    Integer cents keep the value sum exact (the grouped_agg_mad
+    convention); customers without events emit a zero rollup (the
+    LEFT-join semantics the oracle restates). One co-partitioned
+    shuffle on the key; Arrow moves each group pair once.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    def enrich(key, ev_pdf, cust_pdf):
+        import pandas as pd
+
+        if len(cust_pdf) == 0:
+            # event user outside the customer dimension: nothing to
+            # enrich — mirror the oracle's inner customer base
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "value_cents", "acctbal"]
+            )
+        cents = (
+            int((ev_pdf["value"] * 100).round().astype("int64").sum())
+            if len(ev_pdf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(ev_pdf)],
+                "value_cents": [cents],
+                "acctbal": [float(cust_pdf["c_acctbal"].iloc[0])],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(cust.groupBy("c_custkey"))
+        .applyInPandas(
+            enrich, "user_id bigint, n_events bigint, value_cents bigint, acctbal double"
+        )
+    )
+
+
+QUERIES_EXT["grouped_cogroup_enrich"] = _q_grouped_cogroup_enrich
+ORACLES_EXT["grouped_cogroup_enrich"] = """
+    SELECT c.c_custkey AS user_id,
+           COALESCE(e.n, 0) AS n_events,
+           COALESCE(e.cents, 0) AS value_cents,
+           c.c_acctbal AS acctbal
+    FROM customer c
+    LEFT JOIN (
+        SELECT user_id,
+               COUNT(1) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ) e ON e.user_id = c.c_custkey
+"""

@@ -634,3 +634,38 @@ ORACLES_EXT["sql_recursive_hierarchy"] = """
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM h GROUP BY depth
 """
+
+
+def _q_scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: the try_* function family. Spark 4
+    runs ANSI SQL, where overflow and bad casts are runtime ERRORS —
+    the correct default at 100 TB (silent nulls hide data bugs), but
+    every pipeline needs the per-expression escape hatch for columns
+    KNOWN to be dirty. try_divide / try_add / try_cast return NULL
+    exactly where ANSI would abort the job; the oracle pins those
+    NULL-vs-value semantics row by row (DuckDB's TRY_CAST matches;
+    its overflow/zero-division behaviors are restated as the CASE
+    forms since DuckDB errors differently)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("unit_price"),
+        F.try_divide(F.col("l_extendedprice"), F.lit(0.0)).alias("div_zero"),
+        F.try_add(F.lit(9223372036854775807), F.col("l_orderkey") + 1).alias("add_overflow"),
+        F.when(F.col("l_returnflag") == "A", F.lit("1"))
+        .otherwise(F.lit("x"))
+        .try_cast("int")
+        .alias("flag_as_int"),
+    )
+
+
+QUERIES_EXT["scalar_try_funcs"] = _q_scalar_try_funcs
+ORACLES_EXT["scalar_try_funcs"] = """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / l_quantity AS unit_price,
+           CAST(NULL AS DOUBLE) AS div_zero,
+           CAST(NULL AS BIGINT) AS add_overflow,
+           TRY_CAST(CASE WHEN l_returnflag = 'A' THEN '1' ELSE 'x' END AS INT) AS flag_as_int
+    FROM lineitem
+"""
