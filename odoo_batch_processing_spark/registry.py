@@ -52,6 +52,7 @@ _MODULES = (
     "odoo_batch_processing_spark.operators.skew",
     "odoo_batch_processing_spark.operators.grouped",
     "odoo_batch_processing_spark.operators.graph",
+    "odoo_batch_processing_spark.operators.pyapi",
     "odoo_batch_processing_spark.operators.multimodal",
     "odoo_batch_processing_spark.operators.profile",
     "odoo_batch_processing_spark.operators.ivm",
