@@ -209,23 +209,28 @@ def heavy_hitters(items: DataFrame, col: str = "token", k: int = 32) -> DataFram
     def misra_gries(batches):
         import pandas as pd
 
+        # WEIGHTED Misra–Gries (the summary-merge form, Agarwal et
+        # al.): fold each batch's value_counts (C speed) into the
+        # summary, then if it overflows k−1 entries subtract the k-th
+        # largest weight from everything and drop the non-positive.
+        # Same superset guarantee as the per-item update — the total
+        # decrement applied to any surviving item is still ≤ n_p/k —
+        # without a Python dict op per ROW, only per distinct token
+        # per batch.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for t in pdf[col]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < k - 1:
-                    counters[t] = 1
-                else:
-                    for key in list(counters):
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            del counters[key]
+            for t, w in pdf[col].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(w)
+            if len(counters) > k - 1:
+                thresh = sorted(counters.values(), reverse=True)[k - 1]
+                counters = {t: c - thresh for t, c in counters.items() if c > thresh}
         yield pd.DataFrame({col: list(counters.keys())})
 
     tok = items.select(col)
     candidates = tok.mapInPandas(misra_gries, f"{col} string").distinct()
-    total = tok.count()  # scalar pass: count folds into the plan
+    # the threshold count is its OWN action — one extra column-pruned
+    # scan of the stream (three total: count, candidates, recount)
+    total = tok.count()
     return (
         tok.join(candidates, col, "left_semi")
         .groupBy(col)

@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.session import materialize_once, truncate_lineage
-from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 #: fixed-point quantization scale for edge contributions (see module
 #: docstring); 1e12 keeps bigint sums far from overflow even at
@@ -54,14 +53,16 @@ def pagerank(
     no per-iteration driver scalar.
 
     Returns one row per vertex: ``id``, ``deg`` (out-degree),
-    ``rank``. Fixed ``iters`` (not convergence-tested) keeps the
-    result oracle-expressible as an unrolled CTE.
+    ``rank`` — including vertices with no IN-edges, which receive only
+    the (1−d)/N base mass each round but keep contributing their own.
+    Fixed ``iters`` (not convergence-tested) keeps the result
+    oracle-expressible as an unrolled CTE.
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col(src).alias("id"))
+    nodes = deg.select(F.col(src).alias("id")).transform(materialize_once)
     # one column-pruned count over the (already aggregated) degree
     # table — the same driver-side scalar idiom as x5_tfidf_top_terms
-    n = deg.count()
+    n = nodes.count()
     if n == 0:
         # empty graph: 1/n below would divide by zero — return the
         # correctly-typed empty relation so the operator composes
@@ -86,14 +87,21 @@ def pagerank(
             .cast("bigint")
             .alias("q"),
         )
+        # LEFT join from the full vertex set: a vertex with out-edges
+        # but NO in-edges receives zero mass (qs → 0), yet must stay in
+        # the rank relation — both to appear in the output ("one row
+        # per vertex") and to keep CONTRIBUTING its own rank next
+        # iteration (dropping it would also silently delete its
+        # outgoing mass). On the symmetrized catalog graph every
+        # vertex has in-edges and this is the same inner-join plan.
         ranks = (
-            contrib.groupBy("id")
-            .agg(F.sum("q").alias("qs"))
+            nodes.join(contrib.groupBy("id").agg(F.sum("q").alias("qs")), "id", "left")
             .select(
                 "id",
                 (
                     base
-                    + F.lit(damping) * (F.col("qs").cast("double") / F.lit(QUANT_SCALE))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("qs"), F.lit(0)).cast("double") / F.lit(QUANT_SCALE))
                 ).alias("rank"),
             )
             .transform(truncate_lineage)
@@ -112,25 +120,10 @@ def _q_g_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations at d = 0.85; output is every connected doc with its
     degree and rank.
     """
-    import math
+    from odoo_batch_processing_spark.operators.text import pruned_shingle_postings
 
-    from odoo_batch_processing_spark.operators.text import _trigrams, tokens
-
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    n_docs = docs.count()
-    max_df = max(2, int(math.ceil(0.05 * n_docs)))
-    doc_terms = (
-        docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    keep = (
-        doc_terms.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("shingle")
-    )
-    pruned = doc_terms.join(keep, "shingle").select("doc_id", "shingle")
+    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir)
+    pruned = pruned.select("doc_id", "shingle")
     a = pruned.select("shingle", F.col("doc_id").alias("src"))
     b = pruned.select("shingle", F.col("doc_id").alias("dst"))
     edges = (
@@ -149,10 +142,12 @@ ORACLES: dict = {}
 
 QUERIES_EXT = {"g_pagerank_simgraph": _q_g_pagerank_simgraph}
 
-_TOKS = "list_filter(string_split(text, ' '), x -> trim(x) <> '')"
-_TRIGRAMS_SQL = (
-    "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), "
-    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE CAST([] AS VARCHAR[]) END"
+# the SAME tokenization/shingle fragments the text module's oracles
+# use — imported, not redefined, so the two stay in lockstep with
+# pruned_shingle_postings
+from odoo_batch_processing_spark.operators.text import (  # noqa: E402
+    _TOKS,
+    _TRIGRAMS_SQL,
 )
 
 # one unrolled iteration of the fixed-point update (see pagerank());

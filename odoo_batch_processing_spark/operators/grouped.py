@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.sources.loader import load_table
 
@@ -171,7 +171,13 @@ def _q_grouped_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT-join semantics the oracle restates). One co-partitioned
     shuffle on the key; Arrow moves each group pair once.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # cents are rounded ENGINE-side with F.round (HALF_UP, matching
+    # DuckDB's round-half-away) before the cogroup: pandas
+    # Series.round is banker's (half-to-even), which would diverge
+    # from the oracle on any exact half-cent value
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
 
     def enrich(key, ev_pdf, cust_pdf):
@@ -183,11 +189,7 @@ def _q_grouped_cogroup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["user_id", "n_events", "value_cents", "acctbal"]
             )
-        cents = (
-            int((ev_pdf["value"] * 100).round().astype("int64").sum())
-            if len(ev_pdf)
-            else 0
-        )
+        cents = int(ev_pdf["cents"].sum()) if len(ev_pdf) else 0
         return pd.DataFrame(
             {
                 "user_id": [key[0]],

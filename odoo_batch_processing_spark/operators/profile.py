@@ -91,10 +91,26 @@ def table_checksum(df: DataFrame, key_cols: tuple[str, ...], group_cols: tuple[s
     exact dedup or include a unique key column. The hash is the first
     15 hex chars of md5 over the '|'-joined key columns — engine-
     portable (identical in DuckDB), unlike xxhash64 whose seeds
-    differ across engines.
+    differ across engines. NULL columns are encoded as a NUL-byte
+    sentinel before joining: concat_ws would silently SKIP them
+    (making (NULL,'x') collide with ('x',)), and a bare '||'
+    concatenation nulls the whole hash and drops the row from the
+    XOR — both wrong for the replica-verification use case.
     """
     row_h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in key_cols])), 1, 15),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in key_cols
+                    ],
+                )
+            ),
+            1,
+            15,
+        ),
         16,
         10,
     ).cast("bigint")
@@ -117,7 +133,9 @@ QUERIES_EXT["profile_checksum"] = _q_profile_checksum
 ORACLES_EXT["profile_checksum"] = """
     SELECT source,
            COUNT(1) AS n_rows,
-           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS checksum
+           bit_xor(CAST(('0x' || substr(md5(
+               COALESCE(CAST(doc_id AS VARCHAR), chr(0)) || '|' || COALESCE(text, chr(0))
+           ), 1, 15)) AS BIGINT)) AS checksum
     FROM documents
     GROUP BY source
 """

@@ -34,7 +34,9 @@ def _q_ps_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loader's schema normalizations apply identically to both tiers
     pdf = load_table(spark, sf_dir, "documents").pandas_api()
     out = (
-        pdf.groupby("source")
+        # dropna=False: the pandas default silently drops a NULL group
+        # key, where the oracle's GROUP BY keeps it
+        pdf.groupby("source", dropna=False)
         .agg(
             n_docs=("doc_id", "count"),
             total_chars=("n_chars", "sum"),
@@ -68,10 +70,13 @@ def _q_arrow_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for batch in batches:
             toks = pc.split_pattern(batch.column("text"), " ")
-            # same rule as text.tokens (trim(x) <> ''): count list
-            # slots, subtract the blank slots per row
+            # same rule as text.tokens (trim(x) <> ''): a slot from a
+            # split on ' ' can never itself contain a space, so the
+            # blank test is exact equality with '' — NOT a whitespace
+            # trim, which would also strip tabs/newlines that Spark's
+            # trim and the DuckDB oracle keep
             flat = pc.list_flatten(toks)
-            blank = pc.equal(pc.utf8_trim_whitespace(flat), "")
+            blank = pc.equal(flat, "")
             parents = pc.list_parent_indices(toks)
             blank_per_row = pa.Table.from_arrays(
                 [parents, pc.cast(blank, pa.int64())], names=["i", "b"]
@@ -83,9 +88,13 @@ def _q_arrow_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx = blank_per_row.column("i").to_numpy(zero_copy_only=False)
             bsum = blank_per_row.column("b_sum").to_numpy(zero_copy_only=False)
             blanks[idx] = bsum
-            total = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype("int64")
+            # arrow-side subtraction so a NULL text row stays NULL
+            # (list_value_length is null there; a numpy round-trip
+            # would turn NaN into int garbage)
+            total = pc.cast(pc.list_value_length(toks), pa.int64())
+            n_tokens = pc.subtract(total, pa.array(blanks, type=pa.int64()))
             yield pa.RecordBatch.from_arrays(
-                [batch.column("doc_id"), pa.array(total - blanks, type=pa.int64())],
+                [batch.column("doc_id"), n_tokens],
                 names=["doc_id", "n_tokens"],
             )
 

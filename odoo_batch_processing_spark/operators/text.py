@@ -537,6 +537,33 @@ def _q_x5_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pruned_shingle_postings(spark: SparkSession, sf_dir: str):
+    """The shared trigram inverted index: (doc_id, shingle, tf)
+    postings with the standard bilateral df pruning — shingles in one
+    doc can't pair (df ≥ 2), shingles in >5% of docs are
+    stop-shingles (df ≤ cap, the dedup.cap_hot_buckets discipline).
+    Feeds BOTH the sparse doc-cosine and the PageRank similarity
+    graph, so threshold/tokenization changes happen in exactly one
+    place. Returns ``(pruned_postings, n_docs)``."""
+    import math
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    n_docs = docs.count()  # scalar (see x5_tfidf_top_terms)
+    max_df = max(2, int(math.ceil(0.05 * n_docs)))
+    doc_terms = (
+        docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    keep = (
+        doc_terms.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("shingle")
+    )
+    return doc_terms.join(keep, "shingle"), n_docs
+
+
 def _q_x5_doc_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse text similarity WITHOUT embeddings: top-100 document
     pairs by cosine over trigram-shingle count vectors, computed
@@ -557,23 +584,7 @@ def _q_x5_doc_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only floating ops are two correctly-rounded sqrts, one
     multiply, one divide — bit-identical across engines (same design
     as x4_int8_topk's exact-arithmetic contract)."""
-    import math
-
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    n_docs = docs.count()  # scalar (see x5_tfidf_top_terms)
-    max_df = max(2, int(math.ceil(0.05 * n_docs)))
-    doc_terms = (
-        docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    keep = (
-        doc_terms.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("shingle")
-    )
-    pruned = doc_terms.join(keep, "shingle")
+    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir)
     norms = pruned.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("sq")
     )

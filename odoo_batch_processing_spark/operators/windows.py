@@ -422,7 +422,15 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(by_user).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    counted = steps.groupBy("from_type", "to_type").agg(
+    return transition_matrix(steps)
+
+
+def transition_matrix(pairs: DataFrame) -> DataFrame:
+    """(from_type, to_type) pair stream → the counted matrix with
+    per-source probabilities. Shared by the batch lead-window form and
+    the streaming stateful twin (streaming/queries.s_x7_transitions) so
+    the two queries certified against the same oracle cannot drift."""
+    counted = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
     per_from = Window.partitionBy("from_type")

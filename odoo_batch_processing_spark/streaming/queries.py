@@ -798,8 +798,6 @@ def _q_s_x7_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger source so batch order is event-time order. The appended
     pair stream is aggregated to the same (from, to, n, p) relation —
     and certified against the SAME exact oracle as the batch form."""
-    from pyspark.sql import Window
-
     from odoo_batch_processing_spark.streaming.stateful import transitions_stream
 
     d = _events_time_sliced_dir(spark, sf_dir, _N_BATCH_FILES)
@@ -816,20 +814,9 @@ def _q_s_x7_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    counted = (
-        spark.table(name)
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    per_from = Window.partitionBy("from_type")
-    return counted.select(
-        "from_type",
-        "to_type",
-        "n",
-        (
-            F.col("n").cast("double") / F.sum("n").over(per_from).cast("double")
-        ).alias("p"),
-    )
+    from odoo_batch_processing_spark.operators.windows import transition_matrix
+
+    return transition_matrix(spark.table(name))
 
 
 QUERIES_EXT = {

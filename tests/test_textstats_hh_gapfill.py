@@ -126,3 +126,19 @@ def test_table_checksum_order_and_partition_invariant(spark):
     c = spark.createDataFrame(mutated, "doc_id bigint, text string")
     cc = table_checksum(c, ("doc_id", "text")).first()
     assert cc["checksum"] != ca["checksum"]
+
+
+def test_pagerank_keeps_source_only_vertices(spark):
+    """A vertex with out-edges but no in-edges (allowed by the
+    precondition) must appear in the output with base-mass rank and
+    keep contributing its own mass — not be silently dropped."""
+    from odoo_batch_processing_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    out = {r["id"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert set(out) == {1, 2, 3}
+    base = 0.15 / 3
+    assert abs(out[1] - base) < 1e-9  # no in-edges → base mass only
+    assert out[2] > out[3] > out[1]  # 2 receives from both 1 and 3
