@@ -683,3 +683,58 @@ def observed(df, name: str, *metric_cols):
 
     obs = Observation(name)
     return df.observe(obs, *metric_cols), obs
+
+
+#: per-source data-encryption keys (in production: a KMS-backed key
+#: map, broadcast); 16 bytes = AES-128
+_SHRED_KEYS = {f"src{i}": f"key-src{i}".ljust(16, "0") for i in range(20)}
+#: the source whose key has been destroyed (the right-to-be-forgotten
+#: request) — its rows become unrecoverable without touching the data
+_SHREDDED_SOURCE = "src3"
+
+
+def _q_x9_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding: the 100 TB right-to-be-forgotten mechanism.
+    Rewriting petabytes to delete one cohort is a non-starter; instead
+    every cohort's payload is encrypted with a cohort key
+    (``aes_encrypt``, GCM) and deletion = destroying that key. The
+    query runs the full lifecycle in one plan: encrypt each doc with
+    its source's key, then decrypt with the post-deletion key map —
+    ``try_aes_decrypt`` yields NULL exactly for the shredded cohort
+    (authenticated decryption fails closed, no garbage plaintext),
+    everything else round-trips byte-identically.
+
+    The oracle can't run AES but doesn't need to: GCM ciphertexts are
+    randomized, only the DECRYPTED result is compared, and that is
+    deterministic — text for live cohorts, NULL for the shredded one.
+    All key material folds into the plan as literals (broadcast-sized
+    by construction); the pass is one scan, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    enc_key = F.create_map(
+        *[F.lit(x) for kv in _SHRED_KEYS.items() for x in kv]
+    )[F.col("source")]
+    live = {s: k for s, k in _SHRED_KEYS.items() if s != _SHREDDED_SOURCE}
+    # the destroyed key is ABSENT from the post-deletion map; map
+    # lookup misses yield NULL and try_aes_decrypt(NULL key) → NULL
+    dec_key = F.create_map(
+        *[F.lit(x) for kv in live.items() for x in kv]
+    )[F.col("source")]
+    encrypted = docs.select(
+        "doc_id", "source", F.aes_encrypt(F.col("text"), enc_key).alias("ct")
+    )
+    return encrypted.select(
+        "doc_id",
+        "source",
+        F.try_aes_decrypt(F.col("ct"), dec_key).cast("string").alias("recovered"),
+        F.try_aes_decrypt(F.col("ct"), dec_key).isNotNull().alias("recoverable"),
+    )
+
+
+QUERIES_EXT["x9_crypto_shred"] = _q_x9_crypto_shred
+ORACLES_EXT["x9_crypto_shred"] = f"""
+    SELECT doc_id, source,
+           CASE WHEN source = '{_SHREDDED_SOURCE}' THEN NULL ELSE text END AS recovered,
+           source <> '{_SHREDDED_SOURCE}' AS recoverable
+    FROM documents
+"""
