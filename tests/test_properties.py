@@ -143,3 +143,59 @@ def test_ivf_probe_cells_property(spark, vecs, nprobe):
 
         v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
         assert got[i] == _model_probe_cells(v32, nprobe=nprobe), (v, nprobe)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.text(max_size=8)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=15, deadline=None)
+def test_checksum_permutation_invariant_property(spark, rows, rng):
+    """table_checksum is invariant under any permutation/partitioning
+    of the same multiset of rows — including rows with NULL text."""
+    from odoo_batch_processing_spark.operators.profile import table_checksum
+
+    typed = [(int(k), t if t else None) for k, t in rows]
+    shuffled = list(typed)
+    rng.shuffle(shuffled)
+    a = spark.createDataFrame(typed, "doc_id bigint, text string")
+    b = spark.createDataFrame(shuffled, "doc_id bigint, text string").repartition(5)
+    ca = table_checksum(a, ("doc_id", "text")).first()
+    cb = table_checksum(b, ("doc_id", "text")).first()
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_transition_matrix_rows_are_distributions(spark, pairs):
+    """Per-source transition probabilities sum to 1 and n aggregates
+    exactly — for ANY pair multiset."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.windows import transition_matrix
+
+    df = spark.createDataFrame(pairs, "from_type string, to_type string")
+    out = transition_matrix(df)
+    sums = {
+        r["from_type"]: (r["total_p"], r["total_n"])
+        for r in out.groupBy("from_type")
+        .agg(F.sum("p").alias("total_p"), F.sum("n").alias("total_n"))
+        .collect()
+    }
+    from collections import Counter
+
+    expected = Counter(p[0] for p in pairs)
+    assert set(sums) == set(expected)
+    for ft, (tp, tn) in sums.items():
+        assert abs(tp - 1.0) < 1e-9
+        assert tn == expected[ft]
