@@ -139,3 +139,76 @@ ORACLES_EXT["profile_checksum"] = """
     FROM documents
     GROUP BY source
 """
+
+
+def checksum_diff(a: DataFrame, b: DataFrame, key_cols: tuple[str, ...], bucket_col, n_buckets: int = 16) -> DataFrame:
+    """Anti-entropy DESCENT step: bucket both relations on a key hash,
+    checksum each bucket, and return only the buckets whose checksums
+    disagree — the localization move that turns "the 100 TB replicas
+    differ" into "re-sync these partitions". Each side is one scan +
+    a tiny n_buckets-row shuffle; recursing into a differing bucket
+    with a finer bucket_col gives the standard log-descent."""
+    def per_bucket(df):
+        return table_checksum(
+            df.withColumn("__bucket", bucket_col % n_buckets),
+            key_cols,
+            ("__bucket",),
+        )
+
+    ca = per_bucket(a).select(
+        F.col("__bucket").alias("bucket"),
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("checksum").alias("checksum_a"),
+    )
+    cb = per_bucket(b).select(
+        F.col("__bucket").alias("bucket"),
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("checksum").alias("checksum_b"),
+    )
+    return (
+        ca.join(cb, "bucket", "full_outer")
+        .filter(
+            ~(
+                F.col("checksum_a").eqNullSafe(F.col("checksum_b"))
+                & F.col("n_rows_a").eqNullSafe(F.col("n_rows_b"))
+            )
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q_profile_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-divergence localization on a deterministic fault: the
+    'replica' is the documents table with doc_id 42's text tampered,
+    so exactly the buckets containing doc 42 (42 mod 16 = 10) must
+    surface — and only those."""
+    docs = load_table(spark, sf_dir, "documents")
+    replica = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 42, F.lit("TAMPERED")).otherwise(F.col("text")),
+    )
+    return checksum_diff(docs, replica, ("doc_id", "text"), F.col("doc_id"))
+
+
+QUERIES_EXT["profile_checksum_diff"] = _q_profile_checksum_diff
+_CK = (
+    "CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0)) || '|' "
+    "|| COALESCE(text, chr(0))), 1, 15)) AS BIGINT)"
+)
+_CK_T = (
+    "CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0)) || '|' "
+    "|| COALESCE(CASE WHEN doc_id = 42 THEN 'TAMPERED' ELSE text END, chr(0))), 1, 15)) AS BIGINT)"
+)
+ORACLES_EXT["profile_checksum_diff"] = f"""
+    WITH a AS (
+        SELECT doc_id % 16 AS bucket, COUNT(1) AS n_rows_a, bit_xor({_CK}) AS checksum_a
+        FROM documents GROUP BY 1
+    ), b AS (
+        SELECT doc_id % 16 AS bucket, COUNT(1) AS n_rows_b, bit_xor({_CK_T}) AS checksum_b
+        FROM documents GROUP BY 1
+    )
+    SELECT bucket, n_rows_a, checksum_a, n_rows_b, checksum_b
+    FROM a JOIN b USING (bucket)
+    WHERE checksum_a IS DISTINCT FROM checksum_b OR n_rows_a IS DISTINCT FROM n_rows_b
+    ORDER BY bucket
+"""

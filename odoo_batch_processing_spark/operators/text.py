@@ -704,6 +704,63 @@ ORACLES_EXT["x5_doc_sim_cosine"] = f"""
     LIMIT 100
 """
 
+def _q_x5_chunk_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup signal (the RefinedWeb/C4 'remove repeated
+    passages' pass at the measurement stage): split each doc into
+    NON-overlapping 10-token chunks — the same chunk unit the UDTF
+    demo and pack_shards use — and report, per doc, how many of its
+    distinct chunks also occur in at least one OTHER document.
+
+    Scale shape: distinct (doc, chunk) pairs explode once; the chunk
+    document-frequency is a plain count over that deduped relation
+    (no countDistinct), and the per-doc fraction is a doc_id re-agg —
+    the identical two-level shape as the boilerplate query, one
+    chunk-keyed shuffle and one doc-keyed shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / 10.0).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    doc_chunks = docs.select(
+        "doc_id", F.explode(F.array_distinct(chunks)).alias("chunk")
+    )
+    dfreq = doc_chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        doc_chunks.join(dfreq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_chunks")).alias("shared_frac"),
+        )
+    )
+
+
+QUERIES_EXT["x5_chunk_dedup_frac"] = _q_x5_chunk_dedup_frac
+ORACLES_EXT["x5_chunk_dedup_frac"] = f"""
+    WITH doc_chunks AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(tk[i*10+1 : i*10+10], ' ') AS chunk
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+             LATERAL (SELECT unnest(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) AS i)
+    ), dfreq AS (
+        SELECT chunk, COUNT(1) AS df FROM doc_chunks GROUP BY chunk
+    )
+    SELECT doc_id,
+           COUNT(1) AS n_chunks,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(1) AS shared_frac
+    FROM doc_chunks JOIN dfreq USING (chunk)
+    GROUP BY doc_id
+"""
+
 QUERIES_EXT["x5_udtf_chunks"] = _q_x5_udtf_chunks
 ORACLES_EXT["x5_udtf_chunks"] = """
     WITH toks AS (
