@@ -111,6 +111,111 @@ def pagerank(
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts via degree-ordered edge orientation
+    (the standard distributed algorithm; e.g. Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+
+    ``edges`` is any directed/duplicated edge list; it is first
+    canonicalized to the undirected simple graph (least/greatest +
+    distinct, self-loops dropped). Each edge is then ORIENTED from the
+    lower-rank endpoint to the higher, where rank is the total order
+    (degree, id). Every triangle has exactly one vertex with two
+    out-edges (its minimum-rank corner), so generating wedges only at
+    out-degree pairs and closing them with one semi-join counts each
+    triangle exactly once — no per-triangle double counting to divide
+    away, and, critically for scale, wedge fan-out at a hub vertex is
+    bounded by its OUT-degree, which orientation caps near the graph's
+    arboricity instead of the raw degree. A celebrity node with 10^6
+    neighbours generates ~0 wedges instead of 10^12.
+
+    100 TB shape: three hash joins, all on vertex ids (shuffle
+    partitioned by key, AQE-balanced); the canonical edge set is
+    materialized once and reused by the degree pass, the orientation
+    join, and the closing semi-join. Returns one row per vertex:
+    ``id``, ``deg`` (undirected degree), ``tri`` (triangles the vertex
+    participates in, 0 if none).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .transform(materialize_once)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .transform(materialize_once)
+    )
+    ranked = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).transform(materialize_once)
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    triangles = wedges.join(closing, ["v1", "v2"], "leftsemi").select(
+        "u", "v1", "v2"
+    )
+    per_vertex = (
+        triangles.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return deg.join(per_vertex, "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce(F.col("tri"), F.lit(0).cast("bigint")).alias("tri"),
+    )
+
+
+def _q_g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation + local clustering structure over the
+    trigram co-occurrence graph (same pruned inverted index as
+    ``g_pagerank_simgraph``): docs sharing a mid-df trigram shingle
+    are adjacent; triangles measure how CLIQUISH a doc's neighborhood
+    is — near-duplicate families show up as dense triangle clusters
+    while boilerplate hubs (high degree, low triangles) do not, which
+    is the signal a curation pass uses to separate the two.
+    """
+    from odoo_batch_processing_spark.operators.text import pruned_shingle_postings
+
+    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir)
+    pruned = pruned.select("doc_id", "shingle")
+    a = pruned.select("shingle", F.col("doc_id").alias("src"))
+    b = pruned.select("shingle", F.col("doc_id").alias("dst"))
+    edges = (
+        a.join(b, "shingle")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    return triangle_counts(edges).select(
+        F.col("id").alias("doc_id"), "deg", "tri"
+    )
+
+
 def _q_g_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the trigram co-occurrence graph: docs
     are vertices, an (undirected) edge joins any two docs sharing a
@@ -140,7 +245,10 @@ def _q_g_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-QUERIES_EXT = {"g_pagerank_simgraph": _q_g_pagerank_simgraph}
+QUERIES_EXT = {
+    "g_pagerank_simgraph": _q_g_pagerank_simgraph,
+    "g_triangle_counts": _q_g_triangle_counts,
+}
 
 # the SAME tokenization/shingle fragments the text module's oracles
 # use — imported, not redefined, so the two stay in lockstep with
@@ -162,7 +270,57 @@ _ITER_SQL = """
     GROUP BY e.dst, n.n
 """
 
+# shared CTE prefix: the pruned-shingle co-occurrence pair graph
+# (kept in lockstep with pruned_shingle_postings via _TOKS/_TRIGRAMS_SQL)
+_PAIRS_CTES = """
+    doc_terms AS (
+        SELECT doc_id, shingle, COUNT(1) AS tf
+        FROM (
+            SELECT doc_id, unnest({trigrams}) AS shingle
+            FROM (SELECT doc_id, {toks} AS tk FROM documents)
+        )
+        GROUP BY doc_id, shingle
+    ), keep AS (
+        SELECT shingle FROM doc_terms GROUP BY shingle
+        HAVING COUNT(1) >= 2
+           AND COUNT(1) <= greatest(2, CAST(ceil(0.05 * (SELECT COUNT(1) FROM documents)) AS BIGINT))
+    ), pruned AS (
+        SELECT doc_id, shingle FROM doc_terms JOIN keep USING (shingle)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM pruned a JOIN pruned b USING (shingle)
+        WHERE a.doc_id <> b.doc_id
+    )
+""".format(trigrams=_TRIGRAMS_SQL, toks=_TOKS)
+
 ORACLES_EXT = {
+    "g_triangle_counts": f"""
+    WITH {_PAIRS_CTES},
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM pairs WHERE src <> dst
+    ), deg AS (
+        SELECT id, COUNT(1) AS deg
+        FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        GROUP BY id
+    ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), pv AS (
+        SELECT id, COUNT(1) AS tri
+        FROM (
+            SELECT x AS id FROM tri
+            UNION ALL SELECT y AS id FROM tri
+            UNION ALL SELECT z AS id FROM tri
+        )
+        GROUP BY id
+    )
+    SELECT deg.id AS doc_id, deg.deg,
+           CAST(COALESCE(pv.tri, 0) AS BIGINT) AS tri
+    FROM deg LEFT JOIN pv USING (id)
+    """,
     "g_pagerank_simgraph": f"""
     WITH doc_terms AS (
         SELECT doc_id, shingle, COUNT(1) AS tf

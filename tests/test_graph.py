@@ -1,0 +1,70 @@
+"""Triangle counting: brute-force cross-check and orientation bound.
+
+PageRank (the other graph op) is covered by its unrolled-CTE oracle;
+triangles get a direct Python cross-check here because the interesting
+failure modes (double counting, orientation ties, isolated-from-
+triangle vertices) are graph-structural, not SQL-dialect issues.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from odoo_batch_processing_spark.operators.graph import triangle_counts
+
+
+def _brute_force(edges: set[tuple[int, int]]) -> dict[int, int]:
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    verts = sorted({v for e in und for v in e})
+    tri: dict[int, int] = {v: 0 for v in verts}
+    for x, y, z in itertools.combinations(verts, 3):
+        if (x, y) in und and (y, z) in und and (x, z) in und:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    return tri
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    rng = random.Random(7)
+    n, m = 40, 220
+    # directed, duplicated, self-loop-polluted input — the operator
+    # must canonicalize before counting
+    raw = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(m)
+    ] + [(5, 5), (3, 3)]
+    df = spark.createDataFrame(raw, "src bigint, dst bigint")
+    got = {
+        r["id"]: (r["deg"], r["tri"])
+        for r in triangle_counts(df).collect()
+    }
+    expected_tri = _brute_force(set(raw))
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    for v, t in expected_tri.items():
+        deg = sum(1 for e in und if v in e)
+        assert got[v] == (deg, t), f"vertex {v}"
+    assert set(got) == set(expected_tri)
+
+
+def test_triangle_counts_tie_ranks(spark):
+    # K4: every vertex has identical degree, so orientation falls back
+    # to the id tie-break; each vertex sits in C(3,2)=3 triangles
+    edges = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = triangle_counts(df).collect()
+    assert {r["id"]: r["tri"] for r in rows} == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert all(r["deg"] == 3 for r in rows)
+
+
+def test_triangle_free_star_is_zero(spark):
+    # star graph: the hub has high degree but zero triangles — and the
+    # orientation means the hub (max rank) generates ZERO wedges
+    edges = [(0, i) for i in range(1, 30)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = triangle_counts(df).collect()
+    assert all(r["tri"] == 0 for r in rows)
+    assert {r["deg"] for r in rows} == {29, 1}
