@@ -738,3 +738,60 @@ ORACLES_EXT["x9_crypto_shred"] = f"""
            source <> '{_SHREDDED_SOURCE}' AS recoverable
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted (importance) sampling: inclusion probability ∝ a per-doc weight
+# ---------------------------------------------------------------------------
+
+#: floor/ceiling of the per-document inclusion percentage
+WEIGHTED_MIN_PCT = 5
+WEIGHTED_MAX_PCT = 100
+
+#: characters per +1 percentage point of inclusion probability
+WEIGHTED_CHARS_PER_PCT = 50
+
+
+def _q_x9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with UNEQUAL inclusion probabilities — the
+    general form of x9_hash_sample's fixed-rate draw. Each document's
+    inclusion percentage is proportional to its length (long docs
+    carry more training tokens, so a token-budget-proportional draw
+    keeps them with higher probability), clamped to [5, 100] %; the
+    keep/drop decision is the same doc_id Knuth-hash coin as
+    x9_hash_sample, so membership is deterministic on any engine or
+    cluster size. The inclusion percentage travels WITH each kept row:
+    a downstream estimator divides by p/100 (Horvitz–Thompson) to
+    unbias any statistic computed on the sample.
+
+    All-integer rate arithmetic (chars ÷ 50, clamp) means the
+    threshold compare is exact — no float boundary to disagree on —
+    which is what lets a weighted RANDOMIZED operator sit under a
+    bit-exact oracle. One scan, zero shuffles: filter + projection
+    only, fully pushed to the parquet scan."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    rate = F.least(
+        F.lit(WEIGHTED_MAX_PCT),
+        F.greatest(
+            F.lit(WEIGHTED_MIN_PCT),
+            (F.col("n_chars") / F.lit(WEIGHTED_CHARS_PER_PCT)).cast("int"),
+        ),
+    )
+    return (
+        docs.withColumn("inclusion_pct", rate.cast("int"))
+        .filter(hash_bucket(F.col("doc_id")) < F.col("inclusion_pct"))
+        .select("doc_id", "source", "inclusion_pct")
+    )
+
+
+QUERIES_EXT["x9_weighted_sample"] = _q_x9_weighted_sample
+ORACLES_EXT["x9_weighted_sample"] = f"""
+    SELECT doc_id, source, inclusion_pct FROM (
+        SELECT doc_id, source,
+               CAST(least({WEIGHTED_MAX_PCT}, greatest({WEIGHTED_MIN_PCT},
+                    CAST(trunc(n_chars / {WEIGHTED_CHARS_PER_PCT}.0) AS INT))) AS INT)
+                   AS inclusion_pct
+        FROM documents
+    )
+    WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < inclusion_pct
+"""

@@ -533,3 +533,70 @@ ORACLES_EXT["w_rolling_median5"] = """
         FROM events
     )
 """
+
+
+def _q_w_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (concurrency) via a distributed sweep line:
+    how many lineitems are PENDING (ordered, not yet shipped) on each
+    day the backlog changes. Reference anchor: the engine's
+    event-timeline family (user.js has no interval surface; this is
+    the standard ops/capacity query every interval table needs).
+
+    Each line's interval [o_orderdate, l_shipdate] emits +1 at order
+    and -1 the day AFTER ship (closed interval). The interval endpoints
+    come from an orders⋈lineitem equi-join on orderkey (both sides
+    shuffle-partitioned by the key), then the deltas aggregate per day
+    FIRST — a map-side-combined groupBy that collapses ~SF·6M rows to
+    the #distinct-dates (~2.5k regardless of SF) — and only that tiny
+    relation flows into the running-sum window. The global
+    ``Window.orderBy`` therefore sorts thousands of rows, not
+    billions: sweep cost is O(distinct boundaries), which is why this
+    formulation survives 100 TB while a per-row window would not
+    (same aggregate-then-window contract as x8_value_histogram).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spans = li.select("l_orderkey", "l_shipdate").join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        ),
+        "l_orderkey",
+    )
+    starts = spans.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    ends = spans.select(
+        F.date_add(F.col("l_shipdate"), 1).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = (
+        starts.unionAll(ends)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("net_change"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "d",
+        "net_change",
+        F.sum("net_change").over(w).cast("bigint").alias("pending"),
+    )
+
+
+QUERIES_EXT["w_interval_sweep"] = _q_w_interval_sweep
+ORACLES_EXT["w_interval_sweep"] = """
+    WITH spans AS (
+        SELECT o.o_orderdate, l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deltas AS (
+        SELECT d, CAST(SUM(delta) AS BIGINT) AS net_change
+        FROM (
+            SELECT o_orderdate AS d, 1 AS delta FROM spans
+            UNION ALL
+            SELECT l_shipdate + INTERVAL 1 DAY AS d, -1 AS delta FROM spans
+        )
+        GROUP BY d
+    )
+    SELECT d, net_change,
+           CAST(SUM(net_change) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS pending
+    FROM deltas
+"""

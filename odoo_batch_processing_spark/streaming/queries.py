@@ -493,6 +493,59 @@ def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_s_x2_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup — the state-expiring form the
+    unbounded ``s_x2_stream_dedup`` docstring points at. The events
+    corpus (30 days of event time) arrives twice in two micro-batches;
+    ``dropDuplicatesWithinWatermark`` with a 1-hour delay keeps only
+    keys younger than watermark−1h in the state store, so after batch
+    1 the watermark (max ts − 1h) has EVICTED ~all of the corpus from
+    state. Batch 2's duplicates still contribute nothing: rows older
+    than the watermark are dropped as late, rows inside the horizon
+    hit live state — either way the appended output is exactly one row
+    per event_id, which is what keeps the oracle exact while state
+    stays O(events-per-hour) instead of O(corpus). The in-query assert
+    certifies the bound the unbounded form cannot offer: final state
+    rows ≪ corpus rows. At 100 TB this is the ONLY viable ingest-dedup
+    within a replay horizon; the unbounded form is for bounded
+    backfills."""
+    src = _scratch_dir("x2wm-stream-src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "copy=1"))
+    ev.coalesce(1).write.mode("append").parquet(os.path.join(src, "copy=2"))
+    n_rows = ev.count()
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    name = _mem_name("s_x2wm")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("x2wm-stream-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    state_rows = progress["stateOperators"][0]["numRowsTotal"]
+    assert state_rows < 0.2 * n_rows, (
+        f"dedup state not bounded by the watermark: {state_rows} rows "
+        f"retained of {n_rows} ingested"
+    )
+    return spark.table(name)
+
+
 def _q_s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the enrichment shape of a 100 TB ingest
     path: a streaming fact (events) inner-joins a STATIC dimension
@@ -831,6 +884,7 @@ QUERIES_EXT = {
         _q_s_x3_stream_incremental_neardup
     ),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
+    "s_x2_stream_dedup_wm": _with_stream_shuffle(_q_s_x2_stream_dedup_wm),
     "s_stream_static_join": _with_stream_shuffle(_q_s_stream_static_join),
     "s_merge_upsert": _with_stream_shuffle(_q_s_merge_upsert),
     # rows-only by design: wall-clock throughput is nondeterministic
@@ -938,6 +992,12 @@ ORACLES_EXT = {
     "s_x2_stream_dedup": r"""
         SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         FROM documents
+    """,
+    # watermark-bounded dedup: duplicates land either as late rows
+    # (below watermark) or live-state hits — both dropped, so the
+    # appended set is exactly the distinct (unique) event ids
+    "s_x2_stream_dedup_wm": """
+        SELECT DISTINCT event_id FROM events
     """,
     # session_window(30min): session end = last event + gap. Verified
     # empirically: Spark MERGES an event arriving exactly gap after the
