@@ -775,3 +775,200 @@ ORACLES_EXT["x5_udtf_chunks"] = """
       SELECT unnest(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) AS i
     ) u
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal (CCNet-style quality scoring, bit-quantized)
+# ---------------------------------------------------------------------------
+
+
+def floor_log2(n: Column) -> Column:
+    """floor(log2(n)) for a positive integer column, computed EXACTLY
+    as length(binary representation) − 1 — integer string ops only, so
+    Spark and DuckDB agree bit-for-bit where a float log2 could differ
+    in the last ulp."""
+    return (F.length(F.conv(n.cast("string"), 10, 2)) - F.lit(1)).cast("bigint")
+
+
+def _q_x5_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the CCNet /
+    Wikipedia-LM quality-filter shape: train a unigram model ON the
+    corpus (token → count, total N), then score each document by its
+    average per-token self-information. Low-surprisal docs are bland
+    or repetitive; high-surprisal docs are rare-token noise — the
+    curation pass keeps the middle band.
+
+    Production uses float log-probs; to sit under a bit-exact oracle
+    this computes surprisal in WHOLE BITS via :func:`floor_log2`
+    (floor(log2 N) − floor(log2 cnt) per token occurrence) so every
+    accumulation is exact bigint addition — the same quantize-then-sum
+    contract as the PageRank oracle (operators/graph.py). The ranking
+    signal survives: a 1-in-2 token scores 0 extra bits, a 1-in-2^20
+    token 20.
+
+    100 TB shape: tf per (doc, token) aggregates FIRST (map-side
+    combine collapses repeated tokens), the model join is a shuffle
+    hash join on token (vocabulary scales with the corpus — never
+    broadcast it), and corpus total N rides along as a 1-row
+    auto-broadcast aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    scored = (
+        tf.join(model, "token")
+        .crossJoin(total)
+        .select(
+            "doc_id",
+            "tf",
+            (
+                (floor_log2(F.col("n_total")) - floor_log2(F.col("cnt")))
+                * F.col("tf")
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum("bits").cast("bigint").alias("total_bits"),
+        (
+            F.sum("bits").cast("double") / F.sum("tf").cast("double")
+        ).alias("avg_bits"),
+    )
+
+
+QUERIES_EXT["x5_unigram_surprisal"] = _q_x5_unigram_surprisal
+ORACLES_EXT["x5_unigram_surprisal"] = f"""
+    WITH tf AS (
+        SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+        GROUP BY doc_id, token
+    ), model AS (
+        SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token
+    ), total AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM model
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM((CAST(length(format('{{:b}}', n_total)) - 1 AS BIGINT)
+                     - CAST(length(format('{{:b}}', cnt)) - 1 AS BIGINT)) * tf)
+                AS BIGINT) AS total_bits,
+           CAST(SUM((CAST(length(format('{{:b}}', n_total)) - 1 AS BIGINT)
+                     - CAST(length(format('{{:b}}', cnt)) - 1 AS BIGINT)) * tf)
+                AS DOUBLE)
+             / CAST(SUM(tf) AS DOUBLE) AS avg_bits
+    FROM tf JOIN model USING (token) CROSS JOIN total
+    GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: rank the corpus against a fixed query term set
+# ---------------------------------------------------------------------------
+
+#: the standing query the retrieval demo ranks against
+BM25_QUERY_TERMS = ["merge", "window", "stream"]
+
+#: BM25 shape parameters (the standard Robertson defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: top-k results returned
+BM25_TOPK = 20
+
+
+def _q_x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed query — the lexical
+    leg of a retrieval/dedup stack next to x4's vector leg. Per query
+    term: tf saturation tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) and an
+    IDF weight; summed per doc; top-k by score.
+
+    Determinism contract: IDF is bit-quantized (whole-bit
+    floor(log2 N_docs) − floor(log2 df), :func:`floor_log2`) and the
+    saturation term — a fixed-shape IEEE mul/div expression both
+    engines evaluate identically — is quantized to bigint at 1e9
+    before the per-doc SUM, so accumulation is exact and the (score,
+    doc_id) ordering has no float tie ambiguity. Same contract as
+    PageRank's quantized contributions.
+
+    100 TB shape: the explode filters to QUERY terms immediately
+    (postings for 3 tokens, not the vocabulary), df/avgdl/N ride as
+    1-row or k-row auto-broadcast aggregates, and the final top-k is
+    TakeOrderedAndProject — per-partition heads, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    lengths = docs.select(
+        "doc_id", token_count(F.col("text")).alias("dl")
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    sat = (
+        F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + k1 * (F.lit(1.0 - BM25_B) + b * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    contrib = (
+        (floor_log2(F.col("n_docs")) - floor_log2(F.col("df")))
+        * F.floor(sat * F.lit(1e9)).cast("bigint")
+    ).alias("q")
+    scored = (
+        tf.join(df_, "token")
+        .join(lengths, "doc_id")
+        .crossJoin(stats)
+        .select("doc_id", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("q").cast("bigint").alias("score_q"))
+    )
+    return scored.orderBy(F.col("score_q").desc(), F.col("doc_id")).limit(
+        BM25_TOPK
+    )
+
+
+QUERIES_EXT["x5_bm25_topk"] = _q_x5_bm25_topk
+ORACLES_EXT["x5_bm25_topk"] = f"""
+    WITH lengths AS (
+        SELECT doc_id, {_NTOK} AS dl FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS avgdl
+        FROM lengths
+    ), tf AS (
+        SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+        WHERE token IN ({", ".join(repr(t) for t in BM25_QUERY_TERMS)})
+        GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, CAST(COUNT(1) AS BIGINT) AS df FROM tf GROUP BY token
+    )
+    SELECT doc_id,
+           CAST(SUM(
+               (CAST(length(format('{{:b}}', n_docs)) - 1 AS BIGINT)
+                - CAST(length(format('{{:b}}', df)) - 1 AS BIGINT))
+               * CAST(floor(
+                   CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}
+                   / (CAST(tf AS DOUBLE)
+                      + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))
+                   * 1e9) AS BIGINT)
+           ) AS BIGINT) AS score_q
+    FROM tf JOIN dfreq USING (token) JOIN lengths USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id
+    LIMIT {BM25_TOPK}
+"""

@@ -50,6 +50,10 @@ _ALLOWED_NESTED_LOOP = {
     # same deliberate broadcast(5-row query batch) BNLJ as
     # x4_cosine_topk, over the quantized relation
     "x4_int8_topk",
+    # corpus totals (N tokens / N docs + avgdl) ride as ONE-row
+    # aggregates — the same free scalar shape as q22/q11/q15
+    "x5_unigram_surprisal",
+    "x5_bm25_topk",
 }
 
 
