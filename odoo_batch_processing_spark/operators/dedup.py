@@ -1378,3 +1378,79 @@ ORACLES["x3_incremental_neardup"] = f"""
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_MIN}
 """
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: quote / subset detection
+# ---------------------------------------------------------------------------
+
+#: minimum directed containment |A∩B| / min(|A|,|B|) to report a pair
+CONTAINMENT_MIN = 0.8
+
+
+def ngram_containment_pairs(
+    doc_sh: DataFrame, threshold: float = CONTAINMENT_MIN, cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
+    """Directed containment C(A→B) = |A∩B| / |A| — the asymmetric
+    near-dup measure Jaccard misses: a short document quoted verbatim
+    inside a much longer one has tiny Jaccard (union is dominated by
+    the long doc) but containment ≈ 1 in the short→long direction.
+    Quote/boilerplate-inclusion detection in a curation pass is
+    containment's job, not Jaccard's.
+
+    Same inverted-index shape (and the same hot-bucket cap, with sizes
+    computed pre-cap so scores only shrink) as
+    :func:`ngram_jaccard_pairs`; one extra double division per pair.
+    Emits one row per unordered pair with BOTH directions
+    (``c_a_in_b``, ``c_b_in_a``) and keeps pairs where either
+    direction clears the threshold."""
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    capped = cap_hot_buckets(doc_sh, ["sh"], cap)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "c_a_in_b", F.col("n_inter").cast("double") / F.col("n_a")
+        )
+        .withColumn(
+            "c_b_in_a", F.col("n_inter").cast("double") / F.col("n_b")
+        )
+        .filter(
+            (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+        )
+        .select("doc_a", "doc_b", "c_a_in_b", "c_b_in_a")
+    )
+
+
+def _q_x3_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(_doc_shingles(spark, sf_dir))
+
+
+QUERIES_EXT["x3_containment"] = _q_x3_containment
+ORACLES_EXT["x3_containment"] = f"""
+    WITH doc_sh AS ({_DOC_SH}),
+    sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM doc_sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_inter
+        FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / sa.n_sh AS c_a_in_b,
+           CAST(n_inter AS DOUBLE) / sb.n_sh AS c_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= {CONTAINMENT_MIN}
+       OR CAST(n_inter AS DOUBLE) / sb.n_sh >= {CONTAINMENT_MIN}
+"""

@@ -89,6 +89,14 @@ STAGES = (
     "x5_doc_sim_cosine",
     "g_pagerank_simgraph",
     "x8_heavy_hitters",
+    # this session's additions with corpus-scaling joins:
+    # - triangles: wedge fan-out bounded by orientation; pair graph
+    #   grows ~M like pagerank's
+    # - containment: same capped inverted-index join as jaccard
+    # - surprisal: vocabulary join grows with the interposer tokens
+    "g_triangle_counts",
+    "x3_containment",
+    "x5_unigram_surprisal",
 )
 
 
