@@ -212,3 +212,178 @@ ORACLES_EXT["profile_checksum_diff"] = f"""
     WHERE checksum_a IS DISTINCT FROM checksum_b OR n_rows_a IS DISTINCT FROM n_rows_b
     ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Row-level diff: the reconciliation step after checksum_diff localizes
+# ---------------------------------------------------------------------------
+
+
+def _portable_row_hash(cols: tuple[str, ...]):
+    """The engine-portable md5-prefix row hash table_checksum folds —
+    factored so the row-level diff compares EXACTLY the bits the
+    checksum summarizes (a diff the checksum can see is a diff this
+    can name, and vice versa)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in cols
+                    ],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: tuple[str, ...],
+    content_cols: tuple[str, ...],
+) -> DataFrame:
+    """Row-level reconciliation — the terminal step of the
+    anti-entropy descent: after :func:`checksum_diff` narrows the
+    divergence to buckets, this names the keys. Full-outer join on
+    the key; each side carries only (key, content-hash), so the
+    shuffle moves two slim columns per row, never document bodies.
+    Returns one row per differing key with status ``added`` (only in
+    b), ``removed`` (only in a), or ``changed`` (both, different
+    content hash); identical rows produce nothing. In production the
+    inputs are the PRE-FILTERED divergent buckets, so the join is
+    O(bucket), not O(table) — the fixture query feeds whole tables to
+    keep the oracle one self-contained statement."""
+    h = _portable_row_hash(content_cols)
+    ha = a.select(*key_cols, h.alias("__h_a"))
+    hb = b.select(*key_cols, h.alias("__h_b"))
+    j = ha.join(hb, list(key_cols), "full_outer")
+    status = (
+        F.when(F.col("__h_a").isNull(), F.lit("added"))
+        .when(F.col("__h_b").isNull(), F.lit("removed"))
+        .when(F.col("__h_a") != F.col("__h_b"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )
+
+
+def _q_profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic three-fault replica: doc 42 tampered (changed),
+    doc 7 missing (removed), doc 1000042 appended (added). The diff
+    must name exactly those keys with exactly those statuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    replica = (
+        docs.filter(F.col("doc_id") != 7)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 42, F.lit("TAMPERED")).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionAll(
+            docs.limit(1).select(
+                F.lit(1000042).cast(docs.schema["doc_id"].dataType).alias("doc_id"),
+                F.lit("NEW ROW").alias("text"),
+                *[F.col(c) for c in docs.columns if c not in ("doc_id", "text")],
+            ).select(*docs.columns)
+        )
+    )
+    return table_diff(docs, replica, ("doc_id",), ("doc_id", "text"))
+
+
+QUERIES_EXT["profile_table_diff"] = _q_profile_table_diff
+ORACLES_EXT["profile_table_diff"] = """
+    WITH replica AS (
+        SELECT doc_id,
+               CASE WHEN doc_id = 42 THEN 'TAMPERED' ELSE text END AS text
+        FROM documents WHERE doc_id <> 7
+        UNION ALL
+        SELECT 1000042 AS doc_id, 'NEW ROW' AS text
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.text <> b.text THEN 'changed'
+           END AS status
+    FROM documents a FULL OUTER JOIN replica b USING (doc_id)
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score standardization (feature normalization)
+# ---------------------------------------------------------------------------
+
+
+def _q_profile_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization of events.value — the
+    feature-normalization pass every downstream model consumer wants,
+    grouped by event_type so each behavior class is standardized
+    against its own distribution.
+
+    Determinism: the two moments accumulate as EXACT decimal sums of
+    3-decimal-QUANTIZED values (Σv, Σv² at scale 3/6 — partition-
+    order-independent, unlike double sums), and only the final
+    mean/variance/z arithmetic runs in double — a fixed shape of IEEE
+    mul/div/sqrt (sqrt is correctly rounded by standard, so engines
+    agree bit-for-bit). The 3-dp quantization is load-bearing: it
+    keeps Σv² in integer micro-units below 2^53, so the decimal→
+    double cast is EXACT — measured: a scale-12 Σv² at ~1e7 magnitude
+    casts to different last-ulp doubles on Spark vs DuckDB (int128
+    path), while every scale-6 sum agrees. Two passes over the group
+    in ONE plan: the moments aggregate (map-side combinable, one row
+    per group) joins back onto the rows. Degenerate groups (n=1 or
+    zero variance) yield NULL z rather than ±inf. At 100 TB: the
+    2^53 budget holds to Σv² ≈ 9e9 (billions of unit-scale values
+    per group); beyond that, shift the quantization down a digit."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,3)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    var = (s2 - s1 * s1 / n) / n
+    joined = ev.join(stats, "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            var > 0,
+            (F.col("value") - s1 / n) / F.sqrt(var),
+        ).alias("z"),
+    )
+    return joined
+
+
+QUERIES_EXT["profile_zscore"] = _q_profile_zscore
+ORACLES_EXT["profile_zscore"] = """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(1) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,3))) AS s1,
+               SUM(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3))) AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type,
+           CASE WHEN (CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE) > 0
+                THEN (value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE))
+           END AS z
+    FROM events JOIN stats USING (event_type)
+"""

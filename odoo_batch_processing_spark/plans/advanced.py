@@ -669,3 +669,50 @@ ORACLES_EXT["scalar_try_funcs"] = """
            TRY_CAST(CASE WHEN l_returnflag = 'A' THEN '1' ELSE 'x' END AS INT) AS flag_as_int
     FROM lineitem
 """
+
+
+def _q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.1 `|>`): the same revenue-by-nation
+    topology as q05, written as a linear pipeline — scan |> filter
+    |> join |> aggregate |> sort. Pins the engine's modern-SQL
+    surface: pipe stages lower to the identical Catalyst plan as the
+    nested-SELECT form (same joins, same partial/final aggregation),
+    so this is a parser-surface contract, not a new execution path.
+    Oracle is the equivalent ANSI form — value-identical by
+    construction.
+    """
+    from odoo_batch_processing_spark.sources.loader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1997-01-01'
+        |> JOIN customer ON o_custkey = c_custkey
+        |> JOIN nation ON c_nationkey = n_nationkey
+        |> JOIN lineitem ON l_orderkey = o_orderkey
+        |> AGGREGATE
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS revenue,
+             COUNT(*) AS n_lines
+           GROUP BY n_name
+        |> SELECT n_name, revenue, n_lines
+        """
+    )
+
+
+QUERIES_EXT["sql_pipe_syntax"] = _q_sql_pipe_syntax
+ORACLES_EXT["sql_pipe_syntax"] = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(1) AS n_lines
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+"""
