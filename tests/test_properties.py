@@ -199,3 +199,20 @@ def test_transition_matrix_rows_are_distributions(spark, pairs):
     for ft, (tp, tn) in sums.items():
         assert abs(tp - 1.0) < 1e-9
         assert tn == expected[ft]
+
+
+@settings(max_examples=30, deadline=None)
+@given(ns=st.lists(st.integers(min_value=1, max_value=2**62), min_size=1, max_size=40))
+def test_floor_log2_property(spark, ns):
+    """floor_log2 (binary-string length trick) == math.floor(log2(n))
+    for positive ints across the full bigint range — the determinism
+    primitive under x5_unigram_surprisal / x5_bm25_topk."""
+    import math
+
+    from odoo_batch_processing_spark.operators.text import floor_log2
+
+    df = spark.createDataFrame([(int(n),) for n in ns], "n bigint")
+    got = {r["n"]: r["fl2"] for r in df.select("n", floor_log2(F.col("n")).alias("fl2")).collect()}
+    for n in ns:
+        assert got[n] == n.bit_length() - 1, n
+        assert got[n] == math.floor(math.log2(n)) or n >= 2**48  # float log2 inexact up high

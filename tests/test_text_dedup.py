@@ -347,3 +347,35 @@ def test_cc_local_never_collects_corpus_scale_vertices(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
     # spot-check an isolate deep in the range
     assert out.filter(F.col("doc_id") == n - 1).first()["cluster_id"] == n - 1
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a 10x-longer one: directed
+    containment ~= 1 while Jaccard stays far below the 0.8 report
+    threshold — the exact asymmetry the operator exists for."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.dedup import (
+        JACCARD_MIN,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(12))
+    long_doc = quote + " " + " ".join(f"pad{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id bigint, text string"
+    )
+    doc_sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    ).distinct()
+    cont = ngram_containment_pairs(doc_sh).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    # every shingle of the quote appears in the long doc
+    assert row["c_a_in_b"] == 1.0
+    assert row["c_b_in_a"] < 0.2
+    # Jaccard on the same pair graph reports NOTHING
+    assert ngram_jaccard_pairs(doc_sh, threshold=JACCARD_MIN).count() == 0
