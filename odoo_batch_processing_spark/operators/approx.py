@@ -264,3 +264,75 @@ ORACLES_EXT["x8_heavy_hitters"] = """
     HAVING COUNT(1) * 32 > tot.n
     ORDER BY cnt DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (Apache DataSketches surface, Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def _q_x8_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sketch distinct counting — the 100 TB pattern the
+    one-shot `approx_count_distinct` can't do: build one HLL sketch
+    PER SOURCE PARTITION (here: per event_type), persist/ship the
+    sketch binaries, and `hll_union_agg` them into a global estimate
+    without touching the raw keys again. This is how a daily distinct-
+    users metric is maintained incrementally: yesterday's sketch + a
+    sketch of today's partition, union, estimate — O(sketch bytes),
+    not O(users). Uses Spark 4's Apache DataSketches functions
+    (`hll_sketch_agg`/`hll_union_agg`/`hll_sketch_estimate`), whose
+    sketch binaries ARE portable across systems that speak
+    DataSketches — but not to DuckDB, so the oracle contract is the
+    x8_approx_aggs form: exact measures + within-tolerance booleans
+    (estimate within 10 % of exact, and the merged estimate within
+    10 % of the exact GLOBAL distinct — both far beyond lgK=12's
+    ~1.6 % rsd), TRUE literals on the DuckDB side."""
+    ev = load_table(spark, sf_dir, "events")
+    per_part = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+    )
+    glob = per_part.agg(
+        F.sum(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_g_est"),
+    )
+    exact_glob = ev.agg(F.countDistinct("user_id").alias("_g_exact"))
+    return (
+        per_part.select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= 0.10 * F.col("n_exact")
+            ).alias("part_est_ok"),
+        )
+        .crossJoin(glob.select("n_parts", "_g_est"))
+        .crossJoin(exact_glob)
+        .select(
+            "event_type",
+            "n_exact",
+            "part_est_ok",
+            "n_parts",
+            F.col("_g_exact").alias("n_global_exact"),
+            (
+                F.abs(F.col("_g_est") - F.col("_g_exact"))
+                <= 0.10 * F.col("_g_exact")
+            ).alias("global_est_ok"),
+        )
+    )
+
+
+QUERIES_EXT["x8_hll_merge"] = _q_x8_hll_merge
+ORACLES_EXT["x8_hll_merge"] = """
+    WITH per AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(COUNT(1) AS BIGINT) AS n_parts FROM per
+    ), ex AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_global_exact FROM events
+    )
+    SELECT event_type, n_exact, TRUE AS part_est_ok, n_parts,
+           n_global_exact, TRUE AS global_est_ok
+    FROM per CROSS JOIN tot CROSS JOIN ex
+"""

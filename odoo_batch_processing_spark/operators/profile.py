@@ -387,3 +387,111 @@ ORACLES_EXT["profile_zscore"] = """
            END AS z
     FROM events JOIN stats USING (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (dbt-test / Great-Expectations shape)
+# ---------------------------------------------------------------------------
+
+
+def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over the warehouse tables — the
+    pre-ingest contract check every pipeline runs before promoting a
+    batch: key uniqueness, referential integrity, value ranges,
+    null-rate, accepted values. One row per expectation with its
+    violation count and pass/fail; a scheduler gates promotion on
+    ``bool_and(passed)``.
+
+    Shape: each check is one aggregate over one scan (map-side
+    combinable count of a boolean) or one anti-join on a key —
+    nothing materializes violating ROWS here, only counts, so the
+    suite's cost is bounded by the scans. The union of 6 one-row
+    relations is negligible. At 100 TB run the checks against the
+    NEW partition only; the referential anti-join's right side is the
+    dimension key set (project the key column — Catalyst prunes it to
+    the scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, n_viol):
+        return n_viol.select(
+            F.lit(name).alias("expectation"),
+            F.col("n").cast("bigint").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"),
+        )
+
+    uniq = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n")
+    )
+    ref_cust = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    ref_ord = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    disc_range = lineitem.agg(
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("n")
+    )
+    name_null = customer.agg(
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("n")
+    )
+    flag_vals = lineitem.agg(
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("n")
+    )
+    return (
+        one("orders.o_orderkey unique", uniq)
+        .unionAll(one("orders.o_custkey in customer", ref_cust))
+        .unionAll(one("lineitem.l_orderkey in orders", ref_ord))
+        .unionAll(one("lineitem.l_discount in [0,1]", disc_range))
+        .unionAll(one("customer.c_name not null", name_null))
+        .unionAll(one("lineitem.l_returnflag accepted", flag_vals))
+    )
+
+
+QUERIES_EXT["dq_expectations"] = _q_dq_expectations
+ORACLES_EXT["dq_expectations"] = """
+    SELECT 'orders.o_orderkey unique' AS expectation,
+           CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+           COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) = 0 AS passed
+    FROM (SELECT o_orderkey, COUNT(1) AS c FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'orders.o_custkey in customer',
+           CAST(COUNT(1) AS BIGINT),
+           COUNT(1) = 0
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey in orders',
+           CAST(COUNT(1) AS BIGINT),
+           COUNT(1) = 0
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem.l_discount in [0,1]',
+           CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer.c_name not null',
+           CAST(COALESCE(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0) = 0
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem.l_returnflag accepted',
+           CAST(COALESCE(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END), 0) = 0
+    FROM lineitem
+"""

@@ -54,6 +54,9 @@ _ALLOWED_NESTED_LOOP = {
     # aggregates — the same free scalar shape as q22/q11/q15
     "x5_unigram_surprisal",
     "x5_bm25_topk",
+    # global sketch-union estimate + exact global distinct are ONE-row
+    # aggregates cross-joined onto the (event-type-bounded) per-part rows
+    "x8_hll_merge",
 }
 
 
