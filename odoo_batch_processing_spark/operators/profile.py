@@ -495,3 +495,59 @@ ORACLES_EXT["dq_expectations"] = """
            COALESCE(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END), 0) = 0
     FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier flagging (median/MAD — resistant to the outliers themselves)
+# ---------------------------------------------------------------------------
+
+#: MAD-to-sigma consistency constant × the conventional 3-sigma cut
+ROBUST_K = 3.0 * 1.4826
+
+
+def _q_profile_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier flags: |x − median| > 3·1.4826·MAD.
+    Unlike the z-score (mean/std are THEMSELVES dragged by outliers),
+    median/MAD break down only past 50 % contamination — the standard
+    robust alternative. Exact medians travel across engines
+    (`F.percentile` ≡ DuckDB `quantile_cont`, the proven x8_exact_aggs
+    contract), and the remaining float ops (abs/sub/mul/compare) are
+    fixed-shape IEEE. Two grouped exact percentiles = two shuffles of
+    (group, value) pairs; at 100 TB swap `percentile` for
+    `percentile_approx` and widen the cut — the plan shape is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    with_dev = ev.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = with_dev.groupBy("event_type").agg(
+        F.percentile("dev", 0.5).alias("mad")
+    )
+    return (
+        with_dev.join(mad, "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("dev") > F.lit(ROBUST_K) * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+QUERIES_EXT["profile_robust_outliers"] = _q_profile_robust_outliers
+ORACLES_EXT["profile_robust_outliers"] = f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT event_id, e.event_type, abs(value - med) AS dev
+        FROM events e JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT event_id, dev.event_type, dev.dev > {ROBUST_K} * mad.mad AS is_outlier
+    FROM dev JOIN mad USING (event_type)
+"""

@@ -972,3 +972,73 @@ ORACLES_EXT["x5_bm25_topk"] = f"""
     ORDER BY score_q DESC, doc_id
     LIMIT {BM25_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered reassembly: chunks → documents (round-trip of the chunking op)
+# ---------------------------------------------------------------------------
+
+
+def _q_x5_reassemble_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-correct re-aggregation: split each doc (doc_id < 50, the
+    x5_udtf_chunks slice) into 10-token chunks, shuffle them apart,
+    and REASSEMBLE the document by chunk index — proving the engine
+    can round-trip the chunking used for packing/embedding without
+    scrambling order. The distributed pitfall this pins:
+    `collect_list` has NO deterministic order after a shuffle, so the
+    assembly key must travel with the chunk and the array must be
+    `array_sort`-ed on it (struct sort: chunk_idx leads) BEFORE
+    joining — the naive collect-then-concat is nondeterministic and
+    would flunk this oracle on any multi-partition run."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    chunked = tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("tk") / F.lit(10.0)).cast("int") - 1,
+                ),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.array_join(F.slice("tk", i * 10 + 1, 10), " ").alias(
+                        "chunk_text"
+                    ),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_idx"), F.col("c.chunk_text"))
+    # force the chunks through an exchange so a wrong (order-reliant)
+    # implementation could actually scramble
+    scattered = chunked.repartition(8, "chunk_idx")
+    return (
+        scattered.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("reassembled")
+        )
+    )
+
+
+QUERIES_EXT["x5_reassemble_chunks"] = _q_x5_reassemble_chunks
+ORACLES_EXT["x5_reassemble_chunks"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id < 50
+    ), chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(list_slice(tk, i*10+1, i*10+10), ' ') AS chunk_text
+        FROM toks, LATERAL (
+            SELECT unnest(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) AS i
+        ) u
+    )
+    SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS reassembled
+    FROM chunks GROUP BY doc_id
+"""

@@ -600,3 +600,54 @@ ORACLES_EXT["w_interval_sweep"] = """
            AS pending
     FROM deltas
 """
+
+
+def _q_w_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of events.value per user — the metric a
+    plain AVG gets wrong whenever sampling is irregular (a value held
+    for 6 hours must weigh 360× one held for a minute). Each event's
+    value is weighted by the seconds until the user's NEXT event
+    (lead window); the last event has no duration and drops out.
+
+    Determinism: durations are exact integer seconds
+    (floor-truncated epoch via unix-micros div — DuckDB's epoch()
+    returns fractional doubles, so both engines truncate the SAME
+    integer microseconds), the weighted mass accumulates as exact
+    decimal(value)·bigint products, and only the final division runs
+    in double. One shuffle (partitionBy user) shared by the lead
+    window and the aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (
+        F.lead(F.unix_micros(F.col("ts"))).over(w) / F.lit(1_000_000)
+    ).cast("bigint") - (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast(
+        "bigint"
+    )
+    weighted = ev.select(
+        "user_id",
+        dt.alias("dt_s"),
+        (F.col("value").cast("decimal(18,6)") * dt).alias("mass"),
+    ).filter(F.col("dt_s").isNotNull())
+    return weighted.groupBy("user_id").agg(
+        F.sum("dt_s").cast("bigint").alias("total_dt_s"),
+        (
+            F.sum("mass").cast("double") / F.sum("dt_s").cast("double")
+        ).alias("twap"),
+    )
+
+
+QUERIES_EXT["w_twap"] = _q_w_twap
+ORACLES_EXT["w_twap"] = """
+    WITH spans AS (
+        SELECT user_id,
+               CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) // 1000000
+                    - epoch_us(ts) // 1000000 AS BIGINT) AS dt_s,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(dt_s) AS BIGINT) AS total_dt_s,
+           CAST(SUM(v * dt_s) AS DOUBLE) / CAST(SUM(dt_s) AS DOUBLE) AS twap
+    FROM spans WHERE dt_s IS NOT NULL
+    GROUP BY user_id
+"""
