@@ -223,3 +223,63 @@ ORACLES_EXT = {
         WHERE doc_id % 3 = 2
     """,
 }
+
+
+def _q_mm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over DECODED media — the multimodal
+    leg of the dedup family (X3 handles text, X4 embeddings; this
+    buckets on a pHash-shaped signature of the decoded features). The
+    16-bin byte histogram from the Arrow-batched decode folds into a
+    16-bit signature (bit d = bin d above the uniform share,
+    hist[d]·16 > n_bytes — integer compare, no division), and
+    candidates are exact-signature matches within a modality: the
+    same band-bucket equi-join shape as MinHash-LSH, so the pair
+    space is bounded by bucket sizes, never all-pairs. A real
+    deployment swaps the synthetic decode for PIL/librosa features
+    and widens the signature; the bucketing plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_media(attach_binary(docs))
+    sig = feats.select(
+        "doc_id",
+        "modality",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(15)),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc * 2
+            + F.when(
+                F.element_at(F.col("histogram"), d.cast("int") + 1) * 16
+                > F.col("n_bytes"),
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ).alias("sig"),
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), "modality", "sig")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "modality", "sig")
+    return (
+        a.join(b, ["modality", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("modality", "sig", "doc_a", "doc_b")
+    )
+
+
+QUERIES_EXT["mm_neardup"] = _q_mm_neardup
+ORACLES_EXT["mm_neardup"] = """
+    WITH h AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+               hex(CAST(text AS BLOB)) AS hx,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        FROM documents
+    ), sigs AS (
+        SELECT doc_id, modality,
+               CAST(list_sum(list_transform(range(1, 17),
+                    d -> CASE WHEN len(list_filter(range(1, len(hx) + 1, 2),
+                                       i -> hx[i] = '0123456789ABCDEF'[d])) * 16 > n_bytes
+                              THEN CAST(1 AS BIGINT) << (16 - d)
+                              ELSE 0 END)) AS BIGINT) AS sig
+        FROM h
+    )
+    SELECT a.modality, a.sig, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.modality = b.modality AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
