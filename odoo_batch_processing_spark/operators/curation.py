@@ -795,3 +795,73 @@ ORACLES_EXT["x9_weighted_sample"] = f"""
     )
     WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < inclusion_pct
 """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum bucketing: difficulty deciles from LM surprisal
+# ---------------------------------------------------------------------------
+
+
+def _q_x9_difficulty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: decile each document's unigram-LM
+    surprisal WITHIN its source — the ordering a curriculum schedule
+    (easy→hard) or a mid-band quality filter consumes. Composes
+    x5_unigram_surprisal's exact whole-bit scores (bigint total_bits,
+    so the rank order has no float ties) with ntile(10) partitioned by
+    source: every partition sorts independently, so unlike a global
+    ntile this parallelizes with the source count — the same
+    keyed-window contract as top-k per group. Ties (equal avg bits)
+    break on doc_id for a deterministic decile edge."""
+    from odoo_batch_processing_spark.operators.text import (
+        _q_x5_unigram_surprisal,
+    )
+
+    scores = _q_x5_unigram_surprisal(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    # NB: explicit integer division (floor) on BOTH engines — a
+    # float-divide-then-cast key would truncate on Spark but round on
+    # DuckDB, silently reordering decile edges
+    w = Window.partitionBy("source").orderBy(
+        F.expr("total_bits * 1000000L div n_tokens"),
+        "doc_id",
+    )
+    return (
+        scores.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "total_bits",
+            F.ntile(10).over(w).cast("int").alias("difficulty_decile"),
+        )
+    )
+
+
+QUERIES_EXT["x9_difficulty_deciles"] = _q_x9_difficulty_deciles
+ORACLES_EXT["x9_difficulty_deciles"] = """
+    WITH tf AS (
+        SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> trim(x) <> '')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ), model AS (
+        SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token
+    ), total AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM model
+    ), scores AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM((CAST(length(format('{:b}', n_total)) - 1 AS BIGINT)
+                         - CAST(length(format('{:b}', cnt)) - 1 AS BIGINT)) * tf)
+                    AS BIGINT) AS total_bits
+        FROM tf JOIN model USING (token) CROSS JOIN total
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.source, s.total_bits,
+           CAST(ntile(10) OVER (
+               PARTITION BY d.source
+               ORDER BY s.total_bits * 1000000 // s.n_tokens, s.doc_id
+           ) AS INTEGER) AS difficulty_decile
+    FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+"""

@@ -54,6 +54,8 @@ _ALLOWED_NESTED_LOOP = {
     # aggregates — the same free scalar shape as q22/q11/q15
     "x5_unigram_surprisal",
     "x5_bm25_topk",
+    # composes x5_unigram_surprisal — inherits its 1-row total join
+    "x9_difficulty_deciles",
     # global sketch-union estimate + exact global distinct are ONE-row
     # aggregates cross-joined onto the (event-type-bounded) per-part rows
     "x8_hll_merge",
