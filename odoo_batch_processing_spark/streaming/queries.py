@@ -843,6 +843,126 @@ def _events_time_sliced_dir(spark: SparkSession, sf_dir: str, n_files: int) -> s
     return d
 
 
+def _q_s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics the inner form
+    (s_stream_stream_join) cannot express: a purchase with NO
+    follow-up inside its 30-minute window must still emit, with NULL
+    follow, once the watermark proves no match can arrive. Unmatched
+    rows only flush when a LATER batch advances the watermark past
+    their window, so the source is staged as three
+    mtime-ordered files: the full corpus, then two far-future
+    sentinel batches (max+10h, max+20h). Sentinel batch 1 applies the
+    corpus-derived watermark (flushing most unmatched purchases);
+    sentinel batch 2 applies the +10h watermark, flushing ALL the
+    rest — so the result is exactly matches + every unmatched
+    purchase, no eviction-boundary dependence. Sentinels use negative
+    ids/users (they must PASS the side filters to advance both sides'
+    watermarks — watermark stats are post-filter) and are dropped
+    after the join. At 100 TB the two sentinels are the standard
+    'watermark heartbeat' pattern for low-traffic partitions."""
+    import glob as _glob
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    d = _scratch_dir("ssj-left-src")
+
+    def _stage(df, name, order):
+        sub = os.path.join(d, name)
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        base = time.time() - 100
+        for f in _glob.glob(os.path.join(sub, "part-*.parquet")):
+            os.utime(f, (base + 10 * order, base + 10 * order))
+
+    def _sentinels(hours, tag):
+        from datetime import timedelta
+
+        ts = max_ts + timedelta(hours=hours)
+        return spark.createDataFrame(
+            [
+                (-1 - tag * 2, ts, -1, "purchase", 0.0, None),
+                (-2 - tag * 2, ts, -2, "view", 0.0, None),
+            ],
+            ev.schema,
+        )
+
+    _stage(ev, "b0", 0)
+    _stage(_sentinels(10, 0), "b1", 1)
+    _stage(_sentinels(20, 1), "b2", 2)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    others = (
+        stream.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("f_user"),
+            F.col("event_id").alias("follow_id"),
+            F.col("ts").alias("f_ts"),
+        )
+        .withWatermark("f_ts", "10 minutes")
+    )
+    name = _mem_name("s_ssjl")
+    q = (
+        # keep the PRE-filter stream so the sentinel flush marker below
+        # is observable; the public result filters sentinels out
+        purchases.join(
+            others,
+            (purchases.user_id == others.f_user)
+            & (F.col("f_ts") >= F.col("p_ts"))
+            & (F.col("f_ts") < F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        .select("purchase_id", "follow_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("ssj-left-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Outer-join flushes ride watermark ADVANCEMENT, and the final
+        # no-data micro-batch that performs the last eviction can
+        # commit after processAllAvailable returns (it only waits for
+        # data batches). The sentinel-1 purchase is the completion
+        # marker: its own unmatched emission requires the sentinel-2
+        # watermark, which also flushes every remaining corpus
+        # purchase — so once (-1, NULL) is in the sink, the corpus is
+        # fully flushed. Poll for it instead of sleeping blind.
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (
+                spark.table(name).filter(F.col("purchase_id") == -1).count()
+                > 0
+            ):
+                break
+            time.sleep(0.5)
+            q.processAllAvailable()
+        else:
+            raise AssertionError(
+                "left-outer flush marker (sentinel purchase) never emitted"
+            )
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("purchase_id") >= 0)
+        .select("purchase_id", "follow_id")
+    )
+
+
 def _q_s_x7_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch transition matrix
     (operators/windows._q_event_transitions): per-user last-event
@@ -882,6 +1002,9 @@ QUERIES_EXT = {
     "s_session_window": _with_stream_shuffle(_q_s_session_window),
     "s_x3_stream_incremental_neardup": _with_stream_shuffle(
         _q_s_x3_stream_incremental_neardup
+    ),
+    "s_stream_stream_left_join": _with_stream_shuffle(
+        _q_s_stream_stream_left_join
     ),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
     "s_x2_stream_dedup_wm": _with_stream_shuffle(_q_s_x2_stream_dedup_wm),
@@ -998,6 +1121,15 @@ ORACLES_EXT = {
     # appended set is exactly the distinct (unique) event ids
     "s_x2_stream_dedup_wm": """
         SELECT DISTINCT event_id FROM events
+    """,
+    # left-outer == the batch left range join once the sentinel
+    # batches have flushed every unmatched purchase
+    "s_stream_stream_left_join": """
+        SELECT p.event_id AS purchase_id, o.event_id AS follow_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') o
+          ON p.user_id = o.user_id
+         AND o.ts >= p.ts AND o.ts < p.ts + INTERVAL '30 minutes'
     """,
     # session_window(30min): session end = last event + gap. Verified
     # empirically: Spark MERGES an event arriving exactly gap after the
