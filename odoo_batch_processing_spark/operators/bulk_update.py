@@ -54,6 +54,12 @@ def with_ordinal(df: DataFrame, order_cols: Sequence[str], ord_col: str = ORD_CO
     reference's positional ops are page-scoped; at 100 TB positional
     assignment over an unkeyed table is an anti-pattern and callers
     should prefer keyed joins (see zip_join_update docstring).
+
+    tie-order: same contract as :func:`distributed_ordinal` — a
+    non-unique ``order_cols`` under-specifies the total order. The
+    single-partition window makes the tie order *stable per run* but
+    still engine-/layout-dependent, so any value-visible consumer
+    needs tiebreakers here too.
     """
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn(ord_col, F.row_number().over(w))
@@ -76,14 +82,22 @@ def distributed_ordinal(
     → add the cumulative row count of earlier partitions, computed on
     an ``n_parts``-row offset relation and broadcast back. Every stage
     that touches data is N-way parallel; the only single-partition
-    work is the running sum over N counter rows. Requires the order
-    key to be unique per row (true for every positional op here —
-    ties could otherwise straddle a range boundary, making the ordinal
+    work is the running sum over N counter rows. REQUIRES the order
+    key to be unique per row: with ties the total order is
+    under-specified, tied rows get contiguous ordinals whose internal
+    order depends on the partition layout, and the result is
     nondeterministic across runs AND silently different from
-    :func:`with_ordinal`). Pass ``validate_unique=True`` (or set
-    ``SPARK_GRAFT_VALIDATE_ORDINAL=1``) to fail loudly on duplicate
-    keys instead — one cheap aggregate job, intended for tests and
-    first-run validation, not the steady-state hot path.
+    :func:`with_ordinal` wherever the tie order is value-visible.
+    (Round 4 shipped exactly that bug: the fixture "key"
+    ``(l_orderkey, l_linenumber)`` is only ~76% distinct, so the core
+    r09 diverged from its oracle on local[32] while passing at cpus=8.)
+    Callers whose natural key is not unique MUST append tiebreaker
+    columns — enough payload columns to make the full tuple unique —
+    and mirror the same tiebreakers in any cross-engine oracle. Pass
+    ``validate_unique=True`` (or set ``SPARK_GRAFT_VALIDATE_ORDINAL=1``)
+    to fail loudly on duplicate keys — one cheap aggregate job, on by
+    default in every core registry query that feeds a value-visible
+    positional op.
     """
     spark = df.sparkSession
     if n_parts is None:
@@ -242,6 +256,7 @@ def zip_join_update(
     apply_when: Column | None = None,
     broadcast_values: bool = False,
     page_scale: bool = False,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Assign values[i] to the i-th visible row; rows beyond
     min(len(values), len(rows)) keep their old value (the reference's
@@ -277,9 +292,23 @@ def zip_join_update(
     mirrors the reference's one-visible-page semantic (user.js:432-452)
     and plans fewer stages on tiny inputs, but funnels the whole table
     through one sort partition — never use it on an SF-scaling input.
+
+    CORRECTNESS PRECONDITION (both ordinal strategies): ``order_cols``
+    must be a deterministic TOTAL order — unique per row, or at worst
+    tied only on rows that are fully identical in every output-visible
+    column (then the tie permutation is value-invisible). A non-unique
+    key makes the row→value assignment engine- and layout-dependent
+    exactly where it is visible: at the values-exhaustion boundary,
+    one tie sibling gets a new value and the other retains its old one
+    (user.js:451's min-length truncation). ``validate_unique=True``
+    enforces this with one aggregate per side (distributed path only).
     """
     zip_ord = "__zip_ord"  # private: must not collide with caller columns
-    ordinal = with_ordinal if page_scale else distributed_ordinal
+    if page_scale:
+        ordinal = with_ordinal
+    else:
+        def ordinal(d, oc, c):
+            return distributed_ordinal(d, oc, c, validate_unique=validate_unique)
     vis = None if visible is None else F.coalesce(visible, F.lit(False))
     rows = ordinal(df if vis is None else df.filter(vis), order_cols, zip_ord)
     vals = ordinal(
@@ -320,6 +349,13 @@ def limit_ordered(
     whole plan is bounded by n, not by table size. ``page_scale=True``
     keeps the round-1 global-window form (rank everything, then
     filter ≤ n) for parity comparison.
+
+    tie-order: invariant AS USED in the registry (r10_limit outputs
+    only order-key columns + ordinal, so tied rows — including ties
+    straddling the limit boundary — are interchangeable in the output
+    multiset). A caller projecting NON-key payload columns must pass a
+    unique ``order_cols`` (tiebreakers), or both the boundary cut and
+    the ordinal assignment become layout-dependent.
     """
     if page_scale:
         return with_ordinal(df, order_cols).filter(F.col(ORD_COL) <= n)
@@ -510,6 +546,11 @@ def bulk_update_run(
 # view: o_orderstatus='O' plays "visible", '1-URGENT' plays "readonly".
 # ===========================================================================
 def _q_r01_scan_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tie-order: invariant — (l_orderkey, l_linenumber) is NOT unique
+    in the fixture, but the output carries ONLY the order key + the
+    ordinal, so tied rows are interchangeable: any tie permutation
+    yields the same output multiset (unlike r09, where the zip payload
+    makes tie order value-visible)."""
     li = load_table(spark, sf_dir, "lineitem")
     return with_ordinal(li, ["l_orderkey", "l_linenumber"]).select(
         "l_orderkey", "l_linenumber", ORD_COL
@@ -572,17 +613,43 @@ def _q_r08_multiline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token")
 
 
+# (l_orderkey, l_linenumber) is NOT unique in the driver fixture (~76%
+# distinct at every sf) — round 4's core r09 diverged from its oracle on
+# local[32] because tied rows' ordinal order is partition-layout-
+# dependent and the tie becomes value-visible at the values-exhaustion
+# boundary. Full rows ARE unique (verified in DuckDB at sf0.001/0.01/0.1),
+# so the deterministic total order is the declared key plus every
+# remaining payload column as tiebreakers, mirrored verbatim in the
+# oracle's ROW_NUMBER() ORDER BY.
+R09_ORDER_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
 def _q_r09_zip_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core r09 — since round 4 this certifies the SCALE-SAFE form:
     zip_join_update defaults to distributed_ordinal on both sides, so
     the driver's CORRECTNESS row covers the plan with no
     single-partition sort (the page-scale global-window variant is the
-    ext-tier ``r09_zip_join_page``, same oracle)."""
+    ext-tier ``r09_zip_join_page``, same oracle). Since round 5 the
+    ordinal key carries full-row tiebreakers (R09_ORDER_COLS) and
+    ``validate_unique=True`` so a non-unique key fails loudly instead
+    of silently permuting ties."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     updated = zip_join_update(
         li,
-        ["l_orderkey", "l_linenumber"],
+        R09_ORDER_COLS,
         "l_returnflag",
         part,
         ["p_partkey"],
@@ -591,6 +658,7 @@ def _q_r09_zip_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         # part scales with SF — no broadcast hint; the threshold + AQE
         # decide (broadcast at fixture scale, shuffled join at 100 TB)
         broadcast_values=False,
+        validate_unique=True,
     )
     return updated.select("l_orderkey", "l_linenumber", "l_returnflag")
 
@@ -601,12 +669,15 @@ def _q_r09_zip_join_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user.js:432-452). Bit-identical to the core r09 (same oracle) —
     kept ext-tier so both physical ordinal strategies stay under
     oracle coverage after round 4 swapped the core onto
-    distributed_ordinal."""
+    distributed_ordinal. Same full-row tiebreaker key as the core
+    (R09_ORDER_COLS) — the global window has the identical tie
+    under-specification, it just hid it behind one partition's stable
+    sort order."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     updated = zip_join_update(
         li,
-        ["l_orderkey", "l_linenumber"],
+        R09_ORDER_COLS,
         "l_returnflag",
         part,
         ["p_partkey"],
@@ -746,10 +817,17 @@ ORACLES = {
                     THEN '9-BULK-SET' ELSE o_orderpriority END AS o_orderpriority
         FROM orders
     """,
+    # rows_ord ORDER BY mirrors R09_ORDER_COLS verbatim: the declared
+    # positional key is non-unique, so the full-row tiebreakers are
+    # load-bearing for cross-engine determinism (fixture is NULL-free;
+    # with NULLs the clause would also need NULLS FIRST to match Spark)
     "r09_zip_join_update": """
         WITH rows_ord AS (
             SELECT l_orderkey, l_linenumber, l_returnflag,
-                   ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS ord
+                   ROW_NUMBER() OVER (ORDER BY
+                       l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                       l_quantity, l_extendedprice, l_discount, l_tax,
+                       l_returnflag, l_linestatus, l_shipdate) AS ord
             FROM lineitem WHERE l_linestatus = 'O'
         ), vals_ord AS (
             SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_partkey) AS ord

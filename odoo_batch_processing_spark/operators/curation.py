@@ -456,7 +456,12 @@ def _q_x9_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back. Identical output to the one-partition form (the
     bucket is a PREFIX of the key, so bucket-major order IS key order;
     md5 ties broken by doc_id in both engines), but every stage is
-    distributed."""
+    distributed.
+
+    tie-order: unique-key — (skey, doc_id) is unique because doc_id
+    is; the deterministic md5 key + id tiebreaker is exactly the
+    pattern the r09 postmortem prescribes for value-visible positional
+    ops."""
     from pyspark.sql import Window
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")

@@ -76,6 +76,36 @@ ORACLES_EXT = {
 }
 
 
+def _portable_row_hash(cols: tuple[str, ...]):
+    """The engine-portable md5-prefix row hash shared by
+    :func:`table_checksum` (XOR-folds it) and :func:`table_diff`
+    (compares it per key) — ONE definition so the two cannot drift:
+    a diff the checksum can see is a diff the row-level diff can
+    name, and vice versa. First 15 hex chars of md5 over the
+    '|'-joined columns (identical in DuckDB, unlike xxhash64 whose
+    seeds differ across engines); NULLs encode as a NUL-byte sentinel
+    before joining — concat_ws would silently SKIP them (making
+    (NULL,'x') collide with ('x',)), and a bare '||' concatenation
+    nulls the whole hash."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in cols
+                    ],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def table_checksum(df: DataFrame, key_cols: tuple[str, ...], group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Order-independent content checksum: XOR-fold a per-row md5-
     derived 60-bit integer, optionally per group — the anti-entropy
@@ -88,32 +118,11 @@ def table_checksum(df: DataFrame, key_cols: tuple[str, ...], group_cols: tuple[s
     and a mismatch localizes by re-checksumming halves (the standard
     anti-entropy descent). Caveat (documented, inherent to XOR): an
     EVEN number of identical duplicate rows cancels out; run after
-    exact dedup or include a unique key column. The hash is the first
-    15 hex chars of md5 over the '|'-joined key columns — engine-
-    portable (identical in DuckDB), unlike xxhash64 whose seeds
-    differ across engines. NULL columns are encoded as a NUL-byte
-    sentinel before joining: concat_ws would silently SKIP them
-    (making (NULL,'x') collide with ('x',)), and a bare '||'
-    concatenation nulls the whole hash and drops the row from the
-    XOR — both wrong for the replica-verification use case.
+    exact dedup or include a unique key column. The per-row hash is
+    :func:`_portable_row_hash` — shared with :func:`table_diff`, see
+    its docstring for the encoding contract.
     """
-    row_h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                        for c in key_cols
-                    ],
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    row_h = _portable_row_hash(key_cols)
     gb = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
     return gb.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -219,30 +228,6 @@ ORACLES_EXT["profile_checksum_diff"] = f"""
 # ---------------------------------------------------------------------------
 
 
-def _portable_row_hash(cols: tuple[str, ...]):
-    """The engine-portable md5-prefix row hash table_checksum folds —
-    factored so the row-level diff compares EXACTLY the bits the
-    checksum summarizes (a diff the checksum can see is a diff this
-    can name, and vice versa)."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                        for c in cols
-                    ],
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-
-
 def table_diff(
     a: DataFrame,
     b: DataFrame,
@@ -259,7 +244,14 @@ def table_diff(
     content hash); identical rows produce nothing. In production the
     inputs are the PRE-FILTERED divergent buckets, so the join is
     O(bucket), not O(table) — the fixture query feeds whole tables to
-    keep the oracle one self-contained statement."""
+    keep the oracle one self-contained statement.
+
+    NULL semantics: a NULL↔value content change IS reported as
+    ``changed`` (the row hash encodes NULL as a NUL-byte sentinel, and
+    the oracle mirrors it with IS DISTINCT FROM). Known residual: a
+    content value that is literally one NUL byte collides with NULL in
+    the hash — acceptable for text corpora, use a longer sentinel if
+    your domain can contain bare NUL strings."""
     h = _portable_row_hash(content_cols)
     ha = a.select(*key_cols, h.alias("__h_a"))
     hb = b.select(*key_cols, h.alias("__h_b"))
@@ -312,10 +304,10 @@ ORACLES_EXT["profile_table_diff"] = """
     SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
            CASE WHEN a.doc_id IS NULL THEN 'added'
                 WHEN b.doc_id IS NULL THEN 'removed'
-                WHEN a.text <> b.text THEN 'changed'
+                WHEN a.text IS DISTINCT FROM b.text THEN 'changed'
            END AS status
     FROM documents a FULL OUTER JOIN replica b USING (doc_id)
-    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text IS DISTINCT FROM b.text
 """
 
 

@@ -62,6 +62,11 @@ def scd2_build(
     valid_from, valid_to (NULL = open), version, is_current``.
     ``change_id`` breaks same-timestamp ties deterministically (the
     highest id at an instant wins — last writer at that instant).
+
+    tie-order: unique-key — the window's (keys…, valid_from) order key
+    is unique per partition by construction: the preceding groupBy
+    collapses each (keys, valid_from) instant to one max_by row, so
+    lag/lead/row_number see no ties.
     """
     # One shuffle for the whole build: partition by the key FIRST.
     # hashpartitioning(keys) satisfies the (keys, ts) clustering the

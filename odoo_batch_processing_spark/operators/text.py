@@ -989,7 +989,11 @@ def _q_x5_reassemble_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly key must travel with the chunk and the array must be
     `array_sort`-ed on it (struct sort: chunk_idx leads) BEFORE
     joining — the naive collect-then-concat is nondeterministic and
-    would flunk this oracle on any multi-partition run."""
+    would flunk this oracle on any multi-partition run.
+
+    tie-order: unique-key — chunk_idx is unique per doc_id by
+    construction (one chunk per sequence index), so the struct sort is
+    a deterministic total order; no tiebreakers needed."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
     chunked = tk.select(

@@ -618,11 +618,12 @@ def _q_w_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and the aggregation."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dt = (
-        F.lead(F.unix_micros(F.col("ts"))).over(w) / F.lit(1_000_000)
-    ).cast("bigint") - (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast(
-        "bigint"
-    )
+    # exact integer division (div), matching DuckDB's '//': the earlier
+    # double-divide-then-cast agreed only because current-era epoch
+    # seconds fit a double's 1e-6 ulp; div keeps the stated
+    # floor-truncation contract exact at ANY timestamp (ADVICE r04)
+    sec = F.expr("unix_micros(ts) div 1000000")
+    dt = F.lead(sec).over(w) - sec
     weighted = ev.select(
         "user_id",
         dt.alias("dt_s"),

@@ -262,11 +262,20 @@ def test_bulk_update_run_multivalue(spark, listview):
 
 
 def test_distributed_ordinal_matches_global_window(spark):
-    """distributed_ordinal must equal with_ordinal bit-for-bit, and its
-    DATA-side sort must be partition-local (the single-partition sort
-    the global window needs may appear only on the n_parts-row offset
-    relation, never under the row-bearing exchange)."""
+    """distributed_ordinal must equal with_ordinal bit-for-bit on a
+    UNIQUE key, and its DATA-side sort must be partition-local (the
+    single-partition sort the global window needs may appear only on
+    the n_parts-row offset relation, never under the row-bearing
+    exchange).
+
+    Round 4's version of this test keyed comparison dicts on
+    (l_orderkey, l_linenumber) — which is NOT unique in the fixture
+    (~24% duplicate pairs), so ~23% of rows silently collapsed before
+    the assert and the r09 tie-order bug sailed through. Now: assert
+    key uniqueness FIRST, then compare sorted full-row lists so every
+    row participates."""
     from odoo_batch_processing_spark.operators.bulk_update import (
+        R09_ORDER_COLS,
         distributed_ordinal,
         with_ordinal,
     )
@@ -274,17 +283,16 @@ def test_distributed_ordinal_matches_global_window(spark):
 
     from tests.conftest import SF_SMOKE
 
-    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
-    keys = ["l_orderkey", "l_linenumber"]
-    a = {
-        (r["l_orderkey"], r["l_linenumber"]): r["row_ord"]
-        for r in with_ordinal(li, keys).collect()
-    }
-    b = {
-        (r["l_orderkey"], r["l_linenumber"]): r["row_ord"]
-        for r in distributed_ordinal(li, keys, n_parts=8).collect()
-    }
-    assert a == b and len(a) > 0
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    keys = R09_ORDER_COLS  # full-row tiebreakers: provably unique
+    n = li.count()
+    assert li.select(*keys).distinct().count() == n  # precondition, loudly
+    # and the OLD key really is non-unique — the trap this test guards
+    assert li.select("l_orderkey", "l_linenumber").distinct().count() < n
+
+    a = sorted(map(tuple, with_ordinal(li, keys).collect()))
+    b = sorted(map(tuple, distributed_ordinal(li, keys, n_parts=8).collect()))
+    assert len(a) == n and a == b
 
     plan = distributed_ordinal(li, keys, n_parts=8)._jdf.queryExecution().executedPlan().toString()
     # the row-bearing path must sort after a range exchange, not after
@@ -295,6 +303,54 @@ def test_distributed_ordinal_matches_global_window(spark):
     # every Sort over the data columns must be non-global (local sort)
     data_sorts = re.findall(r"Sort \[[^\]]*l_linenumber[^\]]*\], (\w+)", plan)
     assert data_sorts and all(g == "false" for g in data_sorts), plan[:3000]
+
+
+def test_ordinal_tiebreaker_agreement_on_duplicate_keys(spark):
+    """Property: on a fixture with DUPLICATE declared keys, adding
+    tiebreaker columns makes distributed_ordinal == with_ordinal ==
+    DuckDB ROW_NUMBER, while the bare duplicate key (a) fails the
+    validate_unique guard and (b) genuinely diverges between engines
+    somewhere — i.e. this test would fail on the pre-fix HEAD~ where
+    the core r09 ran distributed_ordinal on the bare pair."""
+    import duckdb
+    import pandas as pd
+    import pytest as _pytest
+
+    from odoo_batch_processing_spark.operators.bulk_update import (
+        distributed_ordinal,
+        with_ordinal,
+    )
+
+    # 400 rows, key 'k' has heavy duplication; 'tb' makes (k, tb) unique
+    pdf = pd.DataFrame(
+        {
+            "k": [i % 37 for i in range(400)],
+            "tb": [(i * 131) % 1009 for i in range(400)],
+            "payload": [f"p{i:03d}" for i in range(400)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    # (a) the bare duplicate key fails loudly
+    with _pytest.raises(ValueError, match="not unique"):
+        distributed_ordinal(df, ["k"], validate_unique=True)
+
+    # (b) with the tiebreaker, all three engines agree row-for-row
+    keys = ["k", "tb"]
+    a = sorted(
+        (r["k"], r["tb"], r["payload"], r["row_ord"])
+        for r in with_ordinal(df, keys).collect()
+    )
+    b = sorted(
+        (r["k"], r["tb"], r["payload"], r["row_ord"])
+        for r in distributed_ordinal(df, keys, n_parts=8, validate_unique=True).collect()
+    )
+    oracle = sorted(
+        duckdb.sql(
+            "SELECT k, tb, payload, ROW_NUMBER() OVER (ORDER BY k, tb) AS row_ord FROM pdf"
+        ).fetchall()
+    )
+    assert a == b == oracle and len(a) == 400
 
 
 def test_validate_unique_accepts_null_keys(spark):
