@@ -844,29 +844,17 @@ def _q_x9_difficulty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_EXT["x9_difficulty_deciles"] = _q_x9_difficulty_deciles
-ORACLES_EXT["x9_difficulty_deciles"] = """
-    WITH tf AS (
-        SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS tf
-        FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> trim(x) <> '')) AS token
-              FROM documents)
-        GROUP BY doc_id, token
-    ), model AS (
-        SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token
-    ), total AS (
-        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM model
-    ), scores AS (
-        SELECT doc_id,
-               CAST(SUM(tf) AS BIGINT) AS n_tokens,
-               CAST(SUM((CAST(length(format('{:b}', n_total)) - 1 AS BIGINT)
-                         - CAST(length(format('{:b}', cnt)) - 1 AS BIGINT)) * tf)
-                    AS BIGINT) AS total_bits
-        FROM tf JOIN model USING (token) CROSS JOIN total
-        GROUP BY doc_id
-    )
+# Built from text.py's SURPRISAL_SCORES_SQL, the same fragment the
+# x5_unigram_surprisal oracle certifies — NOT re-inlined — so a
+# tokenization or scoring change stays in lockstep with the base
+# oracle (ADVICE r04; graph.py's shared-fragment convention).
+from odoo_batch_processing_spark.operators.text import SURPRISAL_SCORES_SQL as _SURPRISAL
+
+ORACLES_EXT["x9_difficulty_deciles"] = f"""
     SELECT s.doc_id, d.source, s.total_bits,
            CAST(ntile(10) OVER (
                PARTITION BY d.source
                ORDER BY s.total_bits * 1000000 // s.n_tokens, s.doc_id
            ) AS INTEGER) AS difficulty_decile
-    FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+    FROM {_SURPRISAL} s JOIN documents d ON d.doc_id = s.doc_id
 """

@@ -228,31 +228,42 @@ ORACLES_EXT = {
 def _q_mm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup over DECODED media — the multimodal
     leg of the dedup family (X3 handles text, X4 embeddings; this
-    buckets on a pHash-shaped signature of the decoded features). The
-    16-bin byte histogram from the Arrow-batched decode folds into a
-    16-bit signature (bit d = bin d above the uniform share,
-    hist[d]·16 > n_bytes — integer compare, no division), and
-    candidates are exact-signature matches within a modality: the
-    same band-bucket equi-join shape as MinHash-LSH, so the pair
-    space is bounded by bucket sizes, never all-pairs. A real
-    deployment swaps the synthetic decode for PIL/librosa features
-    and widens the signature; the bucketing plan is unchanged."""
+    buckets on a pHash-shaped signature of the decoded features).
+
+    Signature: each of the 16 histogram bins contributes 3 bits of its
+    QUANTIZED share — (hist[d]·64 div n_bytes) mod 8 — packed into a
+    48-bit bigint. Round 4's above-the-mean bit signature was CONSTANT
+    over the fixture corpus (text payloads always exceed uniform share
+    in the same nibbles), so the self-join degenerated to a
+    within-modality cross product (ADVICE r04). The mod-8 share
+    quantization keeps the fine per-doc variation the mean-bit throws
+    away (fixture: 3 buckets → 106, 41,417 candidate pairs → 2,191)
+    while near-identical payloads still collide. Candidates are
+    exact-signature matches within a modality — the same band-bucket
+    equi-join shape as MinHash-LSH — and the join is fronted by
+    :func:`cap_hot_buckets` on (modality, sig) like every other bucket
+    self-join in the repo, so a degenerate corpus is bounded by the
+    cap, never all-pairs (the cap is a no-op at fixture scale, hence
+    absent from the oracle). A real deployment swaps the synthetic
+    decode for PIL/librosa features and widens the signature; the
+    bucketing plan is unchanged."""
+    from odoo_batch_processing_spark.operators.dedup import cap_hot_buckets
+
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_media(attach_binary(docs))
+    # `div` (exact integer division) + `% 8` inside a SQL aggregate
+    # lambda: Column `/` is double division and would re-open the
+    # truncate-vs-round engine gap w_twap closed
     sig = feats.select(
         "doc_id",
         "modality",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(15)),
-            F.lit(0).cast("bigint"),
-            lambda acc, d: acc * 2
-            + F.when(
-                F.element_at(F.col("histogram"), d.cast("int") + 1) * 16
-                > F.col("n_bytes"),
-                F.lit(1).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint")),
+        F.expr(
+            "aggregate(sequence(0, 15), 0L, (acc, d) -> acc * 8L"
+            " + ((element_at(histogram, d + 1) * 64L)"
+            " div greatest(n_bytes, 1L)) % 8L)"
         ).alias("sig"),
     )
+    sig = cap_hot_buckets(sig, ["modality", "sig"])
     a = sig.select(F.col("doc_id").alias("doc_a"), "modality", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "modality", "sig")
     return (
@@ -273,10 +284,9 @@ ORACLES_EXT["mm_neardup"] = """
     ), sigs AS (
         SELECT doc_id, modality,
                CAST(list_sum(list_transform(range(1, 17),
-                    d -> CASE WHEN len(list_filter(range(1, len(hx) + 1, 2),
-                                       i -> hx[i] = '0123456789ABCDEF'[d])) * 16 > n_bytes
-                              THEN CAST(1 AS BIGINT) << (16 - d)
-                              ELSE 0 END)) AS BIGINT) AS sig
+                    d -> ((CAST(len(list_filter(range(1, len(hx) + 1, 2),
+                                  i -> hx[i] = '0123456789ABCDEF'[d])) AS BIGINT) * 64)
+                          // GREATEST(n_bytes, 1) % 8) << (3 * (16 - d)))) AS BIGINT) AS sig
         FROM h
     )
     SELECT a.modality, a.sig, a.doc_id AS doc_a, b.doc_id AS doc_b

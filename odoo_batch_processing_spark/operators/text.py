@@ -841,7 +841,15 @@ def _q_x5_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_EXT["x5_unigram_surprisal"] = _q_x5_unigram_surprisal
-ORACLES_EXT["x5_unigram_surprisal"] = f"""
+
+#: Shared oracle fragment: per-doc (doc_id, n_tokens, total_bits)
+#: unigram-LM surprisal scores as ONE parenthesized subquery. Composed
+#: queries (x9_difficulty_deciles) MUST build their oracles from this
+#: constant rather than re-inlining the tokenization/surprisal SQL, so
+#: a tokenizer change in _TOKS or a scoring change here cannot desync
+#: a downstream oracle (ADVICE r04 — same lockstep convention as
+#: graph.py's shared fragments).
+SURPRISAL_SCORES_SQL = f"""(
     WITH tf AS (
         SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS tf
         FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
@@ -855,13 +863,17 @@ ORACLES_EXT["x5_unigram_surprisal"] = f"""
            CAST(SUM(tf) AS BIGINT) AS n_tokens,
            CAST(SUM((CAST(length(format('{{:b}}', n_total)) - 1 AS BIGINT)
                      - CAST(length(format('{{:b}}', cnt)) - 1 AS BIGINT)) * tf)
-                AS BIGINT) AS total_bits,
-           CAST(SUM((CAST(length(format('{{:b}}', n_total)) - 1 AS BIGINT)
-                     - CAST(length(format('{{:b}}', cnt)) - 1 AS BIGINT)) * tf)
-                AS DOUBLE)
-             / CAST(SUM(tf) AS DOUBLE) AS avg_bits
+                AS BIGINT) AS total_bits
     FROM tf JOIN model USING (token) CROSS JOIN total
     GROUP BY doc_id
+)"""
+
+# avg_bits = total_bits/n_tokens in double — identical to the inline
+# SUM(...)::DOUBLE / SUM(...)::DOUBLE since total_bits is the exact sum
+ORACLES_EXT["x5_unigram_surprisal"] = f"""
+    SELECT doc_id, n_tokens, total_bits,
+           CAST(total_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_bits
+    FROM {SURPRISAL_SCORES_SQL} s
 """
 
 

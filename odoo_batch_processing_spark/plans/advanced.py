@@ -403,13 +403,17 @@ def _q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they stay locally oracle-checked), grouping-sets/pivot variants,
 # the EXISTS/correlated-max twins of shapes core already covers, the
 # SQL-string parity query, and the pre-merge breadth micro-queries.
+# q07 demoted round 5 (VERDICT r04 #6): the cross-dimension pair
+# shape is covered by q05/q09 plus the ext TPC-H family; the driver
+# slot went to the stream-stream LEFT OUTER join, the newest/riskiest
+# streaming semantic, which was sitting outside the hard gate.
 QUERIES = {
     "expr_breadth": _q_expr_breadth,
-    "q07_nation_pairs": _q_q07_nation_pairs,
     "q22_inactive_customers": _q_q22_inactive_customers,
 }
 
 QUERIES_EXT = {
+    "q07_nation_pairs": _q_q07_nation_pairs,
     "agg_rollup": _q_agg_rollup,
     "agg_cube": _q_agg_cube,
     "agg_grouping_sets": _q_agg_grouping_sets,

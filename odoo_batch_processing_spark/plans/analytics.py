@@ -243,17 +243,21 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # q06 lives in the extended tier: its scan-with-pushed-range-filters
 # shape is also pinned by tests/test_plan_hygiene.py, and the core
-# tier budget goes to distinct join/agg shapes.
+# tier budget goes to distinct join/agg shapes. q14 demoted round 5
+# (VERDICT r04 #6): its broadcast-star shape is covered by q05/q09 and
+# 15 ext TPC-H siblings; the slot went to the watermark-bounded
+# streaming dedup, whose semantics were previously outside the
+# driver's hard gate.
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
     "q05_revenue_by_nation": q05_revenue_by_nation,
     "q09_profit_by_nation_year": q09_profit_by_nation_year,
-    "q14_promo_effect": q14_promo_effect,
 }
 
 QUERIES_EXT = {
     "q06_forecast_revenue": q06_forecast_revenue,
+    "q14_promo_effect": q14_promo_effect,
 }
 
 ORACLE_Q06 = """
@@ -284,9 +288,9 @@ ORACLES = {
     "q03_top_orders": ORACLE_Q03,
     "q05_revenue_by_nation": ORACLE_Q05,
     "q09_profit_by_nation_year": ORACLE_Q09,
-    "q14_promo_effect": ORACLE_Q14,
 }
 
 ORACLES_EXT = {
     "q06_forecast_revenue": ORACLE_Q06,
+    "q14_promo_effect": ORACLE_Q14,
 }

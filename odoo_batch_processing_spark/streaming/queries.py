@@ -1003,16 +1003,22 @@ QUERIES_EXT = {
     "s_x3_stream_incremental_neardup": _with_stream_shuffle(
         _q_s_x3_stream_incremental_neardup
     ),
-    "s_stream_stream_left_join": _with_stream_shuffle(
-        _q_s_stream_stream_left_join
-    ),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
-    "s_x2_stream_dedup_wm": _with_stream_shuffle(_q_s_x2_stream_dedup_wm),
     "s_stream_static_join": _with_stream_shuffle(_q_s_stream_static_join),
     "s_merge_upsert": _with_stream_shuffle(_q_s_merge_upsert),
     # rows-only by design: wall-clock throughput is nondeterministic
     "s_rate_throughput": _with_stream_shuffle(_q_s_rate_throughput),
 }
+
+# Promoted to core round 5 (VERDICT r04 #6): the stream-stream LEFT
+# OUTER join (sentinel watermark heartbeats — the newest, riskiest
+# streaming semantic) and the watermark-bounded streaming dedup now
+# sit inside the driver's hard correctness gate; their functions are
+# defined below the first QUERIES literal, hence the post-hoc insert.
+QUERIES["s_stream_stream_left_join"] = _with_stream_shuffle(
+    _q_s_stream_stream_left_join
+)
+QUERIES["s_x2_stream_dedup_wm"] = _with_stream_shuffle(_q_s_x2_stream_dedup_wm)
 
 ORACLES = {
     # stream-stream join result == the batch range join (single batch,
@@ -1156,6 +1162,10 @@ ORACLES_EXT = {
         FROM numbered GROUP BY user_id, sid
     """,
 }
+
+# oracles follow their queries' round-5 core promotion (above)
+ORACLES["s_stream_stream_left_join"] = ORACLES_EXT.pop("s_stream_stream_left_join")
+ORACLES["s_x2_stream_dedup_wm"] = ORACLES_EXT.pop("s_x2_stream_dedup_wm")
 
 # bound here (not in the dict literal) to reuse the dedup module's
 # oracle verbatim: the streamed probe's contract IS "unions to the
