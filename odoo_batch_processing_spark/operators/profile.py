@@ -76,34 +76,49 @@ ORACLES_EXT = {
 }
 
 
+def portable_row_hash_hex(cols: tuple[str, ...]) -> "F.Column":
+    """Engine-portable full md5 hex digest (32 lowercase hex chars) of
+    the '|'-joined stringified columns — the shared primitive under
+    :func:`_portable_row_hash` and the r09 ordinal tiebreaker
+    (bulk_update.R09_ORDER builds its sort key on it). md5 hex prints
+    identically in Spark and DuckDB (unlike xxhash64 whose seeds
+    differ across engines), and the hex STRING also *orders*
+    identically (both lowercase, byte-wise collation), so it is safe
+    both to compare and to ORDER BY cross-engine. NULLs encode as a
+    NUL-byte sentinel before joining — concat_ws would silently SKIP
+    them (making (NULL,'x') collide with ('x',)), and a bare '||'
+    concatenation nulls the whole hash. Cross-engine stringification
+    of bigint/int/double/varchar/timestamp verified empirically at
+    sf0.001/0.01/0.1 (0 hash mismatches on lineitem's 11 columns)."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+        )
+    )
+
+
+def portable_row_hash_hex_sql(cols: tuple[str, ...]) -> str:
+    """DuckDB expression mirroring :func:`portable_row_hash_hex`
+    byte-for-byte — ONE definition pair so Spark query and SQL oracle
+    cannot drift. chr(0) is the same NUL sentinel as the Spark side."""
+    joined = " || '|' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0))" for c in cols
+    )
+    return f"md5({joined})"
+
+
 def _portable_row_hash(cols: tuple[str, ...]):
     """The engine-portable md5-prefix row hash shared by
     :func:`table_checksum` (XOR-folds it) and :func:`table_diff`
     (compares it per key) — ONE definition so the two cannot drift:
     a diff the checksum can see is a diff the row-level diff can
-    name, and vice versa. First 15 hex chars of md5 over the
-    '|'-joined columns (identical in DuckDB, unlike xxhash64 whose
-    seeds differ across engines); NULLs encode as a NUL-byte sentinel
-    before joining — concat_ws would silently SKIP them (making
-    (NULL,'x') collide with ('x',)), and a bare '||' concatenation
-    nulls the whole hash."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                        for c in cols
-                    ],
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    name, and vice versa. First 15 hex chars of
+    :func:`portable_row_hash_hex`, folded to a 60-bit integer for
+    cheap XOR aggregation."""
+    return F.conv(F.substring(portable_row_hash_hex(cols), 1, 15), 16, 10).cast(
+        "bigint"
+    )
 
 
 def table_checksum(df: DataFrame, key_cols: tuple[str, ...], group_cols: tuple[str, ...] = ()) -> DataFrame:

@@ -277,14 +277,18 @@ def test_distributed_ordinal_matches_global_window(spark):
     from odoo_batch_processing_spark.operators.bulk_update import (
         R09_ORDER_COLS,
         distributed_ordinal,
+        r09_with_tiebreak,
         with_ordinal,
     )
     from odoo_batch_processing_spark.sources.loader import load_table
 
     from tests.conftest import SF_SMOKE
 
-    li = load_table(spark, SF_SMOKE, "lineitem")
-    keys = R09_ORDER_COLS  # full-row tiebreakers: provably unique
+    li = r09_with_tiebreak(load_table(spark, SF_SMOKE, "lineitem"))
+    keys = R09_ORDER_COLS  # full-row tiebreakers: provably unique (the
+    # extra md5 column rides along as payload — a round-6 regression
+    # fixture: a COMPUTED input column used to break exchange reuse and
+    # with it the old spark_partition_id-based ordinal's determinism)
     n = li.count()
     assert li.select(*keys).distinct().count() == n  # precondition, loudly
     # and the OLD key really is non-unique — the trap this test guards
@@ -331,9 +335,13 @@ def test_ordinal_tiebreaker_agreement_on_duplicate_keys(spark):
     )
     df = spark.createDataFrame(pdf).repartition(8)
 
-    # (a) the bare duplicate key fails loudly
-    with _pytest.raises(ValueError, match="not unique"):
-        distributed_ordinal(df, ["k"], validate_unique=True)
+    # (a) the bare duplicate key fails loudly at execution time (the
+    # guard rides the ordinal's own window since round 6 — zero extra
+    # scan — so it surfaces as a SparkRuntimeException from
+    # raise_error when the ordinal is computed, not a driver-side
+    # ValueError at plan time)
+    with _pytest.raises(Exception, match="not unique"):
+        distributed_ordinal(df, ["k"], validate_unique=True).select("row_ord").collect()
 
     # (b) with the tiebreaker, all three engines agree row-for-row
     keys = ["k", "tb"]
@@ -362,8 +370,77 @@ def test_validate_unique_accepts_null_keys(spark):
     from odoo_batch_processing_spark.operators.bulk_update import distributed_ordinal
 
     ok = spark.createDataFrame([(1,), (2,), (None,)], "k int")
-    assert distributed_ordinal(ok, ["k"], validate_unique=True).count() == 3
+    got = distributed_ordinal(ok, ["k"], validate_unique=True).collect()
+    assert len(got) == 3  # unique-with-NULL passes, ordinal computed
 
     dup = spark.createDataFrame([(1,), (1,), (None,)], "k int")
-    with _pytest.raises(ValueError, match="not unique"):
-        distributed_ordinal(dup, ["k"], validate_unique=True)
+    with _pytest.raises(Exception, match="not unique"):
+        distributed_ordinal(dup, ["k"], validate_unique=True).select(
+            "row_ord"
+        ).collect()
+
+
+def test_page_scale_zip_join_shares_uniqueness_guard(spark):
+    """ADVICE r5 #1: page_scale=True must not silently bypass
+    validate_unique — both ordinal strategies share the fail-loud
+    guard, so a duplicate key raises on the page path exactly as it
+    does on the distributed path."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from odoo_batch_processing_spark.operators.bulk_update import zip_join_update
+
+    rows = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "v": ["a", "b", "c"]})
+    )
+    vals = spark.createDataFrame(pd.DataFrame({"i": [1, 2], "nv": ["X", "Y"]}))
+    with _pytest.raises(Exception, match="not unique"):
+        zip_join_update(
+            rows, ["k"], "v", vals, ["i"], "nv",
+            page_scale=True, validate_unique=True,
+        ).collect()
+    # unique key passes on the same path
+    ok = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    out = zip_join_update(
+        ok, ["k"], "v", vals, ["i"], "nv",
+        page_scale=True, validate_unique=True,
+    )
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [
+        (1, "X"), (2, "Y"), (3, "c")
+    ]
+
+
+def test_r09_row_hash_matches_duckdb_fragment(spark):
+    """The Spark tiebreaker column (portable_row_hash_hex) and the
+    oracle-side SQL fragment (portable_row_hash_hex_sql) must produce
+    byte-identical md5 hex digests over the full lineitem row — the
+    whole r09 determinism argument rests on the two ordering the same
+    way cross-engine. Also asserts the hash key is genuinely unique
+    (the precondition validate_unique enforces at query time)."""
+    import duckdb
+
+    from odoo_batch_processing_spark.operators.bulk_update import (
+        R09_ROW_COLS,
+        R09_TB_COL,
+        r09_with_tiebreak,
+    )
+    from odoo_batch_processing_spark.operators.profile import portable_row_hash_hex_sql
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    sp = set(r[0] for r in r09_with_tiebreak(li).select(R09_TB_COL).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'"
+    )
+    dk = set(
+        r[0]
+        for r in con.sql(
+            f"SELECT {portable_row_hash_hex_sql(R09_ROW_COLS)} FROM lineitem"
+        ).fetchall()
+    )
+    n = li.count()
+    assert sp == dk
+    assert len(sp) == n  # full-row hash is unique -> total order is total
