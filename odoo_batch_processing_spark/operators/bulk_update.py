@@ -100,6 +100,7 @@ def distributed_ordinal(
     n_parts: int | None = None,
     validate_unique: bool = False,
     bucket_cols: Sequence[str] | None = None,
+    bounded_rows: int | None = None,
 ) -> DataFrame:
     """:func:`with_ordinal`'s 100 TB form: a global 1-based ordinal
     with NO single-partition sort node (identical output; the SCALE.md
@@ -163,6 +164,13 @@ def distributed_ordinal(
     keep an expensive computed tiebreaker (e.g. r09's md5 row hash)
     out of the sample scan and the per-boundary comparisons; only
     balance degrades if the prefix is low-cardinality.
+
+    ``bounded_rows``: a caller-GUARANTEED upper bound on the input row
+    count (e.g. the n of an upstream top-n). When the bound fits one
+    task (≤ 2^20 rows) the sketch job is skipped and the ordinal runs
+    as a single bucket — the window is bounded by the caller's n, not
+    the table, so the single partition is correct engineering, not a
+    scale hazard. Do NOT pass it for SF-scaling inputs.
     """
     spark = df.sparkSession
     if n_parts is None:
@@ -186,16 +194,19 @@ def distributed_ordinal(
     # output ordinal is boundary-independent, so determinism of the
     # result is unaffected.
     k = n_parts * 200
-    sk = (
-        df.select(
-            *bucket_cols,
-            F.xxhash64(*[F.col(c) for c in bucket_cols]).alias("__h"),
+    if bounded_rows is not None and bounded_rows <= (1 << 20):
+        sk: list = []  # single bucket; no sketch job for a bounded input
+    else:
+        sk = (
+            df.select(
+                *bucket_cols,
+                F.xxhash64(*[F.col(c) for c in bucket_cols]).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(k)
+            .select(*bucket_cols)
+            .collect()
         )
-        .orderBy("__h")
-        .limit(k)
-        .select(*bucket_cols)
-        .collect()
-    )
     # boundary rows with NULL fields are dropped (a NULL inside a
     # struct comparison yields NULL → bucket contribution 0, which
     # would disagree with NULLS FIRST sort order at that boundary;
@@ -248,6 +259,27 @@ def distributed_ordinal(
         local = local.withColumn("__kh", F.xxhash64(*cols)).withColumn(
             "__dup",
             F.when(F.col("__kh") == F.lag("__kh").over(w_local), 1).otherwise(0),
+        )
+    if not bnds:
+        # single bucket: every offset is identically 0, so the offsets
+        # branch (and its join — which, keyed on a constant, would
+        # plan a nested loop) disappears; the uniqueness guard moves
+        # inline onto the ordinal column itself
+        ord_expr = F.col("__rn").cast("bigint")
+        if validate:
+            ord_expr = F.when(
+                F.col("__dup") == 1,
+                F.raise_error(
+                    F.lit(
+                        "distributed_ordinal: order key %s is not unique — "
+                        "tie order inside the sort would make the ordinal "
+                        "nondeterministic; add a tiebreaker column"
+                        % str(list(order_cols))
+                    )
+                ).cast("bigint"),
+            ).otherwise(ord_expr)
+        return local.withColumn(ord_col, ord_expr).drop(
+            "__bkt", "__rn", "__dup", "__kh"
         )
     w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -539,7 +571,10 @@ def limit_ordered(
     if page_scale:
         return with_ordinal(df, order_cols).filter(F.col(ORD_COL) <= n)
     top = df.orderBy(*[F.col(c) for c in order_cols]).limit(n)
-    return distributed_ordinal(top, order_cols)
+    # bounded_rows=n: the survivors of TakeOrderedAndProject are at
+    # most n rows, so the ordinal skips its boundary-sketch job and
+    # runs single-bucket — bounded by the caller's n, not table size
+    return distributed_ordinal(top, order_cols, bounded_rows=n)
 
 
 # ---------------------------------------------------------------------------
