@@ -629,29 +629,79 @@ def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(sim)
 
 
+#: corpus-size thresholds → sign-bit subcell depth for the embedding
+#: near-dup cells: (upper_bound_exclusive, bits) pairs, else the last
+#: depth. Deepening the quantizer as the corpus grows is what keeps
+#: the in-cell pair join's per-cell population — and with it the
+#: quadratic in-cell term — FLAT under scale-up (round-6 ladder: the
+#: static 3-bit split went superlinear at mult 8, norm 2.07). The rule
+#: is a pure function of COUNT(*), so the DuckDB oracle computes the
+#: identical depth from a scalar subquery at any sf.
+EMB_CELL_DEPTHS = ((10_000, 3), (20_000, 4), (40_000, 5))
+EMB_CELL_MAX_BITS = 6
+
+
+def emb_subcell_bits(n: int) -> int:
+    """Subcell sign-bit depth for an ``n``-vector corpus (see
+    EMB_CELL_DEPTHS)."""
+    for bound, bits in EMB_CELL_DEPTHS:
+        if n < bound:
+            return bits
+    return EMB_CELL_MAX_BITS
+
+
+def _emb_subcell_sql() -> str:
+    """DuckDB twin of ``ivf_bucket(embedding, emb_subcell_bits(n))`` —
+    the depth rule enumerated as a CASE over the same thresholds, the
+    scalar COUNT(*) standing in for the Spark side's driver count."""
+
+    def expr(bits: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END"
+                for i in range(bits)
+            )
+            + ")"
+        )
+
+    branches = " ".join(
+        f"WHEN (SELECT COUNT(*) FROM embeddings) < {bound} THEN {expr(bits)}"
+        for bound, bits in EMB_CELL_DEPTHS
+    )
+    return f"CASE {branches} ELSE {expr(EMB_CELL_MAX_BITS)} END"
+
+
 def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest cosine neighbor per vector within its quantizer cell —
     the embedding near-dup candidate list.
 
-    Cell = (label, 3 sign bits of the leading dimensions) — the
+    Cell = (label, sign bits of the leading dimensions) — the
     two-level IVF idiom from operators/similarity.ivf_bucket. The
     secondary sign-bit split bounds the cell population (the raw
     ``label`` cell grows linearly with the corpus, making the in-cell
     pair join O(n²) per label — round-1's slowest query at 10.8 s/sf0.1;
-    with 8 subcells the pair count drops ~8×). At 100 TB the cells come
-    from write-time k-means with recursive splitting of over-full
-    cells; the sign-bit split is the deterministic, oracle-checkable
-    stand-in with the same plan shape (equi-join on the cell key)."""
+    with 8 subcells the pair count drops ~8×). Since round 6 the split
+    DEPTH is corpus-adaptive (emb_subcell_bits: 3 bits under 10k
+    vectors up to 6 bits at 40k+) so the per-cell population — and the
+    quadratic in-cell pair term the 8× ladder flagged — stays flat as
+    the corpus grows; the depth rule is a pure function of COUNT(*),
+    mirrored in the oracle as a CASE over a scalar subquery. At 100 TB
+    the cells come from write-time k-means with recursive splitting of
+    over-full cells; the adaptive sign-bit split is the deterministic,
+    oracle-checkable stand-in with the same plan shape (equi-join on
+    the cell key)."""
     from pyspark.sql import Window
 
     from odoo_batch_processing_spark.functions.vector import dot, norm, normalized
     from odoo_batch_processing_spark.operators.similarity import ivf_bucket
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    bits = emb_subcell_bits(emb.count())
     unit = (
         emb.select(
             "label",
-            ivf_bucket(F.col("embedding")).alias("subcell"),
+            ivf_bucket(F.col("embedding"), bits=bits).alias("subcell"),
             "vec_id",
             to_double(F.col("embedding")).alias("__v"),
         )
@@ -684,17 +734,19 @@ def _q_x3_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> Dat
     O(corpus²) — with the write-time cell-partitioned index
     (similarity.write_ivf_index) each probe is a partition prune.
     The threshold travels as a 1-row aggregate on a constant key
-    (auto-broadcast; same free scalar shape as x3_incremental)."""
+    (auto-broadcast; same free scalar shape as x3_incremental).
+    Same corpus-adaptive subcell depth as x3_embedding_neardup."""
     from pyspark.sql import Window
 
     from odoo_batch_processing_spark.functions.vector import dot, norm, normalized
     from odoo_batch_processing_spark.operators.similarity import ivf_bucket
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    bits = emb_subcell_bits(emb.count())
     unit = (
         emb.select(
             "label",
-            ivf_bucket(F.col("embedding")).alias("subcell"),
+            ivf_bucket(F.col("embedding"), bits=bits).alias("subcell"),
             "vec_id",
             to_double(F.col("embedding")).alias("__v"),
         )
@@ -1270,12 +1322,10 @@ ORACLES_EXT["x3_fuzzy_join_parts"] = """
     WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
-ORACLES["x3_embedding_neardup"] = """
+ORACLES["x3_embedding_neardup"] = f"""
     WITH v AS (
         SELECT vec_id, label,
-               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS subcell,
+               {_emb_subcell_sql()} AS subcell,
                list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS vec
         FROM (SELECT vec_id, label, embedding, embedding::DOUBLE[] AS raw FROM embeddings)
     ),
@@ -1292,12 +1342,10 @@ ORACLES["x3_embedding_neardup"] = """
     ) WHERE rn = 1
 """
 
-ORACLES_EXT["x3_incremental_embedding_neardup"] = """
+ORACLES_EXT["x3_incremental_embedding_neardup"] = f"""
     WITH v AS (
         SELECT vec_id, label,
-               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS subcell,
+               {_emb_subcell_sql()} AS subcell,
                list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS vec
         FROM (SELECT vec_id, label, embedding, embedding::DOUBLE[] AS raw FROM embeddings)
     ),

@@ -33,7 +33,14 @@ min is the cleanest scaling signal. ``ratio = scaled/base``;
 and base ≥ 0.2 s are flagged superlinear (sub-0.2 s queries are
 latency-floor-dominated: fixed per-query overhead ~0.1-0.2 s swamps
 the data term, and streaming queries are trigger-bound by design —
-their norm carries no scaling information).
+their norm carries no scaling information). That trigger-cadence
+caveat covers the two round-5 core promotions explicitly:
+``s_stream_stream_left_join`` processes a FIXED 3-batch source (corpus
++ 2 watermark-heartbeat sentinels) whatever the corpus size, and
+``s_x2_stream_dedup_wm`` a fixed 2-batch replay — their "scaling" is
+micro-batch count plus per-batch data volume, so a norm ≪ 1 is the
+expected shape, not evidence of sublinear magic (round-6 measured:
+0.18 and 0.26).
 
 Usage:
     python tools/scale_suite.py [--mult 8] [--reps 2] [--sf-dir ...]
