@@ -696,8 +696,10 @@ def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odoo_batch_processing_spark.functions.vector import dot, norm, normalized
     from odoo_batch_processing_spark.operators.similarity import ivf_bucket
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
-    bits = emb_subcell_bits(emb.count())
+    raw = load_table(spark, sf_dir, "embeddings")
+    # count the RAW scan (parquet footer metadata, no fan-out shuffle)
+    bits = emb_subcell_bits(raw.count())
+    emb = fan_out(raw, spark, "vec_id")
     unit = (
         emb.select(
             "label",
@@ -741,8 +743,10 @@ def _q_x3_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> Dat
     from odoo_batch_processing_spark.functions.vector import dot, norm, normalized
     from odoo_batch_processing_spark.operators.similarity import ivf_bucket
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
-    bits = emb_subcell_bits(emb.count())
+    raw = load_table(spark, sf_dir, "embeddings")
+    # count the RAW scan (parquet footer metadata, no fan-out shuffle)
+    bits = emb_subcell_bits(raw.count())
+    emb = fan_out(raw, spark, "vec_id")
     unit = (
         emb.select(
             "label",
