@@ -230,27 +230,17 @@ def write_ivf_index(unit_cells: DataFrame, path: str) -> None:
 
 def _cached_ivf_index(sf_dir: str, name: str, build) -> str:
     """Build-or-reuse a write-time IVF index, content-keyed on the
-    embeddings corpus (the keyed_scratch_dir discipline shared with
-    the minhash standing index and the streaming staged sources): the
-    index is a pure deterministic function of the corpus — sign-bit
-    cells are stateless, medoid k-means is hash-checkable — so bench
-    reps and sibling queries reuse one build instead of re-writing it
-    per invocation. ``build(path)`` writes everything under ``path``;
-    the ``_STAGED`` marker is written after, so a torn build is
-    rebuilt, never half-read."""
+    embeddings corpus (``sinks.staged_once`` — the discipline shared
+    with the minhash standing index and the streaming staged sources):
+    the index is a pure deterministic function of the corpus —
+    sign-bit cells are stateless, medoid k-means is hash-checkable —
+    so bench reps and sibling queries reuse one build instead of
+    re-writing it per invocation."""
     import os
 
-    from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
-    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+    from odoo_batch_processing_spark.sources.sinks import staged_once
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    path = keyed_scratch_dir(name, corpus_fingerprint(src))
-    marker = os.path.join(path, "_STAGED")
-    if not os.path.exists(marker):
-        build(path)
-        with open(marker, "w"):
-            pass
-    return path
+    return staged_once(name, os.path.join(sf_dir, "embeddings.parquet"), build)
 
 
 def _q_x4_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,6 +85,29 @@ def keyed_scratch_dir(name: str, key: str) -> str:
     return os.path.join(_SCRATCH, f"{_KEYED_PREFIX}{name}-{key}")
 
 
+def staged_once(name: str, src_path: str, build) -> str:
+    """Build-or-reuse a derived artifact keyed on SOURCE CONTENT — the
+    one implementation of the pattern behind every staged streaming
+    source and write-time index (round 6): resolve a
+    :func:`keyed_scratch_dir` from ``corpus_fingerprint(src_path)``,
+    and if the ``_STAGED`` marker is absent, run ``build(path)`` and
+    write the marker AFTER it returns. A torn build (crash mid-write)
+    leaves no marker and is rebuilt; a rewritten source changes the
+    key and is rebuilt; everything else — bench reps above all —
+    reuses the artifact. The underscore-prefixed marker is invisible
+    to Spark's file listing, so it can live inside a directory that is
+    itself read as a (partitioned) parquet source."""
+    from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
+
+    path = keyed_scratch_dir(name, corpus_fingerprint(src_path))
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        build(path)
+        with open(marker, "w"):
+            pass
+    return path
+
+
 def write_roundtrip(
     df: DataFrame,
     fmt: str = "parquet",

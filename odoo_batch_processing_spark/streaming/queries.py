@@ -95,26 +95,18 @@ def _events_multi_dir(spark: SparkSession, sf_dir: str, n_files: int) -> str:
 
     Content-keyed and built once per (corpus, n_files) — bench reps and
     repeat queries reuse the staged files instead of re-writing them
-    (round-6 streaming fixed-cost audit); ``_STAGED`` gates torn
-    builds."""
-    from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
-    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+    (round-6 streaming fixed-cost audit; ``sinks.staged_once``)."""
+    from odoo_batch_processing_spark.sources.sinks import staged_once
 
     src = os.path.join(sf_dir, "events.parquet")
-    d = keyed_scratch_dir(
-        f"events-multi-{n_files}", corpus_fingerprint(src)
+    return staged_once(
+        f"events-multi-{n_files}",
+        src,
+        lambda d: spark.read.parquet(src)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(d),
     )
-    marker = os.path.join(d, "_STAGED")
-    if not os.path.exists(marker):
-        (
-            spark.read.parquet(src)
-            .repartition(n_files)
-            .write.mode("overwrite")
-            .parquet(d)
-        )
-        with open(marker, "w"):
-            pass
-    return d
 
 
 def _q_s_r22_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,14 +290,11 @@ def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
     from odoo_batch_processing_spark.schemas import SCHEMAS
     from odoo_batch_processing_spark.sources.loader import fan_out
 
-    from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
-    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+    from odoo_batch_processing_spark.sources.sinks import staged_once
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = os.path.join(sf_dir, "documents.parquet")
-    staging = keyed_scratch_dir("x3-stream-batch", corpus_fingerprint(corpus))
-    marker = os.path.join(staging, "_STAGED")
-    if not os.path.exists(marker):
+
+    def _build(d):
         t = docs.agg(
             F.floor(F.lit(9.0) * F.max("doc_id") / F.lit(10.0))
             .cast("bigint")
@@ -313,9 +302,11 @@ def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
         ).first()["t"]
         docs.filter(F.col("doc_id") > t).repartition(3).write.mode(
             "overwrite"
-        ).parquet(staging)
-        with open(marker, "w"):
-            pass
+        ).parquet(d)
+
+    staging = staged_once(
+        "x3-stream-batch", os.path.join(sf_dir, "documents.parquet"), _build
+    )
     out_dir = _scratch_dir("x3-stream-pairs")
     # seed an empty, correctly-typed epoch so the final partitioned
     # read works even if a run yields zero pairs (epoch=-1 can never
@@ -489,18 +480,16 @@ def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odoo_batch_processing_spark.operators.text import fingerprint
     from odoo_batch_processing_spark.schemas import SCHEMAS
 
-    from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
-    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+    from odoo_batch_processing_spark.sources.sinks import staged_once
 
     corpus = os.path.join(sf_dir, "documents.parquet")
-    src = keyed_scratch_dir("x2-stream-src", corpus_fingerprint(corpus))
-    marker = os.path.join(src, "_STAGED")
-    if not os.path.exists(marker):
+
+    def _build(d):
         docs = spark.read.parquet(corpus)
-        docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "copy=1"))
-        docs.coalesce(1).write.mode("append").parquet(os.path.join(src, "copy=2"))
-        with open(marker, "w"):
-            pass
+        docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "copy=1"))
+        docs.coalesce(1).write.mode("append").parquet(os.path.join(d, "copy=2"))
+
+    src = staged_once("x2-stream-src", corpus, _build)
 
     stream = (
         spark.readStream.schema(SCHEMAS["documents"])
@@ -542,18 +531,16 @@ def _q_s_x2_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows ≪ corpus rows. At 100 TB this is the ONLY viable ingest-dedup
     within a replay horizon; the unbounded form is for bounded
     backfills."""
-    from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
-    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+    from odoo_batch_processing_spark.sources.sinks import staged_once
 
     corpus = os.path.join(sf_dir, "events.parquet")
     ev = load_table(spark, sf_dir, "events")
-    src = keyed_scratch_dir("x2wm-stream-src", corpus_fingerprint(corpus))
-    marker = os.path.join(src, "_STAGED")
-    if not os.path.exists(marker):
-        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "copy=1"))
-        ev.coalesce(1).write.mode("append").parquet(os.path.join(src, "copy=2"))
-        with open(marker, "w"):
-            pass
+
+    def _build(d):
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "copy=1"))
+        ev.coalesce(1).write.mode("append").parquet(os.path.join(d, "copy=2"))
+
+    src = staged_once("x2wm-stream-src", corpus, _build)
     n_rows = ev.count()
 
     stream = (
@@ -879,15 +866,11 @@ def _events_time_sliced_dir(spark: SparkSession, sf_dir: str, n_files: int) -> s
     within a timestamp, so slice membership is not value-visible."""
     import glob as _glob
 
-    from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
-    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+    from odoo_batch_processing_spark.sources.sinks import staged_once
 
     src = os.path.join(sf_dir, "events.parquet")
-    d = keyed_scratch_dir(
-        f"events-sliced-{n_files}", corpus_fingerprint(src)
-    )
-    marker = os.path.join(d, "_STAGED")
-    if not os.path.exists(marker):
+
+    def _build(d):
         (
             spark.read.parquet(src)
             .repartitionByRange(n_files, "ts", "event_id")
@@ -898,9 +881,8 @@ def _events_time_sliced_dir(spark: SparkSession, sf_dir: str, n_files: int) -> s
         base = time.time() - 2 * len(parts)
         for i, f in enumerate(parts):
             os.utime(f, (base + 2 * i, base + 2 * i))
-        with open(marker, "w"):
-            pass
-    return d
+
+    return staged_once(f"events-sliced-{n_files}", src, _build)
 
 
 def _q_s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,14 +913,12 @@ def _q_s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a torn build is rebuilt, never half-read."""
     import glob as _glob
 
-    from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
-    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+    from odoo_batch_processing_spark.sources.sinks import staged_once
 
     ev = load_table(spark, sf_dir, "events")
     src = os.path.join(sf_dir, "events.parquet")
-    d = keyed_scratch_dir("ssj-left-src-v1", corpus_fingerprint(src))
-    staged_marker = os.path.join(d, "_STAGED")
-    if not os.path.exists(staged_marker):
+
+    def _build(d):
         max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
 
         def _stage(df, name, order):
@@ -963,8 +943,8 @@ def _q_s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage(ev, "b0", 0)
         _stage(_sentinels(10, 0), "b1", 1)
         _stage(_sentinels(20, 1), "b2", 2)
-        with open(staged_marker, "w"):
-            pass
+
+    d = staged_once("ssj-left-src-v1", src, _build)
 
     stream = (
         spark.readStream.schema(ev.schema)

@@ -444,3 +444,26 @@ def test_r09_row_hash_matches_duckdb_fragment(spark):
     n = li.count()
     assert sp == dk
     assert len(sp) == n  # full-row hash is unique -> total order is total
+
+
+def test_bounded_rows_single_bucket_matches_window(spark):
+    """distributed_ordinal(bounded_rows=n) skips the boundary sketch
+    and runs single-bucket — output must still equal the global-window
+    ordinal row-for-row, and the plan must contain no join (the
+    offsets branch disappears entirely in this mode)."""
+    import pandas as pd
+
+    from odoo_batch_processing_spark.operators.bulk_update import (
+        distributed_ordinal,
+        with_ordinal,
+    )
+
+    pdf = pd.DataFrame({"k": [(i * 37) % 101 for i in range(101)],
+                        "p": [f"x{i}" for i in range(101)]})
+    df = spark.createDataFrame(pdf).repartition(5)
+    a = sorted(map(tuple, with_ordinal(df, ["k"]).collect()))
+    bounded = distributed_ordinal(df, ["k"], bounded_rows=101, validate_unique=True)
+    b = sorted(map(tuple, bounded.collect()))
+    assert a == b and len(a) == 101
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]

@@ -188,3 +188,40 @@ def test_merge_schema_read_across_file_generations(spark, tmp_path):
     assert merged.count() == n
     nulls = merged.filter(F.col("o_comment").isNull()).count()
     assert nulls == orders.filter(F.col("o_orderkey") % 2 == 0).count()
+
+
+def test_staged_once_builds_reuses_and_rebuilds_torn(tmp_path):
+    """sinks.staged_once: builds when absent, reuses when marked,
+    rebuilds when the marker is missing (torn build), and re-keys when
+    the source content changes."""
+    import os
+
+    from odoo_batch_processing_spark.sources.sinks import staged_once
+
+    src = tmp_path / "corpus.txt"
+    src.write_text("v1")
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "artifact"), "w") as fh:
+            fh.write("built")
+
+    p1 = staged_once("t-staged", str(src), build)
+    assert len(calls) == 1 and os.path.exists(os.path.join(p1, "_STAGED"))
+    p2 = staged_once("t-staged", str(src), build)
+    assert p2 == p1 and len(calls) == 1  # reused, no rebuild
+
+    # torn build: artifact present but marker gone -> rebuilt in place
+    os.remove(os.path.join(p1, "_STAGED"))
+    p3 = staged_once("t-staged", str(src), build)
+    assert p3 == p1 and len(calls) == 2
+
+    # rewritten source -> different key -> fresh build elsewhere
+    import time as _t
+
+    _t.sleep(0.01)
+    src.write_text("v2-longer")
+    p4 = staged_once("t-staged", str(src), build)
+    assert p4 != p1 and len(calls) == 3
