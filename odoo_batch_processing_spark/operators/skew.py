@@ -39,9 +39,22 @@ def salted_sum_count(
     ``value`` must be an exact (decimal/int) expression — the two-phase
     regrouping reorders additions, which only decimal/integer sums can
     absorb without changing the result.
+
+    Default salt (no ``salt_on``): xxhash64 over the FULL ROW — a pure
+    function of row content, so a retried task re-salts identically.
+    Round 6 replaced the old ``monotonically_increasing_id`` default,
+    which is partition-layout-dependent: shuffling on it is the classic
+    repartition-nondeterminism hazard (a map-task retry under a
+    changed layout can double-count or drop rows downstream) — the
+    same class of bug as the round-6 ordinal fix, removed at the
+    default rather than documented around. Identical duplicate rows
+    share a salt; only pathological mass-duplicate keys reduce the
+    spread.
     """
     salt = F.pmod(
-        F.xxhash64(salt_on if salt_on is not None else F.monotonically_increasing_id()),
+        F.xxhash64(
+            *( [salt_on] if salt_on is not None else [F.col(c) for c in df.columns] )
+        ),
         F.lit(n_salts),
     )
     partial = (
@@ -94,10 +107,14 @@ def salted_join(
     same-key aggregation or the optimizer can't see the skew (e.g.
     post-filter hot keys). The salt must be deterministic per row
     (``salt_on`` a unique column), never rand() — retried tasks must
-    re-salt identically.
+    re-salt identically. Default: xxhash64 over the full fact row
+    (see salted_sum_count — the monotonically_increasing_id default
+    was itself the retry hazard the sentence above warns about).
     """
     salt = F.pmod(
-        F.xxhash64(salt_on if salt_on is not None else F.monotonically_increasing_id()),
+        F.xxhash64(
+            *( [salt_on] if salt_on is not None else [F.col(c) for c in fact.columns] )
+        ),
         F.lit(n_salts),
     )
     fact_s = fact.withColumn("__salt", salt)
