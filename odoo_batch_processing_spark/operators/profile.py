@@ -297,6 +297,11 @@ def _q_profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .unionAll(
+            # tie-order: the bare limit(1) picks an arbitrary donor row,
+            # but only its NON-(doc_id, text) columns leak through —
+            # and the diff below hashes content_cols = (doc_id, text)
+            # only, so the arbitrariness is value-invisible. Widening
+            # content_cols would require literal values here.
             docs.limit(1).select(
                 F.lit(1000042).cast(docs.schema["doc_id"].dataType).alias("doc_id"),
                 F.lit("NEW ROW").alias("text"),
