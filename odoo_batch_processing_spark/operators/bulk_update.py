@@ -150,10 +150,11 @@ def distributed_ordinal(
     ``validate_unique=True`` (or set ``SPARK_GRAFT_VALIDATE_ORDINAL=1``)
     to fail loudly on duplicate keys — validation rides the ordinal's
     own window (a ``lag`` adjacency check: duplicate keys are adjacent
-    in the bucket sort and always co-bucket) plus the offsets
-    aggregate, so it costs no extra scan, no extra shuffle, and no
-    hash distinct, and raises ``SparkRuntimeException`` ("order key
-    ... is not unique") from ``raise_error`` at execution time.
+    in the bucket sort and always co-bucket) and is enforced per row
+    on the ordinal expression itself, so it costs no extra scan, no
+    extra shuffle, and no hash distinct, and raises
+    ``SparkRuntimeException`` ("order key ... is not unique") from
+    ``raise_error`` at execution time.
     Because the check lives inside the ordinal's plan, it fires
     whenever the ordinal column is computed — i.e. on every action
     that could observe a tie-dependent value; an action that prunes
@@ -285,52 +286,47 @@ def distributed_ordinal(
             "__dup",
             F.when(F.col("__kh") == F.lag("__kh").over(w_local), 1).otherwise(0),
         )
+    def _guarded(ord_expr):
+        # the per-row enforcement lives on the DATA path (the window
+        # that computes __dup is already there for row_number), not on
+        # the offsets aggregate: hanging validation off the offsets
+        # branch forced that branch to replicate the full scan +
+        # exchange + sort just to reach the lag column, doubling the
+        # data-path work — measured in the r09 plan as a second 11-
+        # column lineitem traversal. Per-row when() costs one branch
+        # per row; the raise fires the moment any duplicate key's
+        # ordinal is computed.
+        if not validate:
+            return ord_expr
+        return F.when(
+            F.col("__dup") == 1,
+            F.raise_error(
+                F.lit(
+                    "distributed_ordinal: order key %s is not unique — "
+                    "tie order inside the sort would make the ordinal "
+                    "nondeterministic; add a tiebreaker column"
+                    % str(list(order_cols))
+                )
+            ).cast("bigint"),
+        ).otherwise(ord_expr)
+
     if not bnds:
         # single bucket: every offset is identically 0, so the offsets
         # branch (and its join — which, keyed on a constant, would
-        # plan a nested loop) disappears; the uniqueness guard moves
-        # inline onto the ordinal column itself
-        ord_expr = F.col("__rn").cast("bigint")
-        if validate:
-            ord_expr = F.when(
-                F.col("__dup") == 1,
-                F.raise_error(
-                    F.lit(
-                        "distributed_ordinal: order key %s is not unique — "
-                        "tie order inside the sort would make the ordinal "
-                        "nondeterministic; add a tiebreaker column"
-                        % str(list(order_cols))
-                    )
-                ).cast("bigint"),
-            ).otherwise(ord_expr)
-        return local.withColumn(ord_col, ord_expr).drop(
-            "__bkt", "__rn", "__dup", "__kh"
-        )
+        # plan a nested loop) disappears
+        return local.withColumn(
+            ord_col, _guarded(F.col("__rn").cast("bigint"))
+        ).drop("__bkt", "__rn", "__dup", "__kh")
     w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    if validate:
-        aggs.append(F.max("__dup").alias("__d"))
-    offsets = local.groupBy("__bkt").agg(*aggs)
-    if validate:
-        offsets = offsets.withColumn(
-            "__n",
-            F.when(F.col("__d") == 0, F.col("__n")).otherwise(
-                F.raise_error(
-                    F.format_string(
-                        "distributed_ordinal: order key %s is not unique "
-                        "(duplicate keys in bucket %%s of %%s rows) — tie "
-                        "order inside the bucket sort would make the "
-                        "ordinal nondeterministic; add a tiebreaker column"
-                        % str(list(order_cols)),
-                        F.col("__bkt"),
-                        F.col("__n"),
-                    )
-                )
-            ),
-        ).drop("__d")
-    offsets = offsets.withColumn(
-        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
-    ).select("__bkt", "__off")
+    # the offsets branch carries NO window columns, so Catalyst prunes
+    # it to a 2-ish-column scan + map-side partial count — the second
+    # traversal reads bucket-key bytes, not the table
+    offsets = (
+        local.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__bkt", "__off")
+    )
     # no broadcast hint: offsets is n_parts rows, so the size threshold
     # (or AQE at runtime) picks the broadcast on its own — and the
     # engine's hint policy forbids hints on subtrees rooted in
@@ -341,7 +337,9 @@ def distributed_ordinal(
     # limit, one more reason it is the page-scale form)
     return (
         local.join(offsets, "__bkt")
-        .withColumn(ord_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .withColumn(
+            ord_col, _guarded((F.col("__off") + F.col("__rn")).cast("bigint"))
+        )
         .drop("__bkt", "__rn", "__off", "__dup", "__kh")
     )
 
