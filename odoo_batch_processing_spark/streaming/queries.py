@@ -1004,7 +1004,7 @@ def _q_s_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > 0
             ):
                 break
-            time.sleep(0.5)
+            time.sleep(0.1)
             q.processAllAvailable()
         else:
             raise AssertionError(
