@@ -467,3 +467,43 @@ def test_bounded_rows_single_bucket_matches_window(spark):
     assert a == b and len(a) == 101
     plan = bounded._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:2000]
+
+
+def test_boundary_memo_stale_entries_are_value_safe(spark, tmp_path):
+    """The boundary-sketch memo is keyed on the ANALYZED plan, so
+    rewriting the underlying files under an identical plan reuses
+    now-stale boundaries. That must be value-safe by construction:
+    boundaries only steer bucket balance, never the ordinal. This test
+    overwrites a parquet source with different data and asserts the
+    memo-hit ordinal still matches the global window exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.bulk_update import (
+        _BOUNDARY_CACHE,
+        distributed_ordinal,
+        with_ordinal,
+    )
+
+    path = str(tmp_path / "memo_src")
+
+    def write(lo, hi):
+        spark.createDataFrame(
+            pd.DataFrame({"k": list(range(lo, hi)), "p": [f"x{i}" for i in range(lo, hi)]})
+        ).write.mode("overwrite").parquet(path)
+
+    write(0, 3000)
+    df1 = spark.read.parquet(path)
+    before = len(_BOUNDARY_CACHE)
+    a1 = sorted(map(tuple, distributed_ordinal(df1, ["k"], n_parts=6).collect()))
+    assert len(_BOUNDARY_CACHE) > before  # sketch ran and was memoized
+    assert a1 == sorted(map(tuple, with_ordinal(df1, ["k"]).collect()))
+
+    # rewrite the SAME path with a disjoint key range: identical plan
+    # -> memo hit with boundaries sampled from the old data
+    write(50_000, 53_000)
+    df2 = spark.read.parquet(path)
+    n_after_first = len(_BOUNDARY_CACHE)
+    a2 = sorted(map(tuple, distributed_ordinal(df2, ["k"], n_parts=6).collect()))
+    assert len(_BOUNDARY_CACHE) == n_after_first  # no new sketch: memo hit
+    assert a2 == sorted(map(tuple, with_ordinal(df2, ["k"]).collect()))

@@ -216,3 +216,46 @@ def test_floor_log2_property(spark, ns):
     for n in ns:
         assert got[n] == n.bit_length() - 1, n
         assert got[n] == math.floor(math.log2(n)) or n >= 2**48  # float log2 inexact up high
+
+
+# --- distributed_ordinal == with_ordinal for arbitrary keys/prefixes ------
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 1000), st.text(max_size=6)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(1, 3),
+    st.integers(2, 9),
+)
+@SETTINGS
+def test_distributed_ordinal_property(spark, rows, n_bucket_cols, n_parts):
+    """Round-6 core-primitive property: for ANY input whose (a, b, s)
+    tuple is a unique key, the deterministic-boundary distributed
+    ordinal equals the global-window ordinal row-for-row, for any
+    bucket-prefix length and partition count. (The round-5
+    implementation violated this whenever Catalyst declined to reuse
+    the sampled range exchange.)"""
+    import pandas as pd
+
+    from odoo_batch_processing_spark.operators.bulk_update import (
+        distributed_ordinal,
+        with_ordinal,
+    )
+
+    uniq = sorted(set(rows))  # full-tuple unique key, deterministic order
+    pdf = pd.DataFrame(uniq, columns=["a", "b", "s"])
+    df = spark.createDataFrame(pdf).repartition(4)
+    keys = ["a", "b", "s"]
+    bucket_cols = keys[:n_bucket_cols]
+    got = sorted(
+        map(
+            tuple,
+            distributed_ordinal(
+                df, keys, n_parts=n_parts, validate_unique=True,
+                bucket_cols=bucket_cols,
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, with_ordinal(df, keys).collect()))
+    assert got == want
