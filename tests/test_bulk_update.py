@@ -507,3 +507,44 @@ def test_boundary_memo_stale_entries_are_value_safe(spark, tmp_path):
     a2 = sorted(map(tuple, distributed_ordinal(df2, ["k"], n_parts=6).collect()))
     assert len(_BOUNDARY_CACHE) == n_after_first  # no new sketch: memo hit
     assert a2 == sorted(map(tuple, with_ordinal(df2, ["k"]).collect()))
+
+
+def test_portable_row_hash_null_sentinel_cross_engine(spark):
+    """portable_row_hash_hex's NUL-byte NULL sentinel must behave
+    identically in Spark and DuckDB: NULL-carrying rows hash the same
+    in both engines, and (NULL,'x') does not collide with ('x',NULL)
+    or with the no-NULL row — the failure modes concat_ws/plain-||
+    would introduce."""
+    import duckdb
+    import pandas as pd
+
+    from odoo_batch_processing_spark.operators.profile import (
+        portable_row_hash_hex,
+        portable_row_hash_hex_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "a": ["x", None, "x", None, "x|y"],
+            "b": [None, "x", "x", None, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sp = [
+        r["h"]
+        for r in df.select(portable_row_hash_hex(("a", "b")).alias("h"))
+        .orderBy("h")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    dk = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT "
+            + portable_row_hash_hex_sql(("a", "b"))
+            + " FROM t"
+        ).fetchall()
+    )
+    assert sp == dk
+    assert len(set(sp)) == 5  # all five NULL/shape variants distinct
