@@ -89,7 +89,15 @@ def portable_row_hash_hex(cols: tuple[str, ...]) -> "F.Column":
     them (making (NULL,'x') collide with ('x',)), and a bare '||'
     concatenation nulls the whole hash. Cross-engine stringification
     of bigint/int/double/varchar/timestamp verified empirically at
-    sf0.001/0.01/0.1 (0 hash mismatches on lineitem's 11 columns)."""
+    sf0.001/0.01/0.1 (0 hash mismatches on lineitem's 11 columns).
+
+    Known residual (same class as the NUL-string note on table_diff):
+    the '|' join is ambiguous for VALUES containing '|' — ('x|y','z')
+    collides with ('x','y|z'). Harmless for checksum/diff users
+    (a vanishingly rare false "equal"), and LOUD for ordinal users:
+    a collision there is a duplicate sort key, which
+    validate_unique's lag guard raises on. Domains with pipe-bearing
+    keys should length-prefix or swap the delimiter."""
     return F.md5(
         F.concat_ws(
             "|",
