@@ -44,10 +44,12 @@ from odoo_batch_processing_spark.sources.loader import load_table
 ORD_COL = "row_ord"
 
 #: distributed_ordinal's boundary-sketch memo: (semanticHash(analyzed
-#: plan), bucket_cols, n_parts) → collected boundary sample. Bounded
-#: in practice by the number of distinct registered plans per process;
-#: staleness is harmless (boundaries affect balance only).
+#: plan), bucket_cols, n_parts) → collected boundary sample.
+#: Staleness is harmless (boundaries affect balance only); size is
+#: hard-capped FIFO so a long-lived service generating many distinct
+#: plans cannot grow it without bound.
 _BOUNDARY_CACHE: dict = {}
+_BOUNDARY_CACHE_MAX = 256
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +234,8 @@ def distributed_ordinal(
                 .collect()
             )
             if cache_key is not None:
+                if len(_BOUNDARY_CACHE) >= _BOUNDARY_CACHE_MAX:
+                    _BOUNDARY_CACHE.pop(next(iter(_BOUNDARY_CACHE)))
                 _BOUNDARY_CACHE[cache_key] = sk
     # boundary rows with NULL fields are dropped (a NULL inside a
     # struct comparison yields NULL → bucket contribution 0, which

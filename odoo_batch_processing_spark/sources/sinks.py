@@ -96,7 +96,13 @@ def staged_once(name: str, src_path: str, build) -> str:
     key and is rebuilt; everything else — bench reps above all —
     reuses the artifact. The underscore-prefixed marker is invisible
     to Spark's file listing, so it can live inside a directory that is
-    itself read as a (partitioned) parquet source."""
+    itself read as a (partitioned) parquet source.
+
+    Concurrency: two processes racing the same (name, key) both run
+    ``build`` — benign because every builder is a DETERMINISTIC
+    function of the fingerprinted source (both write identical bytes;
+    mode('overwrite') makes the last writer win wholesale). Builders
+    with nondeterministic output must not use this helper."""
     from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
 
     path = keyed_scratch_dir(name, corpus_fingerprint(src_path))
