@@ -78,17 +78,22 @@ def with_ordinal(
     against ``lag`` flags them and ``raise_error`` fails the action.
     """
     w = Window.orderBy(*[F.col(c) for c in order_cols])
-    out = df.withColumn(ord_col, F.row_number().over(w))
-    if validate_unique:
-        # same xxhash64 lag-adjacency guard as distributed_ordinal:
-        # equal keys always hash equal (no silent pass); an adjacent
-        # 64-bit collision of unequal keys raises spuriously — loud
-        # and safe, never silent
-        kh = F.xxhash64(*[F.col(c) for c in order_cols])
-        out = out.withColumn(
+    if not validate_unique:
+        return df.withColumn(ord_col, F.row_number().over(w))
+    # same xxhash64 lag-adjacency guard as distributed_ordinal: equal
+    # keys always hash equal (no silent pass); an adjacent 64-bit
+    # collision of unequal keys raises spuriously — loud and safe,
+    # never silent. __wo_kh is projected below the window and both
+    # window columns added back-to-back so the two Window nodes
+    # collapse into one WindowExec (same CollapseWindow discipline as
+    # distributed_ordinal).
+    return (
+        df.withColumn("__wo_kh", F.xxhash64(*[F.col(c) for c in order_cols]))
+        .withColumn("__wo_rn", F.row_number().over(w))
+        .withColumn(
             ord_col,
             F.when(
-                kh == F.lag(kh).over(w),
+                F.col("__wo_kh") == F.lag("__wo_kh").over(w),
                 F.raise_error(
                     F.lit(
                         "with_ordinal: order key %s is not unique — tie "
@@ -96,9 +101,10 @@ def with_ordinal(
                         "tiebreaker column" % str(list(order_cols))
                     )
                 ).cast("int"),
-            ).otherwise(F.col(ord_col)),
+            ).otherwise(F.col("__wo_rn")),
         )
-    return out
+        .drop("__wo_kh", "__wo_rn")
+    )
 
 
 def distributed_ordinal(
@@ -274,7 +280,6 @@ def distributed_ordinal(
         bucket = F.lit(0)
     tagged = df.withColumn("__bkt", bucket)
     w_local = Window.partitionBy("__bkt").orderBy(*cols)
-    local = tagged.withColumn("__rn", F.row_number().over(w_local))
     if validate:
         # duplicate full keys are ADJACENT in the window's sort (and
         # always co-bucket, since the bucket id is a deterministic
@@ -286,10 +291,23 @@ def distributed_ordinal(
         # never slip through; an adjacent 64-bit collision of UNEQUAL
         # keys (~2^-64 per adjacent pair) would raise spuriously —
         # i.e. the failure mode errs loud-and-safe, never silent.
-        local = local.withColumn("__kh", F.xxhash64(*cols)).withColumn(
-            "__dup",
-            F.when(F.col("__kh") == F.lag("__kh").over(w_local), 1).otherwise(0),
+        # __kh is projected BELOW the window and both window columns
+        # are added back-to-back: adjacent Window nodes with one spec
+        # collapse into a single WindowExec (CollapseWindow) — an
+        # intervening project used to force a second window pass,
+        # measured ~0.35 s/600k rows.
+        local = (
+            tagged.withColumn("__kh", F.xxhash64(*cols))
+            .withColumn("__rn", F.row_number().over(w_local))
+            .withColumn(
+                "__dup",
+                F.when(
+                    F.col("__kh") == F.lag("__kh").over(w_local), 1
+                ).otherwise(0),
+            )
         )
+    else:
+        local = tagged.withColumn("__rn", F.row_number().over(w_local))
     def _guarded(ord_expr):
         # the per-row enforcement lives on the DATA path (the window
         # that computes __dup is already there for row_number), not on
