@@ -884,10 +884,14 @@ def _q_r08_multiline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (profile.portable_row_hash_hex, hex strings order identically in
 # Spark and DuckDB) — and kept the raw columns for the CORE query: the
 # md5 evaluation in the scan-side project costs more than the wider
-# sort key saves (~3.2 s vs ~2.1 s min at sf0.1/local[32]), because
-# with bucket_cols the sort runs post-shuffle at full parallelism while
-# md5 runs at scan parallelism. The hash-key form stays oracle-covered
-# as ext `r09_zip_join_hashkey`.
+# sort key saves (~1 s at sf0.1/local[32], measured at every
+# optimization stage), because with bucket_cols the sort runs
+# post-shuffle at full parallelism while md5 runs at scan parallelism.
+# The hash-key form stays oracle-covered as ext `r09_zip_join_hashkey`.
+# End state after the round-6 ordinal work (deterministic boundaries,
+# memoized sketch, collapsed validation window, pruned offsets
+# branch): full r09 min ≈ 1.2 s at sf0.1 on a quiet host — the r4
+# level, now with an honest total order and a fail-loud guard.
 R09_ROW_COLS = (
     "l_orderkey",
     "l_partkey",
