@@ -33,7 +33,9 @@ keys instead.
 
 from __future__ import annotations
 
+import logging
 import os
+import re
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -50,6 +52,39 @@ ORD_COL = "row_ord"
 #: plans cannot grow it without bound.
 _BOUNDARY_CACHE: dict = {}
 _BOUNDARY_CACHE_MAX = 256
+
+_log = logging.getLogger(__name__)
+
+#: Spark byte-size suffixes (JavaUtils.byteStringAs): binary multiples.
+_SIZE_UNITS = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def parse_size_bytes(value) -> int:
+    """Parse Spark's byte-size conf forms to an int byte count —
+    ``'10485760b'`` (the DEFAULT string shape of
+    ``spark.sql.autoBroadcastJoinThreshold``), ``'10MB'``, ``'1g'``,
+    plain ``'10485760'``, and ``'-1'`` (disabled). Binary multiples,
+    matching Spark's ``JavaUtils.byteStringAs``. ADVICE r6 #3: a bare
+    ``int()`` raises on the suffixed defaults, which silently disabled
+    the adaptive small-values ordinal in zip_join_update."""
+    s = str(value).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([a-z]*)", s)
+    if not m or m.group(2) not in _SIZE_UNITS:
+        raise ValueError(f"unparseable byte-size conf value: {value!r}")
+    return int(m.group(1)) * _SIZE_UNITS[m.group(2)]
 
 
 # ---------------------------------------------------------------------------
@@ -559,11 +594,16 @@ def zip_join_update(
         vals_bytes = int(
             vals_src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        threshold = int(
+        threshold = parse_size_bytes(
             df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
         )
         vals_small = threshold > 0 and vals_bytes <= threshold
     except Exception:  # pragma: no cover - stats unavailable (e.g. Connect)
+        _log.info(
+            "zip_join_update: broadcast-threshold probe unavailable; "
+            "falling back to the distributed values ordinal",
+            exc_info=True,
+        )
         vals_small = False
     if broadcast_values or vals_small:
         vals = with_ordinal(

@@ -90,27 +90,52 @@ def staged_once(name: str, src_path: str, build) -> str:
     one implementation of the pattern behind every staged streaming
     source and write-time index (round 6): resolve a
     :func:`keyed_scratch_dir` from ``corpus_fingerprint(src_path)``,
-    and if the ``_STAGED`` marker is absent, run ``build(path)`` and
-    write the marker AFTER it returns. A torn build (crash mid-write)
-    leaves no marker and is rebuilt; a rewritten source changes the
-    key and is rebuilt; everything else — bench reps above all —
-    reuses the artifact. The underscore-prefixed marker is invisible
-    to Spark's file listing, so it can live inside a directory that is
-    itself read as a (partitioned) parquet source.
+    and if the ``_STAGED`` marker is absent, run ``build`` into a
+    PRIVATE sibling temp dir and atomically ``os.rename`` it onto the
+    keyed path (round 7, ADVICE r6 #1). The keyed path therefore only
+    ever appears fully built with its marker inside: a torn build
+    (crash mid-write) strands a ``stagetmp-*`` dir the TTL janitor
+    collects and never pollutes the keyed path, a rebuild can never
+    append into leftover committed part files, and two racing builders
+    each write a disjoint temp dir — the first rename wins wholesale,
+    the loser sees the winner's marker and discards its own copy. This
+    upgrades the round-6 contract: builders no longer need to be
+    idempotent-on-rebuild or overwrite-only, only deterministic enough
+    that either racer's output is acceptable. The underscore-prefixed
+    marker is invisible to Spark's file listing, so it can live inside
+    a directory that is itself read as a (partitioned) parquet
+    source."""
+    import shutil
 
-    Concurrency: two processes racing the same (name, key) both run
-    ``build`` — benign because every builder is a DETERMINISTIC
-    function of the fingerprinted source (both write identical bytes;
-    mode('overwrite') makes the last writer win wholesale). Builders
-    with nondeterministic output must not use this helper."""
     from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
 
     path = keyed_scratch_dir(name, corpus_fingerprint(src_path))
     marker = os.path.join(path, "_STAGED")
-    if not os.path.exists(marker):
-        build(path)
-        with open(marker, "w"):
+    if os.path.exists(marker):
+        return path
+    # stagetmp- (not keyed-) prefix: same parent dir as `path` so the
+    # rename is same-filesystem atomic, while crashed leftovers are
+    # still eligible for the TTL sweep.
+    tmp = tempfile.mkdtemp(prefix=f"stagetmp-{name}-", dir=_SCRATCH)
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_STAGED"), "w"):
             pass
+        if os.path.isdir(path):
+            if os.path.exists(marker):
+                return path  # racer committed while we built; keep theirs
+            # marker-less leftover (legacy torn build): replace wholesale —
+            # never merge into it
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+            tmp = None
+        except OSError:
+            if not os.path.exists(marker):
+                raise  # not a lost commit race — surface it
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

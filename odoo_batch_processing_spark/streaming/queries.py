@@ -487,7 +487,9 @@ def _q_s_x2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(d):
         docs = spark.read.parquet(corpus)
         docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "copy=1"))
-        docs.coalesce(1).write.mode("append").parquet(os.path.join(d, "copy=2"))
+        # overwrite, not append: the builder must be idempotent so a
+        # rerun can never double copy=2 (ADVICE r6 #2)
+        docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "copy=2"))
 
     src = staged_once("x2-stream-src", corpus, _build)
 
@@ -538,7 +540,8 @@ def _q_s_x2_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build(d):
         ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "copy=1"))
-        ev.coalesce(1).write.mode("append").parquet(os.path.join(d, "copy=2"))
+        # overwrite for idempotence on rerun (ADVICE r6 #2)
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "copy=2"))
 
     src = staged_once("x2wm-stream-src", corpus, _build)
     n_rows = ev.count()

@@ -225,3 +225,84 @@ def test_staged_once_builds_reuses_and_rebuilds_torn(tmp_path):
     src.write_text("v2-longer")
     p4 = staged_once("t-staged", str(src), build)
     assert p4 != p1 and len(calls) == 3
+
+
+def test_staged_once_atomic_commit_never_merges(tmp_path, monkeypatch):
+    """ADVICE r6 #1: the keyed path must only ever appear fully built.
+    (a) A non-idempotent APPENDING builder rerun after a torn build
+    must not double rows — the rebuild lands in a private temp dir,
+    so leftover part files are unreachable. (b) A marker-less leftover
+    directory at the keyed path is replaced wholesale, never merged.
+    (c) A racer that commits while our build is in flight wins; our
+    copy is discarded, not interleaved."""
+    import os
+    import shutil
+
+    from odoo_batch_processing_spark.sources import sinks
+    from odoo_batch_processing_spark.sources.sinks import staged_once
+
+    src = tmp_path / "corpus.txt"
+    src.write_text("v1")
+
+    def appending_build(d):
+        # deliberately append-style: one new part file per invocation
+        os.makedirs(d, exist_ok=True)
+        n = len(os.listdir(d))
+        with open(os.path.join(d, f"part-{n}"), "w") as fh:
+            fh.write("rows")
+
+    p1 = staged_once("t-atomic", str(src), appending_build)
+    parts = [f for f in os.listdir(p1) if f.startswith("part-")]
+    assert parts == ["part-0"]
+
+    # (a)+(b): torn build — marker gone, committed part files left behind.
+    # Old behavior appended part-1 beside part-0 (doubled rows); the
+    # atomic build must end with exactly one part file again.
+    os.remove(os.path.join(p1, "_STAGED"))
+    p2 = staged_once("t-atomic", str(src), appending_build)
+    assert p2 == p1
+    parts = [f for f in os.listdir(p2) if f.startswith("part-")]
+    assert parts == ["part-0"]
+
+    # (c): a racer commits the keyed path while our builder runs; the
+    # loser must keep the racer's artifact intact and discard its own.
+    shutil.rmtree(p1)
+
+    def racing_build(d):
+        appending_build(d)
+        os.makedirs(p1, exist_ok=True)
+        with open(os.path.join(p1, "winner"), "w") as fh:
+            fh.write("racer")
+        with open(os.path.join(p1, "_STAGED"), "w"):
+            pass
+
+    p3 = staged_once("t-atomic", str(src), racing_build)
+    assert p3 == p1
+    assert os.path.exists(os.path.join(p1, "winner"))
+    assert not os.path.exists(os.path.join(p1, "part-0"))
+    # no stranded temp dirs from the lost race
+    assert not [
+        e for e in os.listdir(sinks._SCRATCH) if e.startswith("stagetmp-t-atomic")
+    ]
+
+
+def test_parse_size_bytes_spark_conf_forms(spark):
+    """ADVICE r6 #3: the adaptive small-values ordinal compares the
+    values-relation size against spark.sql.autoBroadcastJoinThreshold,
+    whose DEFAULT string form is byte-suffixed ('10485760b') — int()
+    raised and silently disabled the path. parse_size_bytes must
+    accept every Spark byte-size shape, including the live session's
+    actual conf value."""
+    from odoo_batch_processing_spark.operators.bulk_update import parse_size_bytes
+
+    assert parse_size_bytes("10485760b") == 10 * 1024 * 1024
+    assert parse_size_bytes("10MB") == 10 * 1024 * 1024
+    assert parse_size_bytes("1g") == 1 << 30
+    assert parse_size_bytes("512") == 512
+    assert parse_size_bytes("-1") == -1
+    assert parse_size_bytes(" 4 kb ") == 4096
+    with pytest.raises(ValueError):
+        parse_size_bytes("10 lightyears")
+    # the live default must parse and enable the adaptive path
+    live = parse_size_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    assert live > 0
