@@ -43,6 +43,26 @@ def main() -> int:
     # Warm the JVM + parquet footers once so timings measure the queries.
     next(iter(queries.values()))(spark, sf_dir).count()
 
+    # Fixed CALIBRATION workload (VERDICT r6 item 1): a frozen plan —
+    # lineitem scan → groupBy(l_returnflag) count/sum — that must NEVER
+    # change across rounds, so BENCH_r{N} artifacts carry a common
+    # yardstick and cross-round host drift is measured, not argued.
+    # Runs after warmup, before the suite (the quietest point of the
+    # session); min-of-reps like every headline number.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def _calibration() -> float:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            li.groupBy("l_returnflag").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("sq"),
+            ).count()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 4)
+
     # Host timing is noisy (shared 32-core box running 50 Spark jobs
     # back-to-back; round-2 n=2 runs differed by 23% total). Run each
     # query 5 times; the HEADLINE per-query number is the MIN of reps —
@@ -56,6 +76,7 @@ def main() -> int:
     # regression is attributable to a plan change vs. host noise. One
     # failing query reports -1 instead of killing the bench.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    calibration_sec = _calibration()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -105,6 +126,9 @@ def main() -> int:
         "sf": sf,
         "reps": reps,
         "stat": "min",
+        # frozen-plan host yardstick; compare across BENCH_r{N} to
+        # quantify host drift (excluded from the headline sum)
+        "calibration_sec": calibration_sec,
     }
     with open(os.path.join(REPO_ROOT, "BENCH_LAST_RAW.json"), "w") as fh:
         json.dump(

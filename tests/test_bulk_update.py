@@ -508,6 +508,17 @@ def test_boundary_memo_stale_entries_are_value_safe(spark, tmp_path):
     assert len(_BOUNDARY_CACHE) == n_after_first  # no new sketch: memo hit
     assert a2 == sorted(map(tuple, with_ordinal(df2, ["k"]).collect()))
 
+    # and the stale-memo-hit result must be value-identical to a
+    # FRESH-boundary recompute (cache cleared -> new sketch over the
+    # new data): stale boundaries skew only balance, never values —
+    # the exact claim the memo's safety rests on (VERDICT r6 item 4)
+    _BOUNDARY_CACHE.clear()
+    a2_fresh = sorted(
+        map(tuple, distributed_ordinal(df2, ["k"], n_parts=6, validate_unique=True).collect())
+    )
+    assert len(_BOUNDARY_CACHE) == 1  # fresh sketch ran
+    assert a2_fresh == a2
+
 
 def test_portable_row_hash_null_sentinel_cross_engine(spark):
     """portable_row_hash_hex's NUL-byte NULL sentinel must behave
