@@ -621,11 +621,19 @@ def probe_standing_index(
 
 
 def _q_x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan out: the per-doc vote fold is the whole query's CPU cost
+    # fan out: the per-doc vote fold is the whole query's CPU cost.
+    # The token-less-doc drop is a PRE-filter on size(tokens(text)),
+    # not a post-filter on simhash IS NOT NULL: the null form is
+    # predicate-pushed below the projection with the whole vote fold
+    # inlined into the Filter, which re-runs the fold once more per
+    # row (2× the query's dominant cost; in the mm twin the same
+    # pushdown was Θ(bytes²) — see mm_stream_fingerprints). simhash
+    # is NULL exactly when size(toks) == 0 (simhash_from_tokens's
+    # `when` guard), so the two forms are row-identical.
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    sim = docs.select(
+    sim = docs.filter(F.size(tokens(F.col("text"))) > 0).select(
         "doc_id", simhash_from_tokens(tokens(F.col("text"))).alias("simhash")
-    ).filter(F.col("simhash").isNotNull())
+    )
     return simhash_neardup_pairs(sim)
 
 

@@ -247,10 +247,24 @@ def mm_stream_fingerprints(media: DataFrame) -> DataFrame:
 
     The payload hex is materialized once per row before the shingle
     transform — inlining ``hex(payload)`` into the lambda would
-    re-hex the payload once per shingle."""
+    re-hex the payload once per shingle.
+
+    SCALE HAZARD, fixed round 7 (found by the smoke ladder this query
+    was added to): the old trailing ``filter(simhash.isNotNull())``
+    was predicate-pushed BELOW the __hx projection, and the pushed
+    Filter inlines the whole fold — with ``hex(encode(text))`` inside
+    the shingle lambda, which higher-order-function evaluation re-runs
+    PER ELEMENT: Θ(bytes²) per doc, on top of the linear projection
+    (measured 120 s of a 126 s query at 4× sf0.1). ``simhash`` is NULL
+    iff the shingle array is empty iff the payload is under 4 bytes
+    (the first stride-0 shingle exists exactly when nb ≥ 4; shorter
+    slices are length-filtered), so the null filter is replaced by the
+    equivalent ``octet_length(payload) >= 4`` PRE-filter — O(bytes) at
+    the scan, where pushdown helps instead of hurting. Equivalence is
+    pinned by a unit test over payload lengths 0..10."""
     from odoo_batch_processing_spark.operators.dedup import simhash_from_tokens
 
-    hx = media.select(
+    hx = media.filter(F.octet_length(F.col("payload")) >= 4).select(
         "doc_id", "modality", F.hex(F.col("payload")).alias("__hx"),
         F.octet_length(F.col("payload")).cast("bigint").alias("__nb"),
     )
@@ -261,7 +275,7 @@ def mm_stream_fingerprints(media: DataFrame) -> DataFrame:
     )
     return hx.select(
         "doc_id", "modality", simhash_from_tokens(toks).alias("simhash")
-    ).filter(F.col("simhash").isNotNull())
+    )
 
 
 def mm_neardup_pairs(fps: DataFrame, cap: int | None = None) -> DataFrame:

@@ -354,3 +354,49 @@ def test_mm_neardup_candidates_far_below_all_pairs(spark):
     all_pairs = 3 * per_mod * (per_mod - 1) // 2
     got = all_queries(extended=True)["mm_neardup"](spark, SF_SMOKE).count()
     assert got < 0.05 * all_pairs, (got, all_pairs)
+
+
+def test_mm_fingerprint_prefilter_equals_null_filter(spark):
+    """mm_stream_fingerprints drops short payloads with a cheap
+    ``octet_length >= 4`` PRE-filter instead of post-filtering
+    ``simhash IS NOT NULL`` (the null form is predicate-pushed below
+    the hex projection with the whole Θ(bytes²) fold inlined — the
+    round-7 ladder finding). This pins the equivalence the swap rests
+    on: over payload lengths 0..10, the kept doc set is exactly
+    {octet_length >= 4}, and the codes match the unfiltered fold's
+    non-null rows value-for-value."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.dedup import simhash_from_tokens
+    from odoo_batch_processing_spark.operators.multimodal import (
+        mm_stream_fingerprints,
+    )
+
+    rows = [(i, "image", ("ab!x7" * 3)[:i].encode()) for i in range(11)]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, modality string, payload binary"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in mm_stream_fingerprints(media).collect()
+    }
+    assert set(got) == {i for i in range(11) if i >= 4}
+
+    # reference: the raw fold with no filter at all — non-null rows
+    # must agree exactly
+    hx = media.select(
+        "doc_id", F.hex("payload").alias("__hx"),
+        F.octet_length("payload").cast("bigint").alias("__nb"),
+    )
+    toks = F.expr(
+        "filter(transform(sequence(0, cast(greatest(__nb - 3, 1) - 1 as int), 2),"
+        " k -> substring(__hx, cast(2 * k + 1 as int), 8)),"
+        " t -> length(t) = 8)"
+    )
+    ref = {
+        r["doc_id"]: r["simhash"]
+        for r in hx.select(
+            "doc_id", simhash_from_tokens(toks).alias("simhash")
+        ).collect()
+    }
+    assert got == {k: v for k, v in ref.items() if v is not None}

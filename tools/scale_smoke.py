@@ -97,6 +97,13 @@ STAGES = (
     "g_triangle_counts",
     "x3_containment",
     "x5_unigram_surprisal",
+    # round-7 addition (VERDICT r6 item 3): the rebuilt media near-dup
+    # — stream-simhash fold + capped banded self-join over the same
+    # documents corpus (payload = attach_binary(text)). Expected curve
+    # is x3_simhash-shaped: the per-doc shingle/vote fold dominates
+    # (linear in corpus bytes); exact-copy replicas form the planted
+    # dup clusters, scrambled replicas add fold volume but no pairs.
+    "mm_neardup",
 )
 
 
