@@ -40,5 +40,19 @@ def normalized(vec: Column, nrm: Column) -> Column:
     """vec / nrm, element-wise. Callers precompute ``nrm`` as a column
     (withColumn) so the fold runs once per ROW, not once per pair —
     the O(n) vs O(n²) difference in pairwise similarity plans. With
-    both sides pre-normalized, cosine degrades to a single dot()."""
-    return F.transform(vec, lambda x: x / nrm)
+    both sides pre-normalized, cosine degrades to a single dot().
+
+    Shaped as ``zip_with(vec, array_repeat(nrm, size(vec)), x/n)``
+    rather than the obvious ``transform(vec, x / nrm)`` on purpose:
+    CollapseProject substitutes a single-use ``withColumn`` alias into
+    its consumer, and a scalar planted INSIDE a higher-order-function
+    lambda is then re-evaluated per ELEMENT — the inlined norm fold
+    made unit normalization Θ(d²) per row (observed in the dumped
+    plan: ``transform(v, x / SQRT(aggregate(zip_with(v, v, ·))))``).
+    Here the substitution target is ``array_repeat``'s scalar
+    argument, which is evaluated once per row no matter what Catalyst
+    inlines, so the plan stays Θ(d) with bit-identical doubles (same
+    x/n divisions in the same order)."""
+    return F.zip_with(
+        vec, F.array_repeat(nrm, F.size(vec)), lambda x, n: x / n
+    )

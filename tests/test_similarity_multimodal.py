@@ -400,3 +400,77 @@ def test_mm_fingerprint_prefilter_equals_null_filter(spark):
         ).collect()
     }
     assert got == {k: v for k, v in ref.items() if v is not None}
+
+
+def test_unit_normalization_keeps_norm_fold_out_of_lambdas(spark):
+    """The norm fold must never be evaluated inside a per-element
+    lambda. CollapseProject substitutes a single-use withColumn alias
+    into its consumer, and the old ``transform(v, x / nrm)`` shape put
+    that substitution INSIDE the lambda — higher-order functions
+    re-evaluate the lambda body per element, so unit normalization
+    silently ran Θ(d²) per row (50× wall at d=512×100k rows, measured
+    round 7). ``normalized`` now routes the scalar through
+    ``array_repeat``'s argument (evaluated once per row wherever
+    Catalyst inlines it); this pins the executed-plan shape so the
+    transform form can't come back."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.functions.vector import norm, normalized
+
+    df = spark.range(64).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (F.xxhash64(F.col("id"), i) % 7).cast("double"),
+        ).alias("v"),
+    )
+    unit = (
+        df.withColumn("__n", norm(F.col("v")))
+        .select("id", normalized(F.col("v"), F.col("__n")).alias("uv"))
+    )
+    plan = unit._jdf.queryExecution().executedPlan().toString()
+
+    # a fold (aggregate) appearing inside any lambdafunction BODY (its
+    # first, balanced-paren argument) is the Θ(d²) inline; aggregate as
+    # array_repeat's argument is fine. Regexes can't balance parens, so
+    # scan each body explicitly.
+    def lambda_bodies(s: str) -> list[str]:
+        bodies = []
+        for m in re.finditer(r"lambdafunction\(", s):
+            depth, start = 1, m.end()
+            for j in range(start, len(s)):
+                c = s[j]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif c == "," and depth == 1:
+                    break
+            bodies.append(s[start:j])
+        return bodies
+
+    offenders = [b for b in lambda_bodies(plan) if "aggregate(" in b]
+    assert not offenders, offenders
+    # self-check: the scanner must flag the OLD inlined shape
+    old_shape = (
+        "transform(v, lambdafunction((lambda x / SQRT(aggregate("
+        "zip_with(v, v, lambdafunction((lambda a * lambda b), lambda a,"
+        " lambda b, false)), 0.0, lambdafunction((lambda p + lambda q),"
+        " lambda p, lambda q, false)))), lambda x, false))"
+    )
+    assert any("aggregate(" in b for b in lambda_bodies(old_shape))
+
+    # value identity with the naive per-element division
+    naive = df.select(
+        "id",
+        F.transform(
+            F.col("v"), lambda x: x / F.sqrt(F.aggregate(
+                F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x2: acc + x2))
+        ).alias("uv"),
+    )
+    assert sorted(map(tuple, unit.collect())) == sorted(map(tuple, naive.collect()))
