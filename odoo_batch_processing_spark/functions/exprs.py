@@ -53,26 +53,3 @@ def avg_as_double(expr: Column, count_expr: Column, alias: str) -> Column:
     reproducible verbatim in DuckDB.
     """
     return (F.sum(expr).cast("double") / count_expr).alias(alias)
-
-
-def bind(value: Column, body) -> Column:
-    """Poor-man's ``let``: evaluate ``value`` ONCE per row and pass it
-    to ``body`` as a bound lambda variable.
-
-    Why this exists: referencing a computed Column expression inside a
-    higher-order-function lambda embeds the whole expression tree in
-    the lambda body, and HOFs re-evaluate that body per ELEMENT — e.g.
-    ``transform(seq, i -> slice(tokens(text), i, n))`` re-tokenizes the
-    document once per shingle position, Θ(T²) per doc. Materializing
-    through ``withColumn`` does not survive Catalyst either:
-    CollapseProject / predicate pushdown substitute single-use aliases
-    right back into the consumer (the round-7 normalized()/mm findings).
-
-    ``element_at(transform(array(value), v -> body(v)), 1)`` is a
-    collapse-proof let-binding: ``array(value)`` evaluates its argument
-    exactly once per row wherever Catalyst inlines it, and inside
-    ``body`` the value is a lambda VARIABLE — an O(1) attribute read,
-    never a re-evaluation. Works for any data type ``array()`` accepts
-    (including arrays — array-of-array is fine). Overhead is one
-    1-element array allocation per row."""
-    return F.element_at(F.transform(F.array(value), body), 1)

@@ -85,6 +85,14 @@ def keyed_scratch_dir(name: str, key: str) -> str:
     return os.path.join(_SCRATCH, f"{_KEYED_PREFIX}{name}-{key}")
 
 
+def _marker_present(path: str) -> bool:
+    """Is ``path`` a COMMITTED staged artifact (``_STAGED`` marker
+    inside)? A named seam so the race tests can deterministically
+    replay the TOCTOU interleavings (a commit landing between a check
+    and the replace) that wall-clock scheduling can't reproduce."""
+    return os.path.exists(os.path.join(path, "_STAGED"))
+
+
 def staged_once(name: str, src_path: str, build) -> str:
     """Build-or-reuse a derived artifact keyed on SOURCE CONTENT — the
     one implementation of the pattern behind every staged streaming
@@ -104,14 +112,21 @@ def staged_once(name: str, src_path: str, build) -> str:
     that either racer's output is acceptable. The underscore-prefixed
     marker is invisible to Spark's file listing, so it can live inside
     a directory that is itself read as a (partitioned) parquet
-    source."""
+    source.
+
+    A COMMITTED artifact is never deleted (ADVICE r7 #2): a marker-less
+    leftover at the keyed path is moved ASIDE by an atomic rename (to a
+    TTL-swept ``stagetmp-aside-*`` sibling), never ``rmtree``'d — so a
+    racer's commit that lands between our marker check and the replace
+    is preserved, detected by re-checking the marker on the aside dir,
+    and restored by renaming it straight back."""
     import shutil
 
     from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
 
     path = keyed_scratch_dir(name, corpus_fingerprint(src_path))
     marker = os.path.join(path, "_STAGED")
-    if os.path.exists(marker):
+    if _marker_present(path):
         return path
     # stagetmp- (not keyed-) prefix: same parent dir as `path` so the
     # rename is same-filesystem atomic, while crashed leftovers are
@@ -122,11 +137,29 @@ def staged_once(name: str, src_path: str, build) -> str:
         with open(os.path.join(tmp, "_STAGED"), "w"):
             pass
         if os.path.isdir(path):
-            if os.path.exists(marker):
+            if _marker_present(path):
                 return path  # racer committed while we built; keep theirs
-            # marker-less leftover (legacy torn build): replace wholesale —
-            # never merge into it
-            shutil.rmtree(path, ignore_errors=True)
+            # Marker-less leftover (legacy torn build): move it ASIDE with
+            # an atomic rename — never rmtree. Deleting here is a TOCTOU:
+            # a racer's commit landing after the marker check above would
+            # be destroyed, and a reader holding its listing would hit
+            # FileNotFound. mkdtemp reserves a unique aside name; rename
+            # onto an EMPTY directory is atomic on the same filesystem.
+            aside = tempfile.mkdtemp(prefix=f"stagetmp-aside-{name}-", dir=_SCRATCH)
+            try:
+                os.rename(path, aside)
+            except FileNotFoundError:
+                pass  # another builder already moved the leftover aside
+            if _marker_present(aside):
+                # the "leftover" was really a racer's commit that landed
+                # between the check and the rename — put it straight back
+                # and discard our copy
+                try:
+                    os.rename(aside, path)
+                except OSError:
+                    pass  # yet another racer landed on path meanwhile
+                if _marker_present(path):
+                    return path
         try:
             os.rename(tmp, path)
             tmp = None

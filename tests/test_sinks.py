@@ -286,6 +286,59 @@ def test_staged_once_atomic_commit_never_merges(tmp_path, monkeypatch):
     ]
 
 
+def test_staged_once_never_deletes_a_racing_commit(tmp_path, monkeypatch):
+    """ADVICE r7 #2: a COMMITTED artifact must never be deleted. The
+    old code rmtree'd a marker-less leftover — a racer's rename landing
+    between the marker check and the delete destroyed its freshly
+    committed artifact. The fix moves the leftover aside by atomic
+    rename, re-checks the marker on the aside dir, and RESTORES a
+    commit it turns out to have moved.
+
+    Deterministic replay: the keyed path holds a real commit (marker +
+    'winner' file), but the _marker_present seam reports it absent for
+    the first two checks (top-of-call + leftover-branch) — exactly the
+    window where a racer's rename lands after our checks. staged_once
+    must end with the racer's commit intact at the keyed path and our
+    build discarded."""
+    import os
+
+    from odoo_batch_processing_spark.sources import sinks
+
+    src = tmp_path / "corpus.txt"
+    src.write_text("v1")
+
+    # seed the racer's committed artifact at the keyed path
+    def racer_build(d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "winner"), "w") as fh:
+            fh.write("racer")
+
+    p = sinks.staged_once("t-toctou", str(src), racer_build)
+    assert os.path.exists(os.path.join(p, "_STAGED"))
+
+    real = sinks._marker_present
+    calls = {"n": 0}
+
+    def late_marker(path):
+        # the commit is "invisible" until the code has already decided
+        # the path is a marker-less leftover (checks 1 and 2)
+        if path == p:
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                return False
+        return real(path)
+
+    monkeypatch.setattr(sinks, "_marker_present", late_marker)
+    built = []
+    p2 = sinks.staged_once("t-toctou", str(src), lambda d: built.append(d))
+    assert p2 == p
+    # the racer's commit survived wholesale; ours (empty build) discarded
+    assert os.path.exists(os.path.join(p, "winner"))
+    assert os.path.exists(os.path.join(p, "_STAGED"))
+    assert built  # our build DID run — and was then thrown away
+    assert calls["n"] >= 2  # the faked window was actually exercised
+
+
 def test_parse_size_bytes_spark_conf_forms(spark):
     """ADVICE r6 #3: the adaptive small-values ordinal compares the
     values-relation size against spark.sql.autoBroadcastJoinThreshold,
