@@ -24,6 +24,26 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+def calibration_df(spark, sf_dir: str):
+    """The FROZEN calibration workload (VERDICT r6 item 1, pinned r8):
+    lineitem scan → groupBy(l_returnflag) count/sum. Its min-of-reps
+    wall time is recorded as ``calibration_sec`` in every BENCH_r{N}
+    artifact as the common host-speed yardstick — cross-round drift is
+    measured as calib_rN/calib_rM, and the headline is compared
+    calibration-NORMALIZED (SCALE.md). That only works if this plan
+    NEVER changes: tests/test_bench_calibration.py pins the analyzed
+    plan against a stored fingerprint, so any edit here (or a Spark
+    upgrade changing the plan) fails loudly instead of silently
+    re-basing the yardstick."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sq"),
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -43,23 +63,16 @@ def main() -> int:
     # Warm the JVM + parquet footers once so timings measure the queries.
     next(iter(queries.values()))(spark, sf_dir).count()
 
-    # Fixed CALIBRATION workload (VERDICT r6 item 1): a frozen plan —
-    # lineitem scan → groupBy(l_returnflag) count/sum — that must NEVER
-    # change across rounds, so BENCH_r{N} artifacts carry a common
+    # Fixed CALIBRATION workload (VERDICT r6 item 1): the frozen
+    # calibration_df plan, so BENCH_r{N} artifacts carry a common
     # yardstick and cross-round host drift is measured, not argued.
     # Runs after warmup, before the suite (the quietest point of the
     # session); min-of-reps like every headline number.
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     def _calibration() -> float:
-        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            li.groupBy("l_returnflag").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("l_quantity").alias("sq"),
-            ).count()
+            calibration_df(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 4)
 

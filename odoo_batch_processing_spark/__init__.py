@@ -18,6 +18,20 @@ Layout:
     streaming   throttled micro-batch update, change source, progress
     registry    the queries()/oracle_sql() catalog consumed by
                 __spark_entry__.py
+
+Expression-shape rules (enforced catalog-wide by
+tests/test_plan_hygiene.py, scanners in tests/plan_scan.py; full
+rationale in SURVEY.md §7.5):
+
+1. Never post-filter on a higher-order-function fold's output —
+   predicate pushdown clones the fold (and any alias it references)
+   into the Filter, Θ(n²) per row. Pre-filter on the cheap row-level
+   equivalent instead (operators/multimodal.py:267, dedup.py:623).
+2. Never let a single-use scalar alias be substitutable into a lambda
+   body — CollapseProject inlines it and HOFs re-evaluate per element.
+   Route the scalar through a per-row argument position, e.g.
+   ``zip_with(v, array_repeat(norm, size(v)), ...)``
+   (functions/vector.py:54).
 """
 
 __version__ = "0.1.0"

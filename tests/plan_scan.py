@@ -35,7 +35,18 @@ FOLD_FUNCS = ("aggregate(", "reduce(")
 def lambda_bodies(plan: str) -> list[str]:
     """Every ``lambdafunction(...)`` BODY (its first, balanced-paren
     argument) in an executed-plan string. Regexes can't balance
-    parens, so each body is scanned explicitly."""
+    parens, so each body is scanned explicitly.
+
+    A body never spans lines in tree output, so the scan also stops at
+    a newline: scan-node metadata strings are TRUNCATED at
+    ``spark.sql.maxMetadataStringLength`` (``...`` mid-expression on
+    ``FileScan``/``InMemoryTableScan`` lines), and an unbalanced
+    truncated body would otherwise swallow the rest of the plan —
+    turning every later ``aggregate(`` in unrelated operators into a
+    false positive. Expressions that matter (Project/Filter operator
+    lines) print in full; only scan metadata truncates, and post-scan
+    predicates always also appear as full ``Filter`` operator
+    lines."""
     bodies = []
     for m in re.finditer(r"lambdafunction\(", plan):
         depth, start = 1, m.end()
@@ -50,6 +61,8 @@ def lambda_bodies(plan: str) -> list[str]:
                     break
             elif c == "," and depth == 1:
                 break
+            elif c == "\n":
+                break  # truncated print — body cannot really span lines
         bodies.append(plan[start:j])
     return bodies
 
@@ -62,16 +75,45 @@ def folds_in_lambda_bodies(plan: str) -> list[str]:
     return [b for b in lambda_bodies(plan) if any(f in b for f in FOLD_FUNCS)]
 
 
-def folds_in_filter_conditions(plan: str) -> list[str]:
-    """Executed-plan ``Filter`` operator lines whose condition contains
-    a fold — hazard shape 2 (the pushed-Filter inline). Executed plans
-    print one operator per line (``+- Filter (cond)``, ``*(2) Filter
-    ...``); parquet ``PushedFilters:`` lists can't carry folds and the
+def folds_under_null_checks_in_filters(plan: str) -> list[str]:
+    """Executed-plan ``Filter`` lines where a fold sits under a
+    NULL-check (``isnotnull``/``isnull``) — hazard shape 2, the
+    bd1afd1 form: ``filter(fold_output.isNotNull())`` pushed below the
+    projection re-evaluates the whole fold just to test null-ness,
+    and the inline clones any referenced alias into the fold's lambda
+    (the Θ(bytes²) ladder finding). Null-ness of a fold output is
+    always decidable from row-level properties of its inputs, so the
+    cheap pre-filter equivalent ALWAYS exists — this shape is never
+    necessary.
+
+    A fold appearing in a Filter condition as the PREDICATE itself
+    (e.g. the x9 quality gate's ``aggregate(array_sort(tokens)) ≤
+    threshold`` — Gopher top-token dominance) is NOT flagged: it is
+    the query's semantics, evaluated once per row, same cost as in a
+    Project — there is nowhere cheaper for it to run. (Folds inside
+    lambda BODIES are flagged everywhere, Filter lines included, by
+    :func:`folds_in_lambda_bodies`.)
+
+    Executed plans print one operator per line (``+- Filter (cond)``);
+    parquet ``PushedFilters:`` lists can't carry folds and the
     word-boundary match skips them."""
     bad = []
     for line in plan.splitlines():
-        if re.search(r"(?:^|[^A-Za-z])Filter ", line) and any(
-            f in line for f in FOLD_FUNCS
-        ):
-            bad.append(line.strip())
+        if not re.search(r"(?:^|[^A-Za-z])Filter ", line):
+            continue
+        for m in re.finditer(r"(?:isnotnull|isnull)\(", line):
+            depth, start = 1, m.end()
+            j = start
+            for j in range(start, len(line)):
+                c = line[j]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            span = line[start:j]
+            if any(f in span for f in FOLD_FUNCS):
+                bad.append(line.strip())
+                break
     return bad

@@ -77,12 +77,23 @@ def _batch_queries():
     }
 
 
-def test_no_nested_loop_or_cartesian_anywhere(spark):
+@pytest.fixture(scope="module")
+def executed_plans(spark):
+    """One executed-plan string per batch-catalog query, computed once
+    and shared by every plan-shape sweep in this module — planning the
+    ~180-query catalog is the expensive part, so the sweeps must not
+    each redo it."""
+    return {
+        name: fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        for name, fn in sorted(_batch_queries().items())
+    }
+
+
+def test_no_nested_loop_or_cartesian_anywhere(executed_plans):
     offenders = {}
-    for name, fn in sorted(_batch_queries().items()):
+    for name, plan in executed_plans.items():
         if name in _ALLOWED_NESTED_LOOP:
             continue
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         bad = [
             marker
             for marker in ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -91,6 +102,92 @@ def test_no_nested_loop_or_cartesian_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-scalable join strategies in: {offenders}"
+
+
+def test_no_fold_cloned_into_lambda_or_filter_anywhere(executed_plans):
+    """Catalog-wide invariant for the round-7 Catalyst-rewrite hazard
+    class (VERDICT r7 item 1): nowhere in any query's EXECUTED plan may
+    a fold (``aggregate``/``reduce``) appear (a) inside a
+    ``lambdafunction`` body — CollapseProject's Θ(d²)-per-row inline
+    (the ``normalized()`` finding) — or (b) under a NULL-check in a
+    ``Filter`` condition — predicate pushdown's clone of a post-filter
+    on fold output (the ``mm_neardup`` finding; a cheap row-level
+    pre-filter always exists for null-ness). Shape (b) is deliberately
+    NARROWER than "any fold in any Filter": a fold that IS the
+    predicate (x9's Gopher top-token gate, ``aggregate(...) ≤ 0.25``)
+    runs once per row wherever it lives and is legitimate — see
+    plan_scan.folds_under_null_checks_in_filters. The two original
+    sites carry instance tests pinning their fixed shapes
+    (tests/test_similarity_multimodal.py); this sweep makes the rule
+    hold for every FUTURE query too. Fix pattern when this fires:
+    pre-filter on a cheap row-level equivalent before the fold, or
+    route a scalar into the lambda through a per-row argument position
+    (``array_repeat``) — see SURVEY.md §7.4."""
+    from tests.plan_scan import (
+        folds_in_lambda_bodies,
+        folds_under_null_checks_in_filters,
+    )
+
+    offenders = {}
+    for name, plan in executed_plans.items():
+        in_lambda = folds_in_lambda_bodies(plan)
+        in_filter = folds_under_null_checks_in_filters(plan)
+        if in_lambda or in_filter:
+            offenders[name] = {
+                "lambda_bodies": in_lambda[:2],
+                "filter_null_checks": in_filter[:2],
+            }
+    assert not offenders, f"folds cloned into per-element/per-row context: {offenders}"
+
+
+def test_fold_scanners_flag_both_round7_shapes():
+    """Self-check: the shared scanners must flag BOTH original hazard
+    shapes verbatim, or the catalog sweep above is vacuously green."""
+    from tests.plan_scan import (
+        folds_in_lambda_bodies,
+        folds_under_null_checks_in_filters,
+    )
+
+    # (a) the pre-fix normalized() executed plan: norm fold
+    # CollapseProject-inlined into the transform lambda (c5059eb)
+    old_lambda_shape = (
+        "Project [id#0L, transform(v#2, lambdafunction((lambda x#40 / "
+        "SQRT(aggregate(zip_with(v#2, v#2, lambdafunction((lambda a#41 * "
+        "lambda b#42), lambda a#41, lambda b#42, false)), 0.0, "
+        "lambdafunction((lambda p#43 + lambda q#44), lambda p#43, "
+        "lambda q#44, false), lambdafunction(lambda id#45, lambda id#45, "
+        "false)))), lambda x#40, false)) AS uv#39]"
+    )
+    assert folds_in_lambda_bodies(old_lambda_shape)
+
+    # (b) the pre-fix mm_neardup executed plan: the pushed Filter
+    # inlining the whole simhash fold (bd1afd1)
+    old_filter_shape = (
+        "+- Filter isnotnull(aggregate(filter(transform(sequence(0, 9, 2), "
+        "lambdafunction(substring(hx#29, knil, 8), lambda k#30, false)), "
+        "lambdafunction((length(lambda t#31) = 8), lambda t#31, false)), "
+        "cast(0 as bigint), lambdafunction((lambda a#32 + lambda b#33), "
+        "lambda a#32, lambda b#33, false)))"
+    )
+    assert folds_under_null_checks_in_filters(old_filter_shape)
+
+    # and the FIXED shapes must pass: fold as a per-row ARGUMENT
+    # (array_repeat), a plain row-level pre-filter, and a fold that IS
+    # the filter predicate (x9's top-token gate — legitimate)
+    fixed = (
+        "Project [zip_with(v#2, array_repeat(SQRT(aggregate(zip_with(v#2, "
+        "v#2, lambdafunction((lambda a#1 * lambda b#2), lambda a#1, "
+        "lambda b#2, false)), 0.0, lambdafunction((lambda p#3 + lambda "
+        "q#4), lambda p#3, lambda q#4, false))), size(v#2)), "
+        "lambdafunction((lambda x#5 / lambda n#6), lambda x#5, lambda n#6, "
+        "false)) AS uv#7]\n"
+        "+- Filter (isnotnull(text#1) AND ((cast(aggregate(array_sort("
+        "toks#8), [,0,0], lambdafunction(struct(prev, lambda y#9, run, 1, "
+        "best, 1), lambda x#10, lambda y#9, false)) as double) / 100.0) "
+        "<= 0.25))"
+    )
+    assert not folds_in_lambda_bodies(fixed)
+    assert not folds_under_null_checks_in_filters(fixed)
 
 
 @pytest.mark.parametrize(

@@ -413,11 +413,10 @@ def test_unit_normalization_keeps_norm_fold_out_of_lambdas(spark):
     ``array_repeat``'s argument (evaluated once per row wherever
     Catalyst inlines it); this pins the executed-plan shape so the
     transform form can't come back."""
-    import re
-
     from pyspark.sql import functions as F
 
     from odoo_batch_processing_spark.functions.vector import norm, normalized
+    from tests.plan_scan import folds_in_lambda_bodies, lambda_bodies
 
     df = spark.range(64).select(
         "id",
@@ -434,26 +433,9 @@ def test_unit_normalization_keeps_norm_fold_out_of_lambdas(spark):
 
     # a fold (aggregate) appearing inside any lambdafunction BODY (its
     # first, balanced-paren argument) is the Θ(d²) inline; aggregate as
-    # array_repeat's argument is fine. Regexes can't balance parens, so
-    # scan each body explicitly.
-    def lambda_bodies(s: str) -> list[str]:
-        bodies = []
-        for m in re.finditer(r"lambdafunction\(", s):
-            depth, start = 1, m.end()
-            for j in range(start, len(s)):
-                c = s[j]
-                if c == "(":
-                    depth += 1
-                elif c == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                elif c == "," and depth == 1:
-                    break
-            bodies.append(s[start:j])
-        return bodies
-
-    offenders = [b for b in lambda_bodies(plan) if "aggregate(" in b]
+    # array_repeat's argument is fine — tests/plan_scan.py is the
+    # shared scanner (also enforced catalog-wide in test_plan_hygiene).
+    offenders = folds_in_lambda_bodies(plan)
     assert not offenders, offenders
     # self-check: the scanner must flag the OLD inlined shape
     old_shape = (
