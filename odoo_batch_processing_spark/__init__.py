@@ -32,6 +32,11 @@ rationale in SURVEY.md §7.5):
    Route the scalar through a per-row argument position, e.g.
    ``zip_with(v, array_repeat(norm, size(v)), ...)``
    (functions/vector.py:54).
+3. Never reference a length-proportional computed expression inside a
+   lambda body — composition copies the tree per reference and HOFs
+   re-run it per element (Θ(T²): the shingle builders, 85× at 1k
+   tokens). Bind it once per row with ``functions.exprs.bind`` and
+   reference the lambda variable (operators/dedup.py shingles).
 """
 
 __version__ = "0.1.0"

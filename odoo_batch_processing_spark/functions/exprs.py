@@ -53,3 +53,38 @@ def avg_as_double(expr: Column, count_expr: Column, alias: str) -> Column:
     reproducible verbatim in DuckDB.
     """
     return (F.sum(expr).cast("double") / count_expr).alias(alias)
+
+
+def bind(value: Column, body) -> Column:
+    """Poor-man's ``let``: evaluate ``value`` ONCE per row and pass it
+    to ``body`` as a bound lambda variable.
+
+    Why this exists (SURVEY.md §7.5 rule 2, generalized): referencing a
+    computed Column expression inside a higher-order-function lambda
+    embeds a COPY of the whole expression tree at every reference site
+    (Python-side composition — no Catalyst needed), and HOFs re-evaluate
+    lambda bodies per ELEMENT with no codegen subexpression elimination.
+    The shingle builders hit exactly this: ``transform(seq, i ->
+    slice(tokens(text), i, n))`` re-ran split+trim-filter once per
+    shingle position — Θ(T²) per doc in tokens, measured **59.9 s vs
+    0.7 s** (85×) on 2 000 docs × 1 000 tokens (SCALE.md round 8; the
+    corpus-COUNT ladder can't see it because per-doc cost is constant
+    in corpus size). Materializing through ``withColumn`` does not
+    survive Catalyst either: CollapseProject / predicate pushdown
+    substitute single-use aliases right back into the consumer (the
+    round-7 ``normalized()``/mm findings).
+
+    ``element_at(transform(array(value), v -> body(v)), 1)`` is a
+    collapse-proof let-binding: ``array(value)`` evaluates its argument
+    exactly once per row wherever Catalyst inlines it, and inside
+    ``body`` the value is a lambda VARIABLE — an O(1) attribute read,
+    never a re-evaluation. Works for any data type ``array()`` accepts
+    (including arrays — array-of-array is fine). Overhead is one
+    1-element array allocation per row.
+
+    Consumers: ``dedup.shingles``, ``text._bigrams``/``_trigrams``,
+    the x5 chunk builder. Catalog-wide enforcement:
+    ``tests/test_plan_hygiene.py`` scans every executed plan for
+    length-proportional expressions over row columns inside lambda
+    bodies (``plan_scan.expensive_exprs_in_lambda_bodies``)."""
+    return F.element_at(F.transform(F.array(value), body), 1)

@@ -44,6 +44,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from odoo_batch_processing_spark.functions.exprs import bind
 from odoo_batch_processing_spark.functions.vector import cosine, to_double
 from odoo_batch_processing_spark.operators.text import fingerprint, tokens
 from odoo_batch_processing_spark.session import materialize_once, truncate_lineage
@@ -118,17 +119,26 @@ def _q_x2_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X3 near-dedup
 # ---------------------------------------------------------------------------
 def shingles(text: F.Column, n: int = SHINGLE_N) -> F.Column:
-    """Distinct n-token shingles ('w1 w2 w3' strings)."""
-    toks = tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct n-token shingles ('w1 w2 w3' strings).
+
+    The token array is BOUND once per row (exprs.bind): referencing
+    ``tokens(text)`` directly inside the position lambda embeds a copy
+    of split+trim-filter at every reference, and HOF evaluation re-runs
+    the body per element — Θ(T²) per doc in tokens, 85× at T=1000
+    (SCALE.md round 8). Value-identical to the unbound form
+    (tests/test_text_dedup.py::test_shingles_bound_equivalence)."""
+    return bind(
+        tokens(text),
+        lambda tk: F.when(
+            F.size(tk) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

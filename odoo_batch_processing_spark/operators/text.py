@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from odoo_batch_processing_spark.functions.exprs import bind
 from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 # Stopword lists for the n-gram/stopword language heuristic. Tiny by
@@ -422,37 +423,46 @@ def _q_x5_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bigrams(toks: Column) -> Column:
     """Adjacent token bigrams as space-joined strings; empty array for
     docs with <2 tokens (guarded — Spark's sequence(1, 0) would count
-    DOWN, not produce an empty array)."""
-    n = F.size(toks)
-    return F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    DOWN, not produce an empty array).
+
+    ``toks`` is BOUND once per row (exprs.bind): callers pass the
+    computed ``tokens(text)`` expression, and referencing it inside the
+    position lambda re-tokenizes per element — Θ(T²) per doc (SCALE.md
+    round 8)."""
+    return bind(
+        toks,
+        lambda tk: F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _trigrams(toks: Column) -> Column:
     """Adjacent token trigrams (the shingle unit for boilerplate
     detection and sparse doc similarity below — 3 chosen from the
     fixture's measured df curve: 2-grams are near-universal, 5-grams
-    near-unique)."""
-    n = F.size(toks)
-    return F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+    near-unique). ``toks`` bound once per row — see ``_bigrams``."""
+    return bind(
+        toks,
+        lambda tk: F.when(
+            F.size(tk) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tk, i),
+                    F.element_at(tk, i + 1),
+                    F.element_at(tk, i + 2),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _q_x5_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,11 +752,14 @@ def _q_x5_chunk_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical two-level shape as the boilerplate query, one
     chunk-keyed shuffle and one doc-keyed shuffle."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.ceil(n / 10.0).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    # token array bound once per row (exprs.bind) — slicing the computed
+    # tokens(text) inside the chunk lambda re-tokenizes per chunk
+    chunks = bind(
+        tokens(F.col("text")),
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(tk) / 10.0).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * 10 + 1, 10)),
+        ),
     )
     doc_chunks = docs.select(
         "doc_id", F.explode(F.array_distinct(chunks)).alias("chunk")
@@ -1032,19 +1045,24 @@ def _q_x5_reassemble_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (one chunk per sequence index), so the struct sort is
     a deterministic total order; no tiebreakers needed."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
-    chunked = tk.select(
+    # token array bound once per row (exprs.bind): the alias form only
+    # escaped CollapseProject's inline via the multi-use heuristic —
+    # the bound lambda variable is robust to it
+    chunked = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("tk") / F.lit(10.0)).cast("int") - 1,
-                ),
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.array_join(F.slice("tk", i * 10 + 1, 10), " ").alias(
-                        "chunk_text"
+            bind(
+                tokens(F.col("text")),
+                lambda tk: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(tk) / F.lit(10.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.struct(
+                        i.alias("chunk_idx"),
+                        F.array_join(F.slice(tk, i * 10 + 1, 10), " ").alias(
+                            "chunk_text"
+                        ),
                     ),
                 ),
             )

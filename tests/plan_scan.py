@@ -75,6 +75,69 @@ def folds_in_lambda_bodies(plan: str) -> list[str]:
     return [b for b in lambda_bodies(plan) if any(f in b for f in FOLD_FUNCS)]
 
 
+#: length-proportional string/array functions: applied to a row COLUMN
+#: inside a lambda body they re-run per element — Θ(T²) per row (the
+#: round-8 shingle finding: split+trim-filter re-ran per shingle
+#: position, 85× at T=1000). Applied to a lambda VARIABLE they are
+#: per-element by design and fine.
+EXPENSIVE_FUNCS = (
+    "split(",
+    "hex(",
+    "unhex(",
+    "md5(",
+    "sha1(",
+    "sha2(",
+    "crc32(",
+    "regexp_extract(",
+    "regexp_extract_all(",
+    "regexp_replace(",
+    "regexp_count(",
+    "sentences(",
+    "unbase64(",
+    "base64(",
+    "translate(",
+    "lower(",
+    "upper(",
+    "reverse(",
+    "sort_array(",
+    "array_sort(",
+    "array_distinct(",
+)
+
+#: printed lambda variables (``lambda x_1#447``) — their #N attribute
+#: refs are O(1) reads, not re-evaluations
+_LAMBDA_VAR = re.compile(r"lambda \w+#\d+")
+_COLUMN_ATTR = re.compile(r"\w+#\d+")
+
+
+def expensive_exprs_in_lambda_bodies(plan: str) -> list[str]:
+    """Lambda bodies where a length-proportional function is applied
+    over a row COLUMN attribute (hazard: re-evaluated per element).
+    Detection per occurrence: take the function's balanced-paren
+    argument span, erase every lambda-variable token, and flag if a
+    ``name#N`` attribute reference remains — i.e. the expensive call
+    consumes row data, not (only) lambda variables. The fix is
+    ``exprs.bind``: evaluate once per row, pass as a lambda var."""
+    bad = []
+    for b in lambda_bodies(plan):
+        for f in EXPENSIVE_FUNCS:
+            for m in re.finditer(re.escape(f), b):
+                depth, start = 1, m.end()
+                j = start
+                for j in range(start, len(b)):
+                    c = b[j]
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                span = _LAMBDA_VAR.sub("", b[start:j])
+                if _COLUMN_ATTR.search(span):
+                    bad.append(b[max(0, m.start() - 40) : j + 1])
+    return bad
+
+
 def folds_under_null_checks_in_filters(plan: str) -> list[str]:
     """Executed-plan ``Filter`` lines where a fold sits under a
     NULL-check (``isnotnull``/``isnull``) — hazard shape 2, the

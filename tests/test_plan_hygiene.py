@@ -140,6 +140,64 @@ def test_no_fold_cloned_into_lambda_or_filter_anywhere(executed_plans):
     assert not offenders, f"folds cloned into per-element/per-row context: {offenders}"
 
 
+def test_no_expensive_column_expr_in_lambda_bodies_anywhere(executed_plans):
+    """Catalog-wide invariant for the round-8 hazard (the Θ(T²)
+    shingle finding): no length-proportional function (split/regexp/
+    hash/case-fold/array-sort — plan_scan.EXPENSIVE_FUNCS) may consume
+    a row COLUMN inside a lambda body. Python-side composition embeds
+    a copy of the referenced Column expression at every site and HOF
+    evaluation re-runs bodies per element with no subexpression
+    elimination — ``slice(tokens(text), i, n)`` re-tokenized per
+    shingle position, 85× at 1 000-token docs (SCALE.md round 8).
+    Fix pattern: ``exprs.bind`` — evaluate once per row, reference as
+    a lambda variable."""
+    from tests.plan_scan import expensive_exprs_in_lambda_bodies
+
+    offenders = {
+        name: found[:3]
+        for name, plan in executed_plans.items()
+        if (found := expensive_exprs_in_lambda_bodies(plan))
+    }
+    assert not offenders, f"per-element re-evaluation of row expressions: {offenders}"
+
+
+def test_expensive_expr_scanner_flags_round8_shape():
+    """Self-check: the scanner must flag the pre-fix shingle shape
+    (split over a column inside the position lambda) and pass the
+    bound form (lambda variable only) plus per-element-by-design uses
+    (hash of the lambda variable itself)."""
+    from tests.plan_scan import expensive_exprs_in_lambda_bodies
+
+    pre_fix = (
+        "transform(sequence(1, (size(filter(split(text#5908,  , -1), "
+        "lambdafunction(NOT (trim(lambda x_18#5917, None) = ), "
+        "lambda x_18#5917, false)), false) - 2)), "
+        "lambdafunction(concat_ws( , slice(filter(split(text#5908,  , -1), "
+        "lambdafunction(NOT (trim(lambda x_18#5917, None) = ), "
+        "lambda x_18#5917, false)), lambda x_19#5916, 3)), "
+        "lambda x_19#5916, false))"
+    )
+    assert expensive_exprs_in_lambda_bodies(pre_fix)
+
+    bound = (
+        "element_at(transform(array(filter(split(text#5908,  , -1), "
+        "lambdafunction(NOT (trim(lambda x_18#5917, None) = ), "
+        "lambda x_18#5917, false))), lambdafunction(CASE WHEN "
+        "(size(lambda tk#100, false) >= 3) THEN array_distinct("
+        "transform(sequence(1, (size(lambda tk#100, false) - 2)), "
+        "lambdafunction(concat_ws( , slice(lambda tk#100, "
+        "lambda i#101, 3)), lambda i#101, false))) ELSE [] END, "
+        "lambda tk#100, false)), 1)"
+    )
+    assert not expensive_exprs_in_lambda_bodies(bound)
+    # per-element hashing of the lambda variable is by design
+    per_element = (
+        "transform(toks#12, lambdafunction(conv(substring(md5("
+        "lambda t#31), 1, 15), 16, 10), lambda t#31, false))"
+    )
+    assert not expensive_exprs_in_lambda_bodies(per_element)
+
+
 def test_fold_scanners_flag_both_round7_shapes():
     """Self-check: the shared scanners must flag BOTH original hazard
     shapes verbatim, or the catalog sweep above is vacuously green."""

@@ -379,3 +379,79 @@ def test_containment_detects_quote_jaccard_misses(spark):
     assert row["c_b_in_a"] < 0.2
     # Jaccard on the same pair graph reports NOTHING
     assert ngram_jaccard_pairs(doc_sh, threshold=JACCARD_MIN).count() == 0
+
+
+def test_shingles_bound_equivalence(spark):
+    """Round-8 Θ(T²) fix (SCALE.md): shingles/_bigrams/_trigrams now
+    BIND the token array once per row (exprs.bind) instead of
+    re-embedding tokens(text) at every lambda reference — 85× at
+    1000-token docs, and the values must be IDENTICAL. Pins the bound
+    forms against the original unbound shapes over the edge cases:
+    empty text, blanks-only, fewer tokens than the shingle width,
+    exact width, repeated shingles (array_distinct path), and
+    multi-space runs."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.dedup import shingles
+    from odoo_batch_processing_spark.operators.text import (
+        _bigrams,
+        _trigrams,
+        tokens,
+    )
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "one two",
+        "one two three",
+        "a b c d e f g",
+        "x x x x x",  # repeated shingles -> distinct collapses
+        "  spaced   out   tokens  here ",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    def unbound_shingles(text, n=3):
+        toks = tokens(text)
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def unbound_trigrams(toks):
+        nn = F.size(toks)
+        return F.when(
+            nn >= 3,
+            F.transform(
+                F.sequence(F.lit(1), nn - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    got = docs.select(
+        "doc_id",
+        shingles(F.col("text")).alias("sh"),
+        _bigrams(tokens(F.col("text"))).alias("bg"),
+        _trigrams(tokens(F.col("text"))).alias("tg"),
+        unbound_shingles(F.col("text")).alias("sh0"),
+        unbound_trigrams(tokens(F.col("text"))).alias("tg0"),
+    ).collect()
+    for r in got:
+        assert r["sh"] == r["sh0"], (r["doc_id"], r["sh"], r["sh0"])
+        assert r["tg"] == r["tg0"], (r["doc_id"], r["tg"], r["tg0"])
+        # bigrams cross-checked structurally: prefix pairs of trigrams
+        if r["tg"]:
+            assert [t.rsplit(" ", 1)[0] for t in r["tg"]] == r["bg"][: len(r["tg"])]
