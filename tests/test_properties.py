@@ -259,3 +259,58 @@ def test_distributed_ordinal_property(spark, rows, n_bucket_cols, n_parts):
     )
     want = sorted(map(tuple, with_ordinal(df, keys).collect()))
     assert got == want
+
+
+# --- bind(value, body) == body applied to value, for any value type --------
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**31), max_value=2**31),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_bind_is_identity_let_property(spark, vals):
+    """exprs.bind is a pure let-binding: for any value expression and
+    body, ``bind(v, f)`` must equal ``f(v)`` — including NULL values,
+    NULL-producing bodies, and array-typed values (array-of-array via
+    ``array(value)`` is the load-bearing trick). The point of bind is
+    performance (evaluate once per row), never semantics."""
+    from odoo_batch_processing_spark.functions.exprs import bind
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    got = df.select(
+        "i",
+        # scalar value, arithmetic body (NULL propagates)
+        bind(F.col("v") * 2, lambda x: x + F.col("i")).alias("b_scalar"),
+        (F.col("v") * 2 + F.col("i")).alias("d_scalar"),
+        # array value, HOF body over the bound variable
+        bind(
+            F.array(F.col("v"), F.col("i"), F.lit(None).cast("long")),
+            lambda a: F.size(F.filter(a, lambda x: x.isNotNull())),
+        ).alias("b_arr"),
+        F.size(
+            F.filter(
+                F.array(F.col("v"), F.col("i"), F.lit(None).cast("long")),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("d_arr"),
+        # string value, conditional body
+        bind(
+            F.concat(F.lit("p"), F.col("v").cast("string")),
+            lambda s: F.when(F.length(s) > 3, s).otherwise(F.lit("short")),
+        ).alias("b_str"),
+        F.when(
+            F.length(F.concat(F.lit("p"), F.col("v").cast("string"))) > 3,
+            F.concat(F.lit("p"), F.col("v").cast("string")),
+        )
+        .otherwise(F.lit("short"))
+        .alias("b_ref"),
+    ).collect()
+    for r in got:
+        assert r["b_scalar"] == r["d_scalar"], r
+        assert r["b_arr"] == r["d_arr"], r
+        assert r["b_str"] == r["b_ref"], r
