@@ -359,3 +359,58 @@ def test_parse_size_bytes_spark_conf_forms(spark):
     # the live default must parse and enable the adaptive path
     live = parse_size_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     assert live > 0
+
+
+def test_staged_once_threaded_race_stress(tmp_path):
+    """Eight builders race staged_once on the SAME content key, with
+    jittered build durations. Invariants under any interleaving: every
+    caller gets the same committed path; the marker is present; the
+    artifact is exactly ONE builder's output (never a merge — the
+    payload file identifies its builder and must be internally
+    consistent); no builder's crash-equivalent (slow loser) corrupts
+    it. Complements the deterministic TOCTOU replay above with real
+    scheduling nondeterminism."""
+    import os
+    import threading
+    import time as _time
+
+    from odoo_batch_processing_spark.sources import sinks
+
+    src = tmp_path / "corpus.txt"
+    src.write_text("race-v1")
+
+    results, errors = [], []
+
+    def make_build(tag, delay):
+        def build(d):
+            os.makedirs(d, exist_ok=True)
+            _time.sleep(delay)
+            with open(os.path.join(d, "payload"), "w") as fh:
+                fh.write(f"builder-{tag}\n" * 3)
+            with open(os.path.join(d, "who"), "w") as fh:
+                fh.write(str(tag))
+        return build
+
+    def run(tag, delay):
+        try:
+            results.append(sinks.staged_once("t-race", str(src), make_build(tag, delay)))
+        except Exception as exc:  # noqa: BLE001 - surface in main thread
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=(t, 0.01 * (t % 4)))
+        for t in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert len(set(results)) == 1
+    path = results[0]
+    assert os.path.exists(os.path.join(path, "_STAGED"))
+    who = open(os.path.join(path, "who")).read()
+    payload = open(os.path.join(path, "payload")).read()
+    # the artifact is one builder's output, internally consistent
+    assert payload == f"builder-{who}\n" * 3
