@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from odoo_batch_processing_spark.functions.exprs import bind
 from odoo_batch_processing_spark.functions.vector import dot, norm, normalized, to_double
 from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
@@ -614,14 +615,30 @@ def quantize_int8(unit_vec: F.Column) -> tuple[F.Column, F.Column]:
     At 100 TB this is the bandwidth lever: scoring reads 1/4 the bytes
     of float32 (fits 4× more corpus in page cache / shuffle), and the
     integer products are exact in doubles, so the only error is the
-    quantization itself (recall measured in tests/test_int8_recall)."""
+    quantization itself (recall measured in tests/test_int8_recall).
+
+    ``mx`` is routed through :func:`~odoo_batch_processing_spark.
+    functions.exprs.bind` (SURVEY.md §7.5 rule 2): referencing the
+    ``array_max(transform(...))`` reduction directly inside the
+    quantize lambda embeds a copy that re-evaluates per ELEMENT —
+    Θ(d²) per row. The dimension ladder (tools/scale_dim.py) caught
+    exactly this shape: ×2.4 on the d×16 rung pre-fix while every
+    other vector stage trended flat-or-down. Array REDUCTIONS
+    (array_max/min/...) are the same hazard class as aggregate/reduce
+    folds — now scanned catalog-wide by plan_scan.EXPENSIVE_FUNCS."""
     mx = F.array_max(F.transform(unit_vec, F.abs))
-    scale = F.lit(float(INT8_TOP)) / mx
-    q = F.transform(
-        unit_vec,
-        lambda x: F.least(
-            F.lit(INT8_TOP), F.greatest(F.lit(-INT8_TOP), F.floor(x * scale + F.lit(0.5)).cast("int"))
-        ).cast("tinyint"),
+    q = bind(
+        mx,
+        lambda m: F.transform(
+            unit_vec,
+            lambda x: F.least(
+                F.lit(INT8_TOP),
+                F.greatest(
+                    F.lit(-INT8_TOP),
+                    F.floor(x * (F.lit(float(INT8_TOP)) / m) + F.lit(0.5)).cast("int"),
+                ),
+            ).cast("tinyint"),
+        ),
     )
     return q, mx
 
