@@ -32,10 +32,41 @@ import re
 FOLD_FUNCS = ("aggregate(", "reduce(")
 
 
-def lambda_bodies(plan: str) -> list[str]:
-    """Every ``lambdafunction(...)`` BODY (its first, balanced-paren
-    argument) in an executed-plan string. Regexes can't balance
-    parens, so each body is scanned explicitly.
+def _bind_exempt_starts(plan: str) -> set[int]:
+    """Start offsets (just past ``lambdafunction(``) of lambdas that
+    are the direct lambda of ``transform(array(...), lambdafunction(``
+    — the ``exprs.bind`` let-binding idiom. An ``array(...)`` LITERAL
+    collection has fixed arity (bind uses exactly 1 element), so the
+    body evaluates a CONSTANT number of times per row regardless of
+    any data dimension — expensive expressions and folds over row
+    columns inside such a body are once-per-row by construction, which
+    is precisely what bind exists to guarantee. (A bind nested inside
+    ANOTHER lambda body is still caught: the OUTER body's scan sees
+    the expensive expressions textually inside the bind's argument and
+    body spans.)"""
+    starts = set()
+    for m in re.finditer(r"transform\(array\(", plan):
+        depth, j = 1, m.end()
+        for j in range(m.end(), len(plan)):
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c == "\n":
+                break  # truncated print — treat as no match
+        prefix = ", lambdafunction("
+        if plan.startswith(prefix, j + 1):
+            starts.add(j + 1 + len(prefix))
+    return starts
+
+
+def _lambda_bodies_with_pos(plan: str) -> list[tuple[int, str]]:
+    """(start offset, body) for every ``lambdafunction(...)`` BODY (its
+    first, balanced-paren argument) in an executed-plan string. Regexes
+    can't balance parens, so each body is scanned explicitly.
 
     A body never spans lines in tree output, so the scan also stops at
     a newline: scan-node metadata strings are TRUNCATED at
@@ -63,23 +94,42 @@ def lambda_bodies(plan: str) -> list[str]:
                 break
             elif c == "\n":
                 break  # truncated print — body cannot really span lines
-        bodies.append(plan[start:j])
+        bodies.append((start, plan[start:j]))
     return bodies
+
+
+def lambda_bodies(plan: str, skip_bind: bool = False) -> list[str]:
+    """Every lambda body in the plan; with ``skip_bind=True`` the
+    direct bodies of the ``exprs.bind`` idiom (constant-arity
+    ``transform(array(...), ...)``) are omitted — they run a constant
+    number of times per row, so per-element hazards don't apply."""
+    exempt = _bind_exempt_starts(plan) if skip_bind else set()
+    return [b for pos, b in _lambda_bodies_with_pos(plan) if pos not in exempt]
 
 
 def folds_in_lambda_bodies(plan: str) -> list[str]:
     """Lambda bodies containing a fold — hazard shape 1. A fold as a
     HOF *argument* (e.g. ``array_repeat(sqrt(aggregate(...)), n)``
     feeding ``zip_with``) is fine: arguments evaluate once per row;
-    only the BODY re-evaluates per element."""
-    return [b for b in lambda_bodies(plan) if any(f in b for f in FOLD_FUNCS)]
+    only the BODY re-evaluates per element. Bodies of the
+    ``exprs.bind`` idiom are exempt (once per row by construction —
+    binding a fold's result is the canonical fix, not a hazard)."""
+    return [
+        b for b in lambda_bodies(plan, skip_bind=True) if any(f in b for f in FOLD_FUNCS)
+    ]
 
 
 #: length-proportional string/array functions: applied to a row COLUMN
 #: inside a lambda body they re-run per element — Θ(T²) per row (the
 #: round-8 shingle finding: split+trim-filter re-ran per shingle
 #: position, 85× at T=1000). Applied to a lambda VARIABLE they are
-#: per-element by design and fine.
+#: per-element by design and fine. The array REDUCTION and HOF rows
+#: were added after the dimension ladder (tools/scale_dim.py) caught
+#: ``array_max(transform(uv, abs))`` inlined into the int8 quantize
+#: lambda — a fold in everything but name, invisible to FOLD_FUNCS
+#: (Θ(d²) per row, ×2.4 on the d×16 rung). ``exprs.bind`` bodies are
+#: exempt (see :func:`_bind_exempt_starts`) — a bound HOF over a row
+#: column is the FIX for this class, not an instance of it.
 EXPENSIVE_FUNCS = (
     "split(",
     "hex(",
@@ -102,6 +152,25 @@ EXPENSIVE_FUNCS = (
     "sort_array(",
     "array_sort(",
     "array_distinct(",
+    # whole-array reductions — the int8 finding's class
+    "array_max(",
+    "array_min(",
+    "array_position(",
+    "array_contains(",
+    "arrays_overlap(",
+    "array_union(",
+    "array_intersect(",
+    "array_except(",
+    "array_join(",
+    "flatten(",
+    # higher-order functions over a row column re-traverse it per
+    # outer element; sequence() allocates its whole output per call
+    "transform(",
+    "filter(",
+    "exists(",
+    "forall(",
+    "zip_with(",
+    "sequence(",
 )
 
 #: printed lambda variables (``lambda x_1#447``) — their #N attribute
@@ -117,9 +186,10 @@ def expensive_exprs_in_lambda_bodies(plan: str) -> list[str]:
     argument span, erase every lambda-variable token, and flag if a
     ``name#N`` attribute reference remains — i.e. the expensive call
     consumes row data, not (only) lambda variables. The fix is
-    ``exprs.bind``: evaluate once per row, pass as a lambda var."""
+    ``exprs.bind``: evaluate once per row, pass as a lambda var —
+    accordingly, bind bodies themselves are exempt (constant arity)."""
     bad = []
-    for b in lambda_bodies(plan):
+    for b in lambda_bodies(plan, skip_bind=True):
         for f in EXPENSIVE_FUNCS:
             for m in re.finditer(re.escape(f), b):
                 depth, start = 1, m.end()

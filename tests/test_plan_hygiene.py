@@ -198,6 +198,38 @@ def test_expensive_expr_scanner_flags_round8_shape():
     assert not expensive_exprs_in_lambda_bodies(per_element)
 
 
+def test_expensive_expr_scanner_flags_int8_reduction_shape():
+    """Self-check for the dimension-ladder finding (tools/scale_dim.py):
+    an array REDUCTION (``array_max(transform(col, abs))`` — a fold in
+    everything but name, invisible to FOLD_FUNCS) referenced inside the
+    quantize lambda re-evaluates per element, Θ(d²) per row. The
+    scanner must flag the pre-fix shape and pass the bind() form —
+    whose body contains a HOF over a row column BY DESIGN (the outer
+    ``transform(array(mx), ...)`` has constant arity 1, so that body
+    runs once per row; exempting it is what lets EXPENSIVE_FUNCS carry
+    ``transform(`` at all)."""
+    from tests.plan_scan import expensive_exprs_in_lambda_bodies
+
+    pre_fix = (
+        "transform(uv#13, lambdafunction(cast(least(127, greatest(-127, "
+        "cast(FLOOR(((lambda x_9#18 * (127.0 / array_max(transform(uv#13, "
+        "lambdafunction(abs(lambda x_8#20), lambda x_8#20, false))))) + 0.5)) "
+        "as int))) as tinyint), lambda x_9#18, false))"
+    )
+    assert expensive_exprs_in_lambda_bodies(pre_fix)
+
+    # the shipped fix: bind(mx, m -> transform(uv, x -> q(x, m)))
+    bound = (
+        "element_at(transform(array(array_max(transform(uv#13, "
+        "lambdafunction(abs(lambda x_8#20), lambda x_8#20, false)))), "
+        "lambdafunction(transform(uv#13, lambdafunction(cast(least(127, "
+        "greatest(-127, cast(FLOOR(((lambda x_9#22 * (127.0 / "
+        "lambda x_7#21)) + 0.5)) as int))) as tinyint), lambda x_9#22, "
+        "false)), lambda x_7#21, false)), 1)"
+    )
+    assert not expensive_exprs_in_lambda_bodies(bound)
+
+
 def test_fold_scanners_flag_both_round7_shapes():
     """Self-check: the shared scanners must flag BOTH original hazard
     shapes verbatim, or the catalog sweep above is vacuously green."""
