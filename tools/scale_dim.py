@@ -37,8 +37,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: dimensions-per-vector multipliers; vectors scale 1/M so volume is constant
-MULTS = (1, 4, 16)
+#: dimensions-per-vector multipliers; vectors scale 1/M so volume is
+#: constant. The ladder runs a rung deeper than the doc-length ladder
+#: (×64 → d=2048 at the default base) because vector stages carry
+#: higher fixed floors relative to their Θ(N·d) work: the pre-fix int8
+#: quadratic measured only ×2.4 at d×16 — real, but under the flag
+#: line; at ×64 a per-vector quadratic costs 64× rung-0 compute and
+#: cannot hide under the floor.
+MULTS = (1, 4, 16, 64)
 FLAG_RATIO = 4.0
 
 #: one stage per distinct d-consuming code path in the vector family
