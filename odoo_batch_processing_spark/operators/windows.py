@@ -80,6 +80,98 @@ def _q_x7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_chunked(
+    ev: DataFrame, gap_min: float = SESSION_GAP_MIN, chunk_minutes: int = 24 * 60
+) -> DataFrame:
+    """Hot-key-resilient sessionization — the documented swap-in for
+    ``x7_sessionize``'s single Window when one user's event count
+    exceeds a task (same contract as ``kmeans_lloyd_cells`` vs the
+    medoid form: value-identical output, production plan shape,
+    certified by equivalence test instead of a second oracle entry).
+
+    Why: a Window partitioned by ``user_id`` puts EVERY row of a key
+    into one task — and unlike joins/aggregations, AQE's skew handling
+    cannot split a Window partition (lag/cumsum need the whole ordered
+    partition), so a power user with 100M events serializes onto one
+    core no matter the cluster size. This is the classic parallel
+    prefix-sum decomposition instead:
+
+    1. per ``(user_id, chunk)`` — chunk = floor(epoch/chunk_minutes) —
+       run the SAME lag + new-session flag + running count, locally.
+       The heavy per-event pass now parallelizes across a hot user's
+       time range (a 100M-event day at 1h chunks = 24 tasks, bounded
+       further by splitting chunk_minutes).
+    2. per ``(user_id, chunk)`` aggregate (first_ts, last_ts,
+       n_local) — the summary stream is |active chunks| rows per user,
+       ~6 orders of magnitude smaller than events.
+    3. one per-user Window over the SUMMARIES stitches boundaries:
+       a chunk's first event continues the previous chunk's last
+       session iff the cross-boundary gap ≤ gap_min (chunks are
+       time-ordered, so min/max ts ARE the boundary pair), and the
+       cumulative session offset is a cumsum of per-chunk
+       contributions (n_local minus the merged first session).
+    4. broadcast the summaries back and shift each chunk's local
+       running counts by its offset.
+
+    Exactness: all stitch arithmetic is integer counts; gap decisions
+    use the identical (ts, event_id)-ordered pairs as the single
+    Window (equal timestamps land in the same chunk, so no boundary
+    pair is reordered). Pinned value-identical to the Window form on
+    the fixture corpus AND adversarial corpora (duplicate timestamps,
+    gaps straddling chunk edges, empty chunks) by
+    tests/test_textstats_hh_gapfill.py::test_sessionize_chunked_*;
+    skew posture measured in SCALE.md (round 8, hot-key probe).
+    """
+    ts_sec = F.col("ts").cast("long")
+    ev = ev.withColumn("__chunk", F.floor(ts_sec / F.lit(chunk_minutes * 60)))
+    by_chunk = Window.partitionBy("user_id", "__chunk").orderBy("ts", "event_id")
+    local_gap = (ts_sec - F.lag("ts").over(by_chunk).cast("long")) / 60.0
+    flagged = ev.withColumn(
+        "__new", F.when(local_gap.isNull() | (local_gap > gap_min), 1).otherwise(0)
+    ).withColumn("__run", F.sum("__new").over(by_chunk))
+
+    summ = flagged.groupBy("user_id", "__chunk").agg(
+        F.min("ts").alias("__first_ts"),
+        F.max("ts").alias("__last_ts"),
+        F.sum("__new").alias("__n_local"),
+    )
+    by_user = Window.partitionBy("user_id").orderBy("__chunk")
+    bgap = (
+        F.col("__first_ts").cast("long") - F.lag("__last_ts").over(by_user).cast("long")
+    ) / 60.0
+    # a chunk's first local session merges into the previous session
+    # unless the cross-boundary gap opens a new one
+    merged = F.when(bgap.isNull() | (bgap > gap_min), F.lit(0)).otherwise(F.lit(1))
+    contrib = (F.col("__n_local") - merged).alias("__contrib")
+    offsets = (
+        summ.select("user_id", "__chunk", merged.alias("__merged"), contrib)
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__contrib").over(
+                    by_user.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("user_id", "__chunk", "__merged", "__offset")
+    )
+    # plain equi-join: the flagged side is already hash-partitioned on
+    # (user_id, __chunk) by the local Window, so the exchange is
+    # reusable; AQE converts to broadcast at runtime when the summary
+    # side is actually small (a driver-side F.broadcast would be wrong
+    # at scale — users × active-chunks can be billions of rows)
+    stitched = flagged.join(offsets, ["user_id", "__chunk"]).withColumn(
+        "session_id",
+        (F.col("__offset") + F.col("__run") - F.col("__merged")).cast("bigint"),
+    )
+    return stitched.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by totalprice (sort/top-K category —
     absent in the reference, SURVEY.md §2.2). row_number over

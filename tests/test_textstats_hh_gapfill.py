@@ -142,3 +142,93 @@ def test_pagerank_keeps_source_only_vertices(spark):
     base = 0.15 / 3
     assert abs(out[1] - base) < 1e-9  # no in-edges → base mass only
     assert out[2] > out[3] > out[1]  # 2 receives from both 1 and 3
+
+
+def _session_rows(df):
+    return sorted(
+        (r.user_id, r.session_id, r.n_events, r.session_start, r.session_end)
+        for r in df.collect()
+    )
+
+
+def test_sessionize_chunked_equals_window_form_on_fixture(spark):
+    """The chunk-stitch sessionizer (the hot-key swap-in — a Window
+    partition can't be split by AQE, so the single-Window form
+    serializes a power user onto one task) must be value-identical to
+    x7_sessionize's single Window on the real fixture corpus, at a
+    chunk width small enough that thousands of boundaries are
+    actually stitched."""
+    from odoo_batch_processing_spark.operators.windows import (
+        _q_x7_sessionize,
+        sessionize_chunked,
+    )
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    expected = _session_rows(_q_x7_sessionize(spark, "/root/testdata/sf0.001"))
+    # 6h chunks over a multi-day corpus: many cross-chunk stitches
+    got = _session_rows(sessionize_chunked(ev, chunk_minutes=6 * 60))
+    assert got == expected
+
+
+def test_sessionize_chunked_equals_window_form_adversarial(spark):
+    """Boundary cases the fixture can't guarantee: duplicate
+    timestamps at a chunk edge, a gap exactly AT the threshold (not a
+    boundary), sessions spanning 2+ chunk edges, a user with empty
+    chunks between events, and a single-event user."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators.windows import (
+        SESSION_GAP_MIN,
+        sessionize_chunked,
+    )
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = []
+    # user 1: a session crossing two 60-min chunk edges (events every
+    # 20 min from 00:10 to 02:50), then a 31-min gap -> new session
+    rows += [(1, i, t(10 + 20 * i)) for i in range(9)]
+    rows += [(1, 100, t(10 + 20 * 8 + 31))]
+    # user 2: duplicate timestamps exactly at a chunk edge (min 60)
+    rows += [(2, 1, t(59)), (2, 2, t(60)), (2, 3, t(60)), (2, 4, t(61))]
+    # user 3: gap exactly == threshold (30 min) across a chunk edge —
+    # NOT a new session (rule is strictly greater)
+    rows += [(3, 1, t(45)), (3, 2, t(75))]
+    # user 4: empty chunks between events (gap 300 min >> chunk width)
+    rows += [(4, 1, t(5)), (4, 2, t(305)), (4, 3, t(306))]
+    # user 5: single event
+    rows += [(5, 1, t(999))]
+    ev = spark.createDataFrame(
+        [(u, e, ts) for u, e, ts in rows], "user_id long, event_id long, ts timestamp"
+    )
+
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (F.col("ts").cast("long") - F.lag("ts").over(by_user).cast("long")) / 60.0
+    expected_df = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(by_user).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    expected = _session_rows(expected_df)
+    got = _session_rows(sessionize_chunked(ev, chunk_minutes=60))
+    assert got == expected
+    # sanity on the fixture's intent: user 1 has 2 sessions, user 3 has 1
+    by_user_count = {}
+    for u, sid, *_ in got:
+        by_user_count[u] = max(by_user_count.get(u, 0), sid)
+    assert by_user_count[1] == 2 and by_user_count[3] == 1 and by_user_count[4] == 2

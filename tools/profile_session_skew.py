@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Hot-key skew probe for sessionization: single per-user Window vs
+the chunk-stitch decomposition (operators/windows.sessionize_chunked).
+
+Why: AQE's skew handling splits JOIN/AGG partitions, not Window
+partitions — lag/cumsum need the whole ordered partition in one task,
+so a power user serializes onto one core no matter the cluster size.
+The probe fabricates corpora with CONSTANT total rows where a rising
+share lands on one hot user, and times both forms. Expected: the
+single-Window wall rises toward the serial cost of the hot partition;
+the chunked form stays ~flat (the heavy per-event pass partitions by
+(user, time-chunk), and the per-user stitch runs over chunk summaries
+~5 orders of magnitude smaller).
+
+    python tools/profile_session_skew.py [--rows 4000000]
+
+Writes SKEW_SESSION.json. This is a measurement, not a gate: the
+engine keeps the single-Window form as the x7_sessionize default
+(fewer shuffles; fixture keys are unskewed) with sessionize_chunked
+as the certified swap-in — the same posture as the RocksDB state
+store and kmeans_lloyd_cells A/Bs (SCALE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HOT_SHARES = (0.01, 0.25, 0.90)
+N_COLD_USERS = 10_000
+SPAN_DAYS = 30
+
+
+def build_corpus(spark, out: str, n_rows: int, hot_share: float) -> None:
+    """n_rows events over SPAN_DAYS; floor(hot_share*n_rows) on user 0,
+    the rest hashed over N_COLD_USERS users. Timestamps hash-scattered
+    over the span so sessions and chunk boundaries occur naturally."""
+    from pyspark.sql import functions as F
+
+    n_hot = int(n_rows * hot_share)
+    span_sec = SPAN_DAYS * 24 * 3600
+    ev = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.xxhash64(F.col("id") * 31), F.lit(span_sec))
+        ).alias("ts"),
+        F.when(F.col("id") < n_hot, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64(F.col("id")), F.lit(N_COLD_USERS)) + 1)
+        .alias("user_id"),
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(out)
+
+
+def single_window_sessions(spark, path):
+    from pyspark.sql import Window, functions as F
+
+    from odoo_batch_processing_spark.operators.windows import SESSION_GAP_MIN
+
+    ev = spark.read.parquet(path)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (F.col("ts").cast("long") - F.lag("ts").over(by_user).cast("long")) / 60.0
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(by_user).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def chunked_sessions(spark, path):
+    from odoo_batch_processing_spark.operators.windows import sessionize_chunked
+
+    ev = spark.read.parquet(path)
+    return sessionize_chunked(ev, chunk_minutes=60).select(
+        "user_id", "session_id", "n_events"
+    )
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rows", type=int, default=4_000_000)
+    parser.add_argument(
+        "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    args = parser.parse_args()
+
+    from odoo_batch_processing_spark.session import get_spark
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+
+    spark = get_spark("session-skew", cpus=args.cpus, shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for share in HOT_SHARES:
+        path = os.path.join(scratch_dir(f"skew-{int(share * 100)}"), "events.parquet")
+        build_corpus(spark, path, args.rows, share)
+        row = {"hot_share": share, "rows": args.rows}
+        for label, fn in (("window", single_window_sessions), ("chunked", chunked_sessions)):
+            fn(spark, path).count()  # warm (codegen + scan)
+            t0 = time.perf_counter()
+            n = fn(spark, path).count()
+            row[label] = {"sec": round(time.perf_counter() - t0, 2), "sessions": n}
+        # value identity at every skew point, not just speed
+        a = single_window_sessions(spark, path)
+        b = chunked_sessions(spark, path)
+        row["identical"] = (
+            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        )
+        results.append(row)
+        print(
+            f"[hot={share:4.0%}] window={row['window']['sec']:7.2f}s  "
+            f"chunked={row['chunked']['sec']:7.2f}s  "
+            f"sessions={row['window']['sessions']}  identical={row['identical']}",
+            file=sys.stderr,
+        )
+
+    payload = {
+        "metric": "session_skew",
+        "rows": args.rows,
+        "hot_shares": list(HOT_SHARES),
+        "results": results,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SKEW_SESSION.json",
+        ),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
+    return 0 if all(r["identical"] for r in results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
