@@ -57,6 +57,13 @@ def _q_x7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle: partitionBy(user_id). Order within user is (ts,
     event_id) so duplicate timestamps can't flip session boundaries.
+
+    Hot-key posture: AQE cannot split a Window partition, so a power
+    user serializes onto one task — when any key's event count
+    approaches a task's capacity, swap in :func:`sessionize_chunked`
+    (value-identical, measured 3× at 90% hot share; SCALE.md round-8
+    skew probe). The single Window stays the default because it wins
+    3.4× on unskewed keys (one shuffle, no stitch join).
     """
     ev = load_table(spark, sf_dir, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
