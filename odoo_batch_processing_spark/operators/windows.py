@@ -179,6 +179,62 @@ def sessionize_chunked(
     )
 
 
+def cumsum_chunked(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list,
+    value: F.Column,
+    chunk: F.Column,
+    out: str = "running_total",
+) -> DataFrame:
+    """Hot-key-resilient running sum — the generic form of the
+    :func:`sessionize_chunked` decomposition for plain cumulative
+    aggregates (``w_running_total``'s shape). Same motivation: AQE
+    cannot split a Window partition, so one hot key serializes its
+    whole prefix scan onto one task.
+
+    ``chunk`` must be a monotone function of a PREFIX of the ordering
+    (e.g. month-truncate of the leading date column) so that rows with
+    equal order keys share a chunk and chunk order equals row order.
+    Decomposition: local cumsum per (partition, chunk); per-chunk
+    totals; per-partition offset = cumsum of PRIOR chunk totals (a
+    Window over |chunks| summary rows, not |rows|); equi-join offsets
+    back and add. Addition must be order-independent for exactness —
+    use DECIMAL values (the engine's standard for money sums,
+    functions/exprs.py), where chunked totals are bit-identical to the
+    row-at-a-time prefix sum.
+
+    Value-identity vs the single-Window form is pinned on the fixture
+    ``orders`` corpus in tests/test_textstats_hh_gapfill.py::
+    test_cumsum_chunked_equals_window_form."""
+    pc = list(partition_cols)
+    dfc = df.withColumn("__chunk", chunk)
+    by_chunk = (
+        Window.partitionBy(*pc, "__chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = dfc.withColumn("__local", F.sum(value).over(by_chunk))
+    totals = dfc.groupBy(*pc, "__chunk").agg(F.sum(value).alias("__tot"))
+    by_part = (
+        Window.partitionBy(*pc)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *pc,
+        "__chunk",
+        F.coalesce(F.sum("__tot").over(by_part), F.lit(0).cast("decimal(12,2)")).alias(
+            "__off"
+        ),
+    )
+    return (
+        local.join(offsets, pc + ["__chunk"])
+        .withColumn(out, F.col("__off") + F.col("__local"))
+        .drop("__chunk", "__local", "__off")
+    )
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by totalprice (sort/top-K category —
     absent in the reference, SURVEY.md §2.2). row_number over
@@ -197,7 +253,9 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per customer over order time (frame-bounded
-    window agg; decimal keeps the cumulative sum order-independent)."""
+    window agg; decimal keeps the cumulative sum order-independent).
+    Hot-key swap-in: :func:`cumsum_chunked` (AQE can't split Window
+    partitions; see the x7_sessionize note and SCALE.md round 8)."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")

@@ -232,3 +232,44 @@ def test_sessionize_chunked_equals_window_form_adversarial(spark):
     for u, sid, *_ in got:
         by_user_count[u] = max(by_user_count.get(u, 0), sid)
     assert by_user_count[1] == 2 and by_user_count[3] == 1 and by_user_count[4] == 2
+
+
+def test_cumsum_chunked_equals_window_form(spark):
+    """The generic chunked running sum (w_running_total's hot-key
+    swap-in shape) must match the single-Window form exactly — decimal
+    addition is order-independent, so the chunk/offset regrouping is
+    bit-identical, surfaced as the same double."""
+    from pyspark.sql import Window
+
+    from odoo_batch_processing_spark.operators.windows import cumsum_chunked
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = sorted(
+        (r.o_custkey, r.o_orderkey, r.rt)
+        for r in orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .over(w)
+            .cast("double")
+            .alias("rt"),
+        ).collect()
+    )
+    # month chunks: monotone in the leading order column, so ties on
+    # (date, key) stay within a chunk
+    got_df = cumsum_chunked(
+        orders,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        F.col("o_totalprice").cast("decimal(12,2)"),
+        F.trunc("o_orderdate", "month"),
+        out="rt",
+    ).select("o_custkey", "o_orderkey", F.col("rt").cast("double").alias("rt"))
+    got = sorted((r.o_custkey, r.o_orderkey, r.rt) for r in got_df.collect())
+    assert got == expected
