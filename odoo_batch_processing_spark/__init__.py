@@ -37,6 +37,18 @@ rationale in SURVEY.md §7.5):
    re-run it per element (Θ(T²): the shingle builders, 85× at 1k
    tokens). Bind it once per row with ``functions.exprs.bind`` and
    reference the lambda variable (operators/dedup.py shingles).
+4. Array REDUCTIONS (array_max/min/contains/join, flatten, set ops)
+   and bare HOFs over a row column are folds in everything but name —
+   rules 1–3 apply to them identically (the int8-quantize Θ(d²),
+   caught by tools/scale_dim.py). ``bind`` bodies are exempt from the
+   scanners: constant-arity ``transform(array(v), λ)`` runs once per
+   row — it is the fix, not the hazard.
+
+Window skew rule: AQE cannot split a Window partition (lag/cumsum
+need the whole ordered partition in one task), so a hot key
+serializes regardless of cluster size. The chunk-stitch swap-ins —
+``operators.windows.sessionize_chunked`` / ``cumsum_chunked`` — are
+the certified mitigations (value-identical; SCALE.md round-8 probe).
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,54 @@
+"""Partition-count invariance: results must not depend on
+``spark.sql.shuffle.partitions``.
+
+This certifies the engine's determinism discipline end-to-end — the
+literal-boundary ordinals (round 6: `spark_partition_id` after a range
+repartition silently changes with exchange reuse), full-row xxhash64
+salts, decimal money sums, and pure-arithmetic sampling all exist so
+that partition LAYOUT can never leak into VALUES. The spot-check runs
+the value-visible families (positional ordinals, salted aggs, sampled
+mixes, float top-k, pandas-grouped ranks, window cumsums) at the test
+default (4) and a prime partition count (13), and requires exactly
+equal row sets. A failure here means a nondeterminism bug of the
+round-4/round-6 class has been reintroduced.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+#: one per value-visible mechanism, not one per query — each name is
+#: the family member whose VALUES are most exposed to partition layout
+INVARIANCE_QUERIES = (
+    "r09_zip_join_update",  # positional zip-join ordinal
+    "r10_limit",  # ordered top-N + bounded-rows ordinal
+    "skew_salted_agg",  # full-row-hash salt, two-phase agg
+    "grouped_pandas_ranks",  # applyInPandas group boundaries
+    "x3_minhash_lsh",  # capped band self-join pair set
+    "x4_cosine_topk",  # float scores + tie-broken top-k
+    "x9_source_mix",  # deterministic arithmetic sampling
+    "x9_pack_shards",  # prefix-sum shard packing
+    "x7_sessionize",  # window lag/cumsum session ids
+    "x8_approx_aggs",  # sketch aggregates under the hash gate
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_partition_count_invariant(spark, name):
+    from odoo_batch_processing_spark.registry import all_queries
+
+    q = all_queries(extended=True)[name]
+    baseline = _rows(q(spark, SF_SMOKE))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        reshuffled = _rows(q(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert reshuffled == baseline

@@ -314,3 +314,56 @@ def test_bind_is_identity_let_property(spark, vals):
         assert r["b_scalar"] == r["d_scalar"], r
         assert r["b_arr"] == r["d_arr"], r
         assert r["b_str"] == r["b_ref"], r
+
+
+# --- sessionize_chunked == single-Window sessionize for ANY event set ------
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000)),  # (user, minute)
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_events, st.sampled_from([1, 7, 37, 240]))
+@SETTINGS
+def test_sessionize_chunked_property(spark, events, chunk_minutes):
+    """The chunk-stitch decomposition is exact for arbitrary event
+    sets and chunk widths — including widths far below the session
+    gap (every session straddles many chunks), duplicate timestamps,
+    and sparse users. The single Window is the executable spec."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from odoo_batch_processing_spark.operators.windows import (
+        SESSION_GAP_MIN,
+        sessionize_chunked,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + dt.timedelta(minutes=m)) for i, (u, m) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long") - F.lag("ts").over(by_user).cast("long")) / 60.0
+    expected = sorted(
+        tuple(r)
+        for r in ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > SESSION_GAP_MIN), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(by_user).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in sessionize_chunked(ev, chunk_minutes=chunk_minutes).collect()
+    )
+    assert got == expected
