@@ -46,6 +46,12 @@ STAGES = (
     "x5_chunk_dedup_frac",  # chunk builder (width 10)
     "x9_curation_pipeline",  # quality gates: shingles(text, 5) + folds
     "x5_text_features",  # per-row token features (control: no shingles)
+    # multimodal: payload = utf-8(text), so tokens-per-doc IS the
+    # payload-BYTES axis — the round-7 Θ(bytes²) finding's axis,
+    # previously certified only via corpus count
+    "mm_neardup",  # hex-shingle simhash over payload
+    "mm_decode_features",  # Arrow-batched numpy decode per payload
+    "mm_frame_sample",  # fixed-size frame split (substring per frame)
 )
 
 
