@@ -50,45 +50,55 @@ def _q_x7_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_x7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization: per-user sessions split on >30min gaps —
-    lag + cumulative sum of the new-session flag (the classic pattern;
-    the streaming analog is session_window(ts, gap)).
+def sessionize_window(ev: DataFrame, gap_min: float = SESSION_GAP_MIN) -> DataFrame:
+    """The single-Window sessionizer — per-user sessions split on
+    >gap_min-minute gaps via lag + cumulative sum of the new-session
+    flag (the classic pattern; the streaming analog is
+    session_window(ts, gap)).
 
     One shuffle: partitionBy(user_id). Order within user is (ts,
     event_id) so duplicate timestamps can't flip session boundaries.
-
-    Hot-key posture: AQE cannot split a Window partition, so a power
-    user serializes onto one task — when any key's event count
-    approaches a task's capacity, swap in :func:`sessionize_chunked`
-    (value-identical, measured 3× at 90% hot share; SCALE.md round-8
-    skew probe). The single Window stays the default because it wins
-    3.4× on unskewed keys (one shuffle, no stitch join).
-    """
-    ev = load_table(spark, sf_dir, "events")
+    This is THE executable spec: x7_sessionize runs it, and every
+    equivalence certification of :func:`sessionize_chunked` (fixture,
+    adversarial, hypothesis property, skew probe) compares against
+    this function — never a re-typed copy — so a change to the gap
+    rule or tie-break here propagates to all of them."""
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_min = (
-        (F.col("ts").cast("long") - F.lag("ts").over(by_user).cast("long")) / 60.0
-    )
+    gap = (F.col("ts").cast("long") - F.lag("ts").over(by_user).cast("long")) / 60.0
     with_flag = ev.withColumn(
         "new_session",
-        F.when(gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > gap_min), 1).otherwise(0),
     )
     with_id = with_flag.withColumn(
         "session_id", F.sum("new_session").over(by_user).cast("bigint")
     )
-    return (
-        with_id.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
 
 
+def _q_x7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization over the events fixture — see
+    :func:`sessionize_window` for the expression and its determinism
+    contract.
+
+    Hot-key posture: AQE cannot split a Window partition, so a power
+    user serializes onto one task — when any key's event count
+    approaches a task's capacity, swap in :func:`sessionize_chunked`
+    (value-identical, measured 2.7× at 90% hot share; SCALE.md round-8
+    skew probe). The single Window stays the default because it wins
+    3.4× on unskewed keys (one shuffle, no stitch join).
+    """
+    return sessionize_window(load_table(spark, sf_dir, "events"))
+
+
 def sessionize_chunked(
-    ev: DataFrame, gap_min: float = SESSION_GAP_MIN, chunk_minutes: int = 24 * 60
+    ev: DataFrame,
+    gap_min: float = SESSION_GAP_MIN,
+    chunk_minutes: int = 24 * 60,
+    pin_intermediate: bool = False,
 ) -> DataFrame:
     """Hot-key-resilient sessionization — the documented swap-in for
     ``x7_sessionize``'s single Window when one user's event count
@@ -133,9 +143,22 @@ def sessionize_chunked(
     ev = ev.withColumn("__chunk", F.floor(ts_sec / F.lit(chunk_minutes * 60)))
     by_chunk = Window.partitionBy("user_id", "__chunk").orderBy("ts", "event_id")
     local_gap = (ts_sec - F.lag("ts").over(by_chunk).cast("long")) / 60.0
+    # `flagged` fans out to BOTH the summary groupBy and the stitch
+    # join; ReusedExchange dedups the shuffle below the Window, so the
+    # duplicated work is the in-partition sort/lag/cumsum only. A
+    # materialize_once barrier was A/B'd and LOSES at probe scale
+    # (4M rows: pin 5.68/3.35 s vs no-pin 4.94/2.69 s at 1%/90% hot
+    # share — persisting the full stream costs more than re-running
+    # the in-memory sort). pin_intermediate=True restores the barrier
+    # for deployments where the window pass spills (caller releases
+    # via session.release_materialized()).
     flagged = ev.withColumn(
         "__new", F.when(local_gap.isNull() | (local_gap > gap_min), 1).otherwise(0)
     ).withColumn("__run", F.sum("__new").over(by_chunk))
+    if pin_intermediate:
+        from odoo_batch_processing_spark.session import materialize_once
+
+        flagged = flagged.transform(materialize_once)
 
     summ = flagged.groupBy("user_id", "__chunk").agg(
         F.min("ts").alias("__first_ts"),

@@ -47,6 +47,7 @@ def _bind_exempt_starts(plan: str) -> set[int]:
     starts = set()
     for m in re.finditer(r"transform\(array\(", plan):
         depth, j = 1, m.end()
+        balanced = False
         for j in range(m.end(), len(plan)):
             c = plan[j]
             if c == "(":
@@ -54,11 +55,12 @@ def _bind_exempt_starts(plan: str) -> set[int]:
             elif c == ")":
                 depth -= 1
                 if depth == 0:
+                    balanced = True
                     break
             elif c == "\n":
                 break  # truncated print — treat as no match
         prefix = ", lambdafunction("
-        if plan.startswith(prefix, j + 1):
+        if balanced and plan.startswith(prefix, j + 1):
             starts.add(j + 1 + len(prefix))
     return starts
 

@@ -42,13 +42,29 @@ def _rows(df):
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)
 def test_partition_count_invariant(spark, name):
     from odoo_batch_processing_spark.registry import all_queries
+    from odoo_batch_processing_spark.session import release_materialized
+
+    def run(q):
+        # drop materialize_once pins and cached relations between runs:
+        # the CacheManager plan-matches via sameResult, so without this
+        # the 13-partition run would silently read intermediates cached
+        # under the 4-partition layout — certifying nothing (and the
+        # pins would outlive the test, breaking session.py's lifetime
+        # contract for the rest of the pytest session)
+        release_materialized()
+        spark.catalog.clearCache()
+        try:
+            return _rows(q(spark, SF_SMOKE))
+        finally:
+            release_materialized()
+            spark.catalog.clearCache()
 
     q = all_queries(extended=True)[name]
-    baseline = _rows(q(spark, SF_SMOKE))
+    baseline = run(q)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "13")
-        reshuffled = _rows(q(spark, SF_SMOKE))
+        reshuffled = run(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert reshuffled == baseline

@@ -333,11 +333,9 @@ def test_sessionize_chunked_property(spark, events, chunk_minutes):
     and sparse users. The single Window is the executable spec."""
     import datetime as dt
 
-    from pyspark.sql import Window
-
     from odoo_batch_processing_spark.operators.windows import (
-        SESSION_GAP_MIN,
         sessionize_chunked,
+        sessionize_window,
     )
 
     base = dt.datetime(2024, 1, 1)
@@ -346,23 +344,7 @@ def test_sessionize_chunked_property(spark, events, chunk_minutes):
     ]
     ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
 
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.col("ts").cast("long") - F.lag("ts").over(by_user).cast("long")) / 60.0
-    expected = sorted(
-        tuple(r)
-        for r in ev.withColumn(
-            "new_session",
-            F.when(gap.isNull() | (gap > SESSION_GAP_MIN), 1).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_session").over(by_user).cast("bigint"))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
-        .collect()
-    )
+    expected = sorted(tuple(r) for r in sessionize_window(ev).collect())
     got = sorted(
         tuple(r) for r in sessionize_chunked(ev, chunk_minutes=chunk_minutes).collect()
     )

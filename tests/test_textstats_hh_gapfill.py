@@ -178,13 +178,10 @@ def test_sessionize_chunked_equals_window_form_adversarial(spark):
     chunks between events, and a single-event user."""
     import datetime as dt
 
-    from pyspark.sql import functions as F
-
     from odoo_batch_processing_spark.operators.windows import (
-        SESSION_GAP_MIN,
         sessionize_chunked,
+        sessionize_window,
     )
-    from pyspark.sql import Window
 
     base = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -209,22 +206,7 @@ def test_sessionize_chunked_equals_window_form_adversarial(spark):
         [(u, e, ts) for u, e, ts in rows], "user_id long, event_id long, ts timestamp"
     )
 
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_min = (F.col("ts").cast("long") - F.lag("ts").over(by_user).cast("long")) / 60.0
-    expected_df = (
-        ev.withColumn(
-            "new_session",
-            F.when(gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_session").over(by_user).cast("bigint"))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
-    )
-    expected = _session_rows(expected_df)
+    expected = _session_rows(sessionize_window(ev))
     got = _session_rows(sessionize_chunked(ev, chunk_minutes=60))
     assert got == expected
     # sanity on the fixture's intent: user 1 has 2 sessions, user 3 has 1

@@ -134,7 +134,10 @@ def main() -> int:
     print(f"{'stage':26s} " + "  ".join(f"T*{m:<4d}" for m in MULTS), file=sys.stderr)
     for name in STAGES:
         secs = [r["stages"][name]["sec"] for r in results]
-        ratio = secs[-1] / secs[0] if secs[0] > 0 else 0.0
+        # a sub-10ms rung 0 would make the ratio meaningless (and the
+        # old `else 0.0` guard silently UN-flaggable) — fail loud on
+        # the floor instead of green-lighting an unmeasurable stage
+        ratio = secs[-1] / max(secs[0], 0.01)
         if ratio > FLAG_RATIO:
             flagged.append(name)
         print(
