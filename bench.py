@@ -4,10 +4,11 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-The per-query number is wall-clock for plan construction + execution
-(results drained via count(); nothing collected to the driver). One
-warm SparkSession is shared — the driver's metric is query latency, not
-JVM startup.
+The per-query number is wall-clock for plan construction + execution,
+drained via a value-forcing aggregate (see ``drain``) so projection
+pruning can't optimize a query's expressions out of the measurement;
+nothing is collected to the driver. One warm SparkSession is shared —
+the driver's metric is query latency, not JVM startup.
 """
 
 from __future__ import annotations
@@ -22,6 +23,40 @@ import time
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+
+def drain(df) -> int:
+    """Execute a query DataFrame so that EVERY output column is
+    computed; returns the row count.
+
+    ``count()`` is not enough: Catalyst prunes unreferenced
+    projections, so a pure per-row query (``x6_json_extract``,
+    ``x5_text_features``) would "bench" as a bare scan count with its
+    expressions optimized away — verified round 8 (`from_json`/`split`
+    absent from the count() executed plan). The
+    ``bit_xor(xxhash64(...))`` aggregate forces every column in one
+    pass without collecting rows to the driver. Map/variant columns
+    (xxhash64 can't consume them) are forced through their JSON text.
+
+    The CALIBRATION workload deliberately does NOT use this drain: its
+    count()-drained wall time is the frozen cross-round yardstick and
+    must never re-base.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    hashable = []
+    for name, dtype in df.dtypes:
+        col = df[name]  # exact-name resolution — F.col() would parse
+        # dots in auto-generated names (`percentile(x, 0.5)`) as
+        # struct-field access
+        if dtype.startswith("map<") or dtype == "variant":
+            col = F.to_json(col)
+        hashable.append(col)
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*hashable)).alias("h"),
+    ).collect()[0]
+    return row["n"]
 
 
 def calibration_df(spark, sf_dir: str):
@@ -61,7 +96,7 @@ def main() -> int:
 
     queries = all_queries()
     # Warm the JVM + parquet footers once so timings measure the queries.
-    next(iter(queries.values()))(spark, sf_dir).count()
+    drain(next(iter(queries.values()))(spark, sf_dir))
 
     # Fixed CALIBRATION workload (VERDICT r6 item 1): the frozen
     # calibration_df plan, so BENCH_r{N} artifacts carry a common
@@ -109,7 +144,7 @@ def main() -> int:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
-                fn(spark, sf_dir).count()
+                drain(fn(spark, sf_dir))
             except Exception as exc:  # surface per-query, keep benching
                 print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
                 runs = [-1.0]

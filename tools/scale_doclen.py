@@ -94,6 +94,7 @@ def main() -> int:
     )
     args = parser.parse_args()
 
+    from bench import drain
     from odoo_batch_processing_spark.registry import all_queries
     from odoo_batch_processing_spark.session import get_spark, release_materialized
     from odoo_batch_processing_spark.sources.sinks import scratch_dir
@@ -111,14 +112,14 @@ def main() -> int:
         build_corpus(spark, corpus, n_docs, n_tokens)
         if not warmed:
             for name in STAGES:
-                queries[name](spark, corpus).count()
+                drain(queries[name](spark, corpus))
             warmed = True
         row = {"mult": mult, "n_docs": n_docs, "tokens_per_doc": n_tokens, "stages": {}}
         for name in STAGES:
             release_materialized()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            out_rows = queries[name](spark, corpus).count()
+            out_rows = drain(queries[name](spark, corpus))
             row["stages"][name] = {
                 "sec": round(time.perf_counter() - t0, 2),
                 "rows": out_rows,
