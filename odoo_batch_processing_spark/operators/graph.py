@@ -288,7 +288,7 @@ QUERIES_EXT = {
 from odoo_batch_processing_spark.operators.text import (  # noqa: E402
     _TOKS,
     _TRIGRAMS_SQL,
-    DF_CAP_SQL,
+    GRAPH_DF_CAP_SQL,
 )
 
 # one unrolled iteration of the fixed-point update (see pagerank());
@@ -324,7 +324,7 @@ _PAIRS_CTES = """
         FROM pruned a JOIN pruned b USING (shingle)
         WHERE a.doc_id <> b.doc_id
     )
-""".format(trigrams=_TRIGRAMS_SQL, toks=_TOKS, df_cap=DF_CAP_SQL)
+""".format(trigrams=_TRIGRAMS_SQL, toks=_TOKS, df_cap=GRAPH_DF_CAP_SQL)
 
 ORACLES_EXT = {
     "g_triangle_counts": f"""
@@ -365,7 +365,7 @@ ORACLES_EXT = {
     ), keep AS (
         SELECT shingle FROM doc_terms GROUP BY shingle
         HAVING COUNT(1) >= 2
-           AND COUNT(1) <= {DF_CAP_SQL}
+           AND COUNT(1) <= {GRAPH_DF_CAP_SQL}
     ), pruned AS (
         SELECT doc_id, shingle FROM doc_terms JOIN keep USING (shingle)
     ), pairs AS (

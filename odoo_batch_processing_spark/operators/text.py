@@ -552,17 +552,36 @@ def _q_x5_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a constant independent of corpus size
 POSTING_ABS_CAP = 1000
 
-#: the df-cap restated for DuckDB — every oracle over the pruned
-#: postings (doc-cosine here; triangle/PageRank graphs in graph.py)
-#: MUST use this fragment, not re-inline the arithmetic, so the cap
-#: changes in lockstep with pruned_shingle_postings
-DF_CAP_SQL = (
-    "least(greatest(2, CAST(ceil(0.05 * (SELECT COUNT(1) FROM documents))"
-    f" AS BIGINT)), {POSTING_ABS_CAP})"
-)
+#: tighter absolute cap for the GRAPH consumers (triangle counts,
+#: PageRank — graph.py): a df-k shingle materializes a k-CLIQUE in the
+#: co-occurrence graph, so pair work grows with df² but TRIANGLE work
+#: with df³ — at the cosine cap (1000) one saturated shingle alone is
+#: ~1.7·10⁸ triangles, unbounded at any corpus that keeps saturating
+#: it (the honest-drain smoke ladder measured 236 s at the 8× rung).
+#: 64 bounds a shingle's clique at ≤2016 edges / ≤41664 triangles —
+#: constant at any scale — and is the semantic line the graph queries
+#: already document: a shingle shared by >64 docs is boilerplate (a
+#: hub), noise for cliquishness analysis.
+GRAPH_DF_CAP = 64
+
+#: the df-caps restated for DuckDB — every oracle over the pruned
+#: postings MUST use these fragments, not re-inline the arithmetic,
+#: so the caps change in lockstep with pruned_shingle_postings
+#: (DF_CAP_SQL: doc-cosine here; GRAPH_DF_CAP_SQL: graph.py)
+def _df_cap_sql(abs_cap: int) -> str:
+    return (
+        "least(greatest(2, CAST(ceil(0.05 * (SELECT COUNT(1) FROM documents))"
+        f" AS BIGINT)), {abs_cap})"
+    )
 
 
-def pruned_shingle_postings(spark: SparkSession, sf_dir: str):
+DF_CAP_SQL = _df_cap_sql(POSTING_ABS_CAP)
+GRAPH_DF_CAP_SQL = _df_cap_sql(GRAPH_DF_CAP)
+
+
+def pruned_shingle_postings(
+    spark: SparkSession, sf_dir: str, abs_cap: int = POSTING_ABS_CAP
+):
     """The shared trigram inverted index: (doc_id, shingle, tf)
     postings with the standard bilateral df pruning — shingles in one
     doc can't pair (df ≥ 2), shingles in >5% of docs are
@@ -579,12 +598,17 @@ def pruned_shingle_postings(spark: SparkSession, sf_dir: str):
     every posting list — hence every shingle's pair count — by a
     constant at any corpus size, exactly like dedup.HOT_BUCKET_CAP.
     At fixture scales the 5% term is smaller, so results are
-    unchanged (sf0.1: 250 ≪ 1000)."""
+    unchanged (sf0.1: 250 ≪ 1000).
+
+    ``abs_cap`` lets consumers with steeper fan-out pick a tighter
+    ceiling: the graph queries pass GRAPH_DF_CAP because their
+    triangle work grows with df³ through co-occurrence cliques, not
+    df² (see the constant's doc block)."""
     import math
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     n_docs = docs.count()  # scalar (see x5_tfidf_top_terms)
-    max_df = min(max(2, int(math.ceil(0.05 * n_docs))), POSTING_ABS_CAP)
+    max_df = min(max(2, int(math.ceil(0.05 * n_docs))), abs_cap)
     doc_terms = (
         docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
         .groupBy("doc_id", "shingle")

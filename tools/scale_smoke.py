@@ -115,6 +115,7 @@ def main() -> int:
     args = parser.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
+    from bench import drain
     from odoo_batch_processing_spark.registry import all_queries
     from odoo_batch_processing_spark.session import get_spark, release_materialized
     from odoo_batch_processing_spark.sources.sinks import scratch_dir
@@ -130,7 +131,7 @@ def main() -> int:
         n_docs = build_corpus(spark, args.sf_dir, mult, corpus)
         if not warmed:  # JVM/codegen warmup outside the timed stages
             for name in STAGES:
-                queries[name](spark, corpus).count()
+                drain(queries[name](spark, corpus))
             warmed = True
         row = {"mult": mult, "n_docs": n_docs, "stages": {}}
         for name in STAGES:
@@ -140,7 +141,7 @@ def main() -> int:
             release_materialized()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            out_rows = queries[name](spark, corpus).count()
+            out_rows = drain(queries[name](spark, corpus))
             secs = round(time.perf_counter() - t0, 2)
             row["stages"][name] = {"sec": secs, "rows": out_rows}
         results.append(row)

@@ -117,6 +117,7 @@ def build_star(spark, sf_dir: str, mult: int, out: str) -> dict[str, int]:
 
 
 def time_suite(spark, queries, sf_dir: str, reps: int) -> dict[str, dict]:
+    from bench import drain
     from odoo_batch_processing_spark.session import release_materialized
 
     out: dict[str, dict] = {}
@@ -128,7 +129,7 @@ def time_suite(spark, queries, sf_dir: str, reps: int) -> dict[str, dict]:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
-                rows = fn(spark, sf_dir).count()
+                rows = drain(fn(spark, sf_dir))
             except Exception as exc:
                 print(f"scale_suite: {name} failed at {sf_dir}: {exc!r}", file=sys.stderr)
                 runs = [-1.0]
