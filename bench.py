@@ -44,11 +44,14 @@ def drain(df) -> int:
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    # positional rename first: F.col(name), df[name], and even df[i]
+    # all resolve BY NAME and parse dots in auto-generated names
+    # (`percentile(x, 0.5)`) as struct-field access; toDF renames
+    # positionally with no resolution (tests/test_drain.py pins this)
+    df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
     hashable = []
     for name, dtype in df.dtypes:
-        col = df[name]  # exact-name resolution — F.col() would parse
-        # dots in auto-generated names (`percentile(x, 0.5)`) as
-        # struct-field access
+        col = F.col(name)
         if dtype.startswith("map<") or dtype == "variant":
             col = F.to_json(col)
         hashable.append(col)
