@@ -319,10 +319,18 @@ def _q_x8_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 % of the exact GLOBAL distinct — both far beyond lgK=12's
     ~1.6 % rsd), TRUE literals on the DuckDB side."""
     ev = load_table(spark, sf_dir, "events")
-    per_part = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"),
+    # sketch and countDistinct in SEPARATE aggregations (the
+    # x8_approx_aggs split): sharing one Aggregate makes the distinct
+    # rewrite build a partial lgK=12 HLL buffer (~4 KB) per
+    # (event_type, user_id) PAIR — |distinct pairs| sketch merges
+    # instead of |groups|. The rejoin key is the group key (5 rows).
+    sk_part = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
     )
+    nd_part = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    per_part = sk_part.join(nd_part, "event_type")
     glob = per_part.agg(
         F.sum(F.lit(1)).cast("bigint").alias("n_parts"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_g_est"),
