@@ -252,3 +252,43 @@ def folds_under_null_checks_in_filters(plan: str) -> list[str]:
                 bad.append(line.strip())
                 break
     return bad
+
+
+#: aggregates whose PARTIAL state is large (a value buffer or sketch,
+#: not a counter): mixed into the same Aggregate as a DISTINCT
+#: aggregate, Spark's distinct rewrite computes their partials keyed
+#: by (group, distinct-column) — one buffer per distinct PAIR instead
+#: of per group (the round-8 x8_approx_aggs finding: 6 percentile
+#: buffers per (priority, custkey), ~100k merges instead of 5 —
+#: 4.7× of the suite's then-most-expensive query).
+BUFFER_AGGS = (
+    "percentile(",
+    "percentile_approx(",
+    "approx_percentile(",
+    "median(",
+    "mode(",
+    "hll_sketch_agg(",
+    "hll_union_agg(",
+    "collect_list(",
+    "collect_set(",
+    "array_agg(",
+)
+
+_DISTINCT_CALL = re.compile(r"\w+\(distinct ")
+
+
+def distinct_mixed_with_buffer_aggs(analyzed_plan: str) -> list[str]:
+    """ANALYZED-plan Aggregate lines containing BOTH a distinct
+    aggregate (``count(distinct x#1)`` — the modifier survives only in
+    the analyzed plan; RewriteDistinctAggregates erases it) and a
+    buffer-heavy aggregate. Fix pattern: split into two single-level
+    aggregations and equi-join on the grouping key (operators/approx.py
+    x8_approx_aggs / x8_hll_merge). approx_count_distinct is NOT a
+    distinct aggregate (no rewrite) and doesn't trigger this."""
+    bad = []
+    for line in analyzed_plan.splitlines():
+        if "Aggregate [" not in line:
+            continue
+        if _DISTINCT_CALL.search(line) and any(f in line for f in BUFFER_AGGS):
+            bad.append(line.strip()[:300])
+    return bad

@@ -410,3 +410,58 @@ def test_star_joins_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def analyzed_plans(spark):
+    """Analyzed-plan strings (pre-optimizer) — the only place the
+    ``distinct`` aggregate modifier is still visible."""
+    return {
+        name: fn(spark, SF_SMOKE)._jdf.queryExecution().analyzed().toString()
+        for name, fn in sorted(_batch_queries().items())
+    }
+
+
+def test_no_distinct_mixed_with_buffer_aggs_anywhere(analyzed_plans):
+    """Catalog-wide invariant for the round-8 distinct-mixing finding:
+    a DISTINCT aggregate sharing an Aggregate with a buffer-heavy one
+    (percentile/sketch/collect) makes the distinct rewrite build the
+    heavy partial per (group, distinct-column) pair — |distinct pairs|
+    buffers instead of |groups| (x8_approx_aggs: 6.9 s of which 4.7×
+    was this shape; x8_hll_merge: a 4 KB HLL per user). Fix: split
+    into two aggregations, equi-join on the group key."""
+    from tests.plan_scan import distinct_mixed_with_buffer_aggs
+
+    offenders = {
+        name: found[:2]
+        for name, plan in analyzed_plans.items()
+        if (found := distinct_mixed_with_buffer_aggs(plan))
+    }
+    assert not offenders, f"distinct mixed with buffer-heavy aggs: {offenders}"
+
+
+def test_distinct_mixing_scanner_flags_prefix_shape():
+    """Self-check: the scanner must flag the pre-fix x8 shape and pass
+    the split form plus approx_count_distinct (no rewrite)."""
+    from tests.plan_scan import distinct_mixed_with_buffer_aggs
+
+    pre_fix = (
+        "Aggregate [o_orderpriority#5], [o_orderpriority#5, "
+        "count(distinct o_custkey#1L) AS n_custs#13L, "
+        "percentile(o_totalprice#3, 0.5, 1, 0, 0, false) AS p50#14]"
+    )
+    assert distinct_mixed_with_buffer_aggs(pre_fix)
+
+    split = (
+        "Aggregate [o_orderpriority#5], [o_orderpriority#5, "
+        "percentile(o_totalprice#3, array(0.5, 0.9), 1, 0, 0, false) AS _pct#14]\n"
+        "Aggregate [o_orderpriority#5], [o_orderpriority#5, "
+        "count(distinct o_custkey#1L) AS n_custs#13L]"
+    )
+    assert not distinct_mixed_with_buffer_aggs(split)
+
+    approx_ok = (
+        "Aggregate [g#1], [g#1, approx_count_distinct(v#2L, 0.02) AS n#3L, "
+        "percentile(v#2L, 0.5, 1, 0, 0, false) AS p#4]"
+    )
+    assert not distinct_mixed_with_buffer_aggs(approx_ok)
