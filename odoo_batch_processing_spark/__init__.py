@@ -43,6 +43,17 @@ rationale in SURVEY.md §7.5):
    caught by tools/scale_dim.py). ``bind`` bodies are exempt from the
    scanners: constant-arity ``transform(array(v), λ)`` runs once per
    row — it is the fix, not the hazard.
+5. Never mix a DISTINCT aggregate with a buffer-heavy aggregate
+   (percentile/sketch/collect) in one Aggregate — the distinct
+   rewrite builds the heavy partial per (group, distinct-column)
+   PAIR. Split into two aggregations and equi-join on the group key
+   (operators/approx.py x8_approx_aggs / x8_hll_merge; scanned
+   catalog-wide over analyzed plans).
+
+Measurement rule: never drain a query with count() — Catalyst prunes
+projection expressions, unreferenced aggregates, and whole LEFT-join
+subtrees out of a count plan. Use ``bench.drain`` (forces every
+output column; tests/test_drain.py pins its contracts).
 
 Window skew rule: AQE cannot split a Window partition (lag/cumsum
 need the whole ordered partition in one task), so a hot key
