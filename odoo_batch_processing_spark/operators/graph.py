@@ -229,9 +229,18 @@ def _q_g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     while boilerplate hubs (high degree, low triangles) do not, which
     is the signal a curation pass uses to separate the two.
     """
-    from odoo_batch_processing_spark.operators.text import pruned_shingle_postings
+    from odoo_batch_processing_spark.operators.text import (
+        GRAPH_DF_CAP,
+        pruned_shingle_postings,
+    )
 
-    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir)
+    # abs_cap=GRAPH_DF_CAP (64, not POSTING_ABS_CAP=1000): a df-k
+    # shingle is a k-clique, so the wedge/triangle work is df³ — the
+    # graph queries need the tighter absolute cap their GRAPH_DF_CAP_SQL
+    # oracles prune with (divergent only at corpora where 5%·n_docs > 64,
+    # i.e. sf0.1+; certified there by tools/oracle_check.py --extended
+    # --sf-dir sf0.1 this round).
+    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=GRAPH_DF_CAP)
     pruned = pruned.select("doc_id", "shingle")
     a = pruned.select("shingle", F.col("doc_id").alias("src"))
     b = pruned.select("shingle", F.col("doc_id").alias("dst"))
@@ -254,9 +263,14 @@ def _q_g_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations at d = 0.85; output is every connected doc with its
     degree and rank.
     """
-    from odoo_batch_processing_spark.operators.text import pruned_shingle_postings
+    from odoo_batch_processing_spark.operators.text import (
+        GRAPH_DF_CAP,
+        pruned_shingle_postings,
+    )
 
-    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir)
+    # abs_cap=GRAPH_DF_CAP — see _q_g_triangle_counts: df³ hazard class,
+    # oracle prunes at the same 64 via GRAPH_DF_CAP_SQL.
+    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=GRAPH_DF_CAP)
     pruned = pruned.select("doc_id", "shingle")
     a = pruned.select("shingle", F.col("doc_id").alias("src"))
     b = pruned.select("shingle", F.col("doc_id").alias("dst"))
