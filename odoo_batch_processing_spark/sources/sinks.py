@@ -121,6 +121,7 @@ def staged_once(name: str, src_path: str, build) -> str:
     is preserved, detected by re-checking the marker on the aside dir,
     and restored by renaming it straight back."""
     import shutil
+    import time
 
     from odoo_batch_processing_spark.operators.dedup import corpus_fingerprint
 
@@ -153,11 +154,35 @@ def staged_once(name: str, src_path: str, build) -> str:
             if _marker_present(aside):
                 # the "leftover" was really a racer's commit that landed
                 # between the check and the rename — put it straight back
-                # and discard our copy
-                try:
-                    os.rename(aside, path)
-                except OSError:
-                    pass  # yet another racer landed on path meanwhile
+                # and discard our copy. The restore can fail if a THIRD
+                # racer occupied path meanwhile; retry briefly (its own
+                # aside-flow clears marker-less occupants), and if path
+                # stays wedged, move the committed artifact to a
+                # sweep-EXEMPT keyed- rescue name instead of leaving it
+                # stranded under the TTL-swept stagetmp-aside-* prefix
+                # (ADVICE r9: a COMMITTED artifact is never deleted, so
+                # it must never sit where the janitor collects).
+                restored = False
+                for _ in range(20):
+                    try:
+                        os.rename(aside, path)
+                        restored = True
+                        break
+                    except OSError:
+                        if _marker_present(path):
+                            break  # a commit landed at path; aside is a dup
+                        time.sleep(0.05)
+                if not restored and not _marker_present(path):
+                    rescue = os.path.join(
+                        _SCRATCH,
+                        _KEYED_PREFIX + "rescue-" + os.path.basename(aside),
+                    )
+                    try:
+                        os.rename(aside, rescue)
+                    except OSError:
+                        rescue = None  # aside itself moved/committed away
+                    if rescue is not None and _marker_present(rescue):
+                        return rescue  # readable committed artifact
                 if _marker_present(path):
                     return path
         try:

@@ -64,3 +64,19 @@ def test_drain_handles_maps_and_dotted_names(spark):
         F.col("id").alias("percentile(id, 0.5)"),
     )
     assert drain(df) == 5
+
+
+def test_drain_handles_nested_maps(spark):
+    """xxhash64 rejects MapType at ANY nesting depth (ADVICE r9):
+    array<map>, struct-containing-map, and map-valued-map columns must
+    all be routed through to_json, not just top-level maps — otherwise
+    a catalog query emitting one would bench as failed (-1)."""
+    m = F.create_map(F.lit("a"), F.col("id"))
+    df = spark.range(5).select(
+        F.array(m).alias("arr_of_map"),
+        F.struct(F.col("id").alias("k"), m.alias("inner")).alias("struct_with_map"),
+        F.create_map(F.lit("outer"), m).alias("map_of_map"),
+        F.array(F.struct(m.alias("deep"))).alias("arr_struct_map"),
+        F.col("id"),
+    )
+    assert drain(df) == 5

@@ -414,3 +414,64 @@ def test_staged_once_threaded_race_stress(tmp_path):
     payload = open(os.path.join(path, "payload")).read()
     # the artifact is one builder's output, internally consistent
     assert payload == f"builder-{who}\n" * 3
+
+
+def test_staged_once_rescues_commit_when_restore_is_wedged(tmp_path, monkeypatch):
+    """ADVICE r9: if the restore rename (aside -> path) fails because a
+    THIRD racer occupied the keyed path with a marker-less dir, the
+    committed artifact must NOT be left stranded under the TTL-swept
+    stagetmp-aside-* prefix — it is moved to a sweep-exempt keyed-
+    rescue sibling and returned, so 'a COMMITTED artifact is never
+    deleted' survives even this interleaving.
+
+    Deterministic replay: the keyed path holds a commit made invisible
+    for the first two marker checks (the TOCTOU window), so staged_once
+    moves it aside; the moment the aside dir's marker is checked, the
+    'third racer' plants a marker-less dir at the keyed path, wedging
+    every restore retry. staged_once must return a marker-bearing
+    rescue path containing the racer's payload."""
+    import os
+    import shutil
+
+    from odoo_batch_processing_spark.sources import sinks
+
+    src = tmp_path / "corpus.txt"
+    src.write_text("wedge-v1")
+
+    def racer_build(d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "winner"), "w") as fh:
+            fh.write("racer")
+
+    p = sinks.staged_once("t-wedge", str(src), racer_build)
+    assert os.path.exists(os.path.join(p, "_STAGED"))
+
+    real = sinks._marker_present
+    state = {"hidden": 0, "planted": False}
+
+    def seam(path):
+        if path == p and state["hidden"] < 2:
+            state["hidden"] += 1
+            return False  # the racer's commit is invisible pre-aside
+        if "stagetmp-aside-t-wedge" in os.path.basename(path) and not state["planted"]:
+            # third racer lands a marker-less dir at the keyed path the
+            # instant the aside dir is inspected -> restore is wedged
+            os.makedirs(p, exist_ok=True)
+            with open(os.path.join(p, "squatter"), "w") as fh:
+                fh.write("marker-less")
+            state["planted"] = True
+        return real(path)
+
+    monkeypatch.setattr(sinks, "_marker_present", seam)
+    rescued = None
+    try:
+        rescued = sinks.staged_once("t-wedge", str(src), lambda d: os.makedirs(d, exist_ok=True))
+        assert state["planted"]  # the wedge was actually exercised
+        # the commit is alive, marked, and NOT under a TTL-swept prefix
+        assert os.path.exists(os.path.join(rescued, "_STAGED"))
+        assert os.path.exists(os.path.join(rescued, "winner"))
+        assert os.path.basename(rescued).startswith(sinks._KEYED_PREFIX)
+    finally:
+        for d in (rescued, p):
+            if d and os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
