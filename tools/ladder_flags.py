@@ -1,0 +1,81 @@
+"""Shared flagging rules for the axis scale ladders (scale_dim,
+scale_doclen, scale_jsonsize).
+
+Two rules, applied together (VERDICT r8 item 3):
+
+1. **Absolute**: top-rung ratio > FLAG_RATIO (each tool's 4.0). Catches
+   an outright superlinearity — but only once it clears the stage's
+   fixed floors, which a deep final rung guarantees and mid rungs do
+   not.
+2. **Family divergence** (the int8 lesson, SCALE.md round 8): the live
+   Θ(d²) in int8 quantization measured ×2.4 at d×16 — real, but under
+   the absolute 4× line; it was caught only because every OTHER vector
+   stage trended flat-down on the same corpus. The rule: at each rung,
+   a stage whose ratio exceeds ``factor`` × the family median ratio
+   (same corpus, same rung) AND clears ``min_ratio`` is divergent. The
+   ``min_ratio`` guard keeps a flat stage inside a falling family
+   (x6_json_extract's family drops to ×0.2) from flagging until it is
+   actually growing.
+
+Calibrated against the round-8 healthy artifacts: the worst
+non-hazard row (mm_neardup, output-bound ×1.7 at the ×16 rung vs
+family median 0.93) sits just under factor 2.0; the pre-fix int8
+replay (×2.4 vs median ~0.8) sits clearly over. The self-check in
+tests/test_ladder_flags.py replays both.
+"""
+
+from __future__ import annotations
+
+import statistics
+
+
+def family_divergence(
+    stage_secs: dict[str, list[float]],
+    factor: float = 2.0,
+    min_ratio: float = 1.5,
+    floor_sec: float = 0.01,
+) -> dict[str, dict]:
+    """Per-stage rung ratios + the rung indices where the stage
+    diverges from its family.
+
+    ``stage_secs`` maps stage name → seconds per rung (same rung order
+    for every stage; rung 0 is the base). Returns
+    ``{stage: {"ratios": [...], "divergent_rungs": [...]}}`` where a
+    rung i (i ≥ 1) is divergent iff
+    ``ratio_i > factor * median(family ratios at rung i)`` and
+    ``ratio_i >= min_ratio``."""
+    ratios = {
+        s: [sec / max(secs[0], floor_sec) for sec in secs]
+        for s, secs in stage_secs.items()
+    }
+    n_rungs = min(len(r) for r in ratios.values())
+    out = {
+        s: {"ratios": [round(r, 2) for r in ratios[s]], "divergent_rungs": []}
+        for s in stage_secs
+    }
+    for i in range(1, n_rungs):
+        med = statistics.median(ratios[s][i] for s in stage_secs)
+        for s in stage_secs:
+            r = ratios[s][i]
+            if r > factor * med and r >= min_ratio:
+                out[s]["divergent_rungs"].append(i)
+    return out
+
+
+def flagged_stages(
+    stage_secs: dict[str, list[float]],
+    flag_ratio: float,
+    floor_sec: float = 0.01,
+) -> tuple[list[str], dict[str, dict]]:
+    """Apply both rules; returns (flagged stage names, divergence map).
+
+    A stage is flagged if its TOP-rung ratio exceeds ``flag_ratio``
+    (absolute rule) or ANY rung is family-divergent — the mid-rung
+    case is exactly the one the absolute rule misses."""
+    div = family_divergence(stage_secs, floor_sec=floor_sec)
+    flagged = []
+    for s, secs in stage_secs.items():
+        top = secs[-1] / max(secs[0], floor_sec)
+        if top > flag_ratio or div[s]["divergent_rungs"]:
+            flagged.append(s)
+    return flagged, div

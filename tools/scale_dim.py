@@ -16,11 +16,13 @@ stage here is Θ(N·d) by design (pair sets shrink as N falls), so a
 healthy engine stays ~flat across rungs while a per-vector quadratic
 (Θ(N·d²) = volume·d) rises ~linearly in d — 16× by the last rung.
 
-Flagging: seconds(rung)/seconds(rung0) > FLAG_RATIO on the last rung.
-Loose threshold (4×) for the same reason as the doc-length ladder:
-longer vectors legitimately shift work between stages (fewer rows
-through the window/top-k machinery, more per-fold work); the quadratic
-signature this catches is ≳10×.
+Flagging: two rules (tools/ladder_flags.py). Absolute —
+seconds(rung)/seconds(rung0) > FLAG_RATIO on the last rung; loose
+threshold (4×) because longer vectors legitimately shift work between
+stages. Family divergence — at each rung, a stage whose ratio exceeds
+2× the family median (and ≥1.5) flags even under the absolute line:
+the pre-fix int8 Θ(d²) measured only ×2.4 at d×16 and was caught
+solely by divergence from the flat-down family trend.
 
     python tools/scale_dim.py [--base-vecs 40000] [--base-dim 32]
 
@@ -124,18 +126,27 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    flagged = []
+    from tools.ladder_flags import flagged_stages
+
+    # a sub-10ms rung 0 would make the ratio meaningless (and the
+    # old `else 0.0` guard silently UN-flaggable) — fail loud on
+    # the floor instead of green-lighting an unmeasurable stage
+    stage_secs = {
+        name: [r["stages"][name]["sec"] for r in results] for name in STAGES
+    }
+    # both rules: absolute top-rung > FLAG_RATIO, plus per-rung family
+    # divergence (>2× family-median ratio — the rule that would have
+    # caught the pre-fix int8 Θ(d²) at d×16, where it measured ×2.4:
+    # real, but under the absolute line; see tools/ladder_flags.py)
+    flagged, divergence = flagged_stages(stage_secs, FLAG_RATIO)
     print(f"{'stage':24s} " + "  ".join(f"d*{m:<4d}" for m in MULTS), file=sys.stderr)
     for name in STAGES:
-        secs = [r["stages"][name]["sec"] for r in results]
-        # a sub-10ms rung 0 would make the ratio meaningless (and the
-        # old `else 0.0` guard silently UN-flaggable) — fail loud on
-        # the floor instead of green-lighting an unmeasurable stage
+        secs = stage_secs[name]
         ratio = secs[-1] / max(secs[0], 0.01)
-        if ratio > FLAG_RATIO:
-            flagged.append(name)
+        dr = divergence[name]["divergent_rungs"]
         print(
-            f"{name:24s} " + "  ".join(f"{s:6.2f}" for s in secs) + f"  (x{ratio:.1f})",
+            f"{name:24s} " + "  ".join(f"{s:6.2f}" for s in secs)
+            + f"  (x{ratio:.1f}{'  DIVERGENT@' + str(dr) if dr else ''})",
             file=sys.stderr,
         )
 
@@ -146,6 +157,7 @@ def main() -> int:
         "mults": list(MULTS),
         "flag_ratio": FLAG_RATIO,
         "flagged_dim_superlinear": flagged,
+        "divergence": divergence,
         "results": results,
     }
     line = json.dumps(payload, separators=(",", ":"))

@@ -15,6 +15,9 @@ Flagging: seconds(rung)/seconds(rung0) > FLAG_RATIO on the last rung
 (T ×16, volume ×1). The threshold is loose (4×) because longer docs
 legitimately shift work between stages (more shingles per doc, fewer
 docs/pairs) — the quadratic signature this exists to catch is ≳10×.
+A second, RELATIVE rule (tools/ladder_flags.py) flags a stage whose
+per-rung ratio exceeds 2× the family median even under the absolute
+line — the rule that would have caught int8's ×2.4-at-d×16.
 
     python tools/scale_doclen.py [--base-docs 4000] [--base-tokens 64]
 
@@ -131,18 +134,25 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    flagged = []
+    from tools.ladder_flags import flagged_stages
+
+    # a sub-10ms rung 0 would make the ratio meaningless (and the
+    # old `else 0.0` guard silently UN-flaggable) — fail loud on
+    # the floor instead of green-lighting an unmeasurable stage.
+    # Both rules apply: absolute top-rung > FLAG_RATIO plus per-rung
+    # family divergence (tools/ladder_flags.py — the int8 lesson).
+    stage_secs = {
+        name: [r["stages"][name]["sec"] for r in results] for name in STAGES
+    }
+    flagged, divergence = flagged_stages(stage_secs, FLAG_RATIO)
     print(f"{'stage':26s} " + "  ".join(f"T*{m:<4d}" for m in MULTS), file=sys.stderr)
     for name in STAGES:
-        secs = [r["stages"][name]["sec"] for r in results]
-        # a sub-10ms rung 0 would make the ratio meaningless (and the
-        # old `else 0.0` guard silently UN-flaggable) — fail loud on
-        # the floor instead of green-lighting an unmeasurable stage
+        secs = stage_secs[name]
         ratio = secs[-1] / max(secs[0], 0.01)
-        if ratio > FLAG_RATIO:
-            flagged.append(name)
+        dr = divergence[name]["divergent_rungs"]
         print(
-            f"{name:26s} " + "  ".join(f"{s:6.2f}" for s in secs) + f"  (x{ratio:.1f})",
+            f"{name:26s} " + "  ".join(f"{s:6.2f}" for s in secs)
+            + f"  (x{ratio:.1f}{'  DIVERGENT@' + str(dr) if dr else ''})",
             file=sys.stderr,
         )
 
@@ -153,6 +163,7 @@ def main() -> int:
         "mults": list(MULTS),
         "flag_ratio": FLAG_RATIO,
         "flagged_length_superlinear": flagged,
+        "divergence": divergence,
         "results": results,
     }
     line = json.dumps(payload, separators=(",", ":"))

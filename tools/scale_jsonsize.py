@@ -17,7 +17,10 @@ meaningful) while the blob grows.
 
     python tools/scale_jsonsize.py [--base-events 200000] [--base-bytes 64]
 
-Writes SCALE_JSONSIZE.json; exit 1 if any stage is flagged.
+Writes SCALE_JSONSIZE.json; exit 1 if any stage is flagged — by the
+absolute top-rung rule (> FLAG_RATIO) or by family divergence
+(tools/ladder_flags.py: per-rung ratio > 2× the family median and
+≥ 1.5 — the int8 lesson applied to every axis ladder).
 """
 
 from __future__ import annotations
@@ -116,15 +119,24 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    flagged = []
+    from tools.ladder_flags import flagged_stages
+
+    # both rules: absolute top-rung > FLAG_RATIO plus per-rung family
+    # divergence (tools/ladder_flags.py — the int8 lesson); the
+    # min_ratio guard matters most HERE, where the healthy family
+    # falls to ×0.2 and a merely-flat stage must not flag
+    stage_secs = {
+        name: [r["stages"][name]["sec"] for r in results] for name in STAGES
+    }
+    flagged, divergence = flagged_stages(stage_secs, FLAG_RATIO)
     print(f"{'stage':20s} " + "  ".join(f"B*{m:<4d}" for m in MULTS), file=sys.stderr)
     for name in STAGES:
-        secs = [r["stages"][name]["sec"] for r in results]
+        secs = stage_secs[name]
         ratio = secs[-1] / max(secs[0], 0.01)
-        if ratio > FLAG_RATIO:
-            flagged.append(name)
+        dr = divergence[name]["divergent_rungs"]
         print(
-            f"{name:20s} " + "  ".join(f"{s:6.2f}" for s in secs) + f"  (x{ratio:.1f})",
+            f"{name:20s} " + "  ".join(f"{s:6.2f}" for s in secs)
+            + f"  (x{ratio:.1f}{'  DIVERGENT@' + str(dr) if dr else ''})",
             file=sys.stderr,
         )
 
@@ -135,6 +147,7 @@ def main() -> int:
         "mults": list(MULTS),
         "flag_ratio": FLAG_RATIO,
         "flagged_size_superlinear": flagged,
+        "divergence": divergence,
         "results": results,
     }
     line = json.dumps(payload, separators=(",", ":"))
