@@ -1253,12 +1253,32 @@ _DOC_SH = f"""
           FROM documents)
 """
 
+# HOT_BUCKET_CAP mirrored in SQL (the §7.5 witness rule): the engine
+# drops shingle / band buckets over the cap BEFORE the self-join
+# (cap_hot_buckets / lsh_candidate_pairs / the index-probe bucket_n
+# filter), so every oracle over those buckets needs the same QUALIFY —
+# without it the two sides agree only while no fixture bucket exceeds
+# 1000, a vacuous agreement the round-10 cap sweep flagged (only the
+# simhash oracle carried the mirror). tests/test_cap_witness.py plants
+# an 1100-doc bucket and asserts engine == capped oracle while the
+# uncapped pipeline diverges. Sizes stay computed from the UNCAPPED
+# doc_sh, matching the engine's "scores only ever shrink" contract.
+_SH_CAPPED = (
+    "SELECT * FROM doc_sh QUALIFY COUNT(*) OVER (PARTITION BY sh)"
+    f" <= {HOT_BUCKET_CAP}"
+)
+_BANDS_CAPPED = (
+    "SELECT * FROM bands QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)"
+    f" <= {HOT_BUCKET_CAP}"
+)
+
 ORACLES["x3_ngram_jaccard"] = f"""
     WITH doc_sh AS ({_DOC_SH}),
+    sh_capped AS ({_SH_CAPPED}),
     sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM doc_sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_inter
-        FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM sh_capped a JOIN sh_capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -1286,9 +1306,10 @@ _MINHASH_BAND_SELECTS = " UNION ALL ".join(
 ORACLES["x3_minhash_lsh"] = f"""
     WITH doc_sh AS ({_DOC_SH}),
     sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM doc_sh GROUP BY doc_id),
-    bands AS ({_MINHASH_BAND_SELECTS})
+    bands AS ({_MINHASH_BAND_SELECTS}),
+    bands_capped AS ({_BANDS_CAPPED})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM bands_capped a JOIN bands_capped b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
@@ -1392,9 +1413,10 @@ ORACLES["x3_neardup_survivors"] = f"""
     doc_sh AS ({_DOC_SH}),
     sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM doc_sh GROUP BY doc_id),
     bands AS ({_MINHASH_BAND_SELECTS}),
+    bands_capped AS ({_BANDS_CAPPED}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands_capped a JOIN bands_capped b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM doc_sh GROUP BY doc_id),
@@ -1445,10 +1467,15 @@ ORACLES["x3_incremental_neardup"] = f"""
     WITH doc_sh AS ({_DOC_SH}),
     sig AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM doc_sh GROUP BY doc_id),
     bands AS ({_MINHASH_BAND_SELECTS}),
+    bands_capped AS ({_BANDS_CAPPED}),
     t AS (SELECT CAST(floor(9 * MAX(doc_id) / 10.0) AS BIGINT) AS t FROM documents),
     cand AS (
+        -- only the standing-index (doc_a) side is capped, mirroring the
+        -- engine's bucket_n filter on the write-time index; the batch's
+        -- own keys are not bucket-counted (probe_standing_index) — a
+        -- dropped bucket has no index rows, so no pair forms either way
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
+        FROM bands_capped a
         JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         JOIN t ON b.doc_id > t.t
@@ -1529,10 +1556,11 @@ def _q_x3_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_EXT["x3_containment"] = _q_x3_containment
 ORACLES_EXT["x3_containment"] = f"""
     WITH doc_sh AS ({_DOC_SH}),
+    sh_capped AS ({_SH_CAPPED}),
     sizes AS (SELECT doc_id, COUNT(1) AS n_sh FROM doc_sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_inter
-        FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM sh_capped a JOIN sh_capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,

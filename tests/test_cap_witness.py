@@ -1,0 +1,312 @@
+"""Planted-witness certification for the df caps (VERDICT r9 #1).
+
+The fixture corpora never exercise the absolute df caps: max trigram
+df at sf0.1 is 25, so every prior "certified at a scale where the cap
+binds" claim was vacuous — engine and oracle agreed whether or not the
+cap was applied, and the unfixed round-8 code (POSTING_ABS_CAP passed
+to the graph queries) also hash-matched.  Rule (SURVEY §7.5): **a
+cap/guard certification requires a witness row on the capped side of
+the filter** — data the guard actually removes, such that the check
+FAILS if either side stops applying the guard.
+
+These tests plant that witness: a synthetic corpus where one trigram's
+document frequency falls strictly between GRAPH_DF_CAP (64) and the
+proportional 5 %-of-corpus term, so the ABSOLUTE cap is the binding
+term and capped vs uncapped outputs genuinely differ.  They assert:
+
+  (a) postings level — the hot shingle survives POSTING_ABS_CAP
+      pruning and is dropped by GRAPH_DF_CAP pruning;
+  (b) query level — both graph queries hash-match their
+      GRAPH_DF_CAP_SQL DuckDB oracles on the planted corpus, AND the
+      round-8 bug (building the graph from POSTING_ABS_CAP postings)
+      makes the same comparison FAIL — i.e. this test would have
+      caught it;
+  (c) POSTING_ABS_CAP itself gets its own witness at a 25 k-doc
+      corpus where 5 %·n = 1250 > 1000, with a df-1100 shingle on the
+      capped side.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from odoo_batch_processing_spark.operators.graph import (
+    ORACLES_EXT as GRAPH_ORACLES,
+    _q_g_pagerank_simgraph,
+    _q_g_triangle_counts,
+    triangle_counts,
+)
+from odoo_batch_processing_spark.operators.text import (
+    GRAPH_DF_CAP,
+    POSTING_ABS_CAP,
+    pruned_shingle_postings,
+)
+from odoo_batch_processing_spark.oracle import compare
+
+#: planted corpus shape: hot-df strictly inside (GRAPH_DF_CAP, 5%·n]
+#: so the absolute cap — not the proportional term — decides its fate
+N_DOCS = 3000
+HOT_DF = 100  # 64 < 100 <= ceil(0.05 * 3000) = 150
+N_GROUPS, GROUP_SIZE = 10, 4  # df=4 cliques that survive BOTH caps
+
+HOT_SHINGLE = "hotA hotB hotC"
+
+
+def _write_documents(path: str, rows: list[tuple[int, str]]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["planted"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory) -> str:
+    """A corpus directory whose documents.parquet plants one hot
+    trigram (df=HOT_DF) plus ten df-4 clique trigrams; filler docs are
+    single-token (no trigram) and exist only to push the 5 % term
+    above HOT_DF."""
+    rows: list[tuple[int, str]] = []
+    doc_id = 0
+    for i in range(HOT_DF):
+        # trigram 1 = HOT_SHINGLE (df=HOT_DF); the per-doc suffix makes
+        # every other trigram df=1 (pruned by the bilateral df >= 2)
+        rows.append((doc_id, f"{HOT_SHINGLE} u{i} v{i}"))
+        doc_id += 1
+    for g in range(N_GROUPS):
+        for j in range(GROUP_SIZE):
+            rows.append((doc_id, f"g{g}a g{g}b g{g}c m{g}x{j}"))
+            doc_id += 1
+    while len(rows) < N_DOCS:
+        rows.append((doc_id, f"f{doc_id}"))
+        doc_id += 1
+    d = tmp_path_factory.mktemp("planted_cap")
+    _write_documents(os.path.join(str(d), "documents.parquet"), rows)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def planted_duck(planted_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{planted_dir}/documents.parquet'"
+    )
+    return con
+
+
+def _distinct_shingles(spark, sf_dir: str, abs_cap: int) -> set[str]:
+    pruned, n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=abs_cap)
+    assert n_docs == N_DOCS
+    return {r["shingle"] for r in pruned.select("shingle").distinct().collect()}
+
+
+def test_graph_cap_binding_term_and_postings_witness(spark, planted_dir):
+    # the witness must sit where the ABSOLUTE cap is the binding term:
+    # GRAPH_DF_CAP < HOT_DF <= 5%·n <= POSTING_ABS_CAP
+    import math
+
+    prop = max(2, int(math.ceil(0.05 * N_DOCS)))
+    assert GRAPH_DF_CAP < HOT_DF <= prop <= POSTING_ABS_CAP
+
+    cosine_side = _distinct_shingles(spark, planted_dir, POSTING_ABS_CAP)
+    graph_side = _distinct_shingles(spark, planted_dir, GRAPH_DF_CAP)
+    assert HOT_SHINGLE in cosine_side, "hot shingle must survive the cosine cap"
+    assert HOT_SHINGLE not in graph_side, "hot shingle must be CUT by the graph cap"
+    # the clique shingles (df=4) survive both caps — the capped-side
+    # graph is non-trivial, not empty-by-construction
+    assert {f"g{g}a g{g}b g{g}c" for g in range(N_GROUPS)} <= graph_side <= cosine_side
+
+
+def _edges_from(spark, sf_dir: str, abs_cap: int):
+    pruned, _ = pruned_shingle_postings(spark, sf_dir, abs_cap=abs_cap)
+    a = pruned.select("shingle", F.col("doc_id").alias("src"))
+    b = pruned.select("shingle", F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def test_triangle_query_hash_matches_oracle_where_cap_binds(
+    spark, planted_dir, planted_duck
+):
+    res = compare(
+        "g_triangle_counts[planted]",
+        _q_g_triangle_counts(spark, planted_dir),
+        planted_duck,
+        GRAPH_ORACLES["g_triangle_counts"],
+    )
+    assert res.ok, str(res)
+    # and the cap changed the answer: uncapped (round-8 bug shape,
+    # POSTING_ABS_CAP postings) disagrees with the capped oracle —
+    # i.e. THIS comparison catches the bug this test exists to prevent
+    buggy = triangle_counts(_edges_from(spark, planted_dir, POSTING_ABS_CAP)).select(
+        F.col("id").alias("doc_id"), "deg", "tri"
+    )
+    res_buggy = compare(
+        "g_triangle_counts[planted,uncapped]",
+        buggy,
+        planted_duck,
+        GRAPH_ORACLES["g_triangle_counts"],
+    )
+    assert not res_buggy.ok, "uncapped engine output must MISMATCH the capped oracle"
+    # quantify the witness: the K100 hot clique alone carries
+    # 3·C(100,3) triangle participations the capped graph must not see
+    tri_capped = (
+        _q_g_triangle_counts(spark, planted_dir)
+        .agg(F.sum("tri").alias("s"))
+        .collect()[0]["s"]
+    )
+    tri_uncapped = buggy.agg(F.sum("tri").alias("s")).collect()[0]["s"]
+    expect_clique = 3 * (HOT_DF * (HOT_DF - 1) * (HOT_DF - 2) // 6)
+    assert tri_uncapped - tri_capped == expect_clique
+    assert tri_capped == 3 * N_GROUPS * 4  # ten K4s: 4 vertices × 3 triangles
+
+
+def test_pagerank_query_hash_matches_oracle_where_cap_binds(
+    spark, planted_dir, planted_duck
+):
+    res = compare(
+        "g_pagerank_simgraph[planted]",
+        _q_g_pagerank_simgraph(spark, planted_dir),
+        planted_duck,
+        GRAPH_ORACLES["g_pagerank_simgraph"],
+    )
+    assert res.ok, str(res)
+    # witness on the vertex set itself: hot docs are isolated once the
+    # cap cuts their only shared shingle, so they must be ABSENT
+    ids = {
+        r["doc_id"]
+        for r in _q_g_pagerank_simgraph(spark, planted_dir)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == set(range(HOT_DF, HOT_DF + N_GROUPS * GROUP_SIZE))
+
+
+@pytest.fixture(scope="module")
+def hot_bucket_dir(tmp_path_factory) -> str:
+    """A corpus with one 1100-doc bucket — above HOT_BUCKET_CAP=1000 at
+    the PRODUCTION constant: 1100 docs with identical text (identical
+    shingle sets → identical minhash signatures → every band bucket
+    holds all 1100) plus one genuine near-dup pair in a 2-doc bucket."""
+    rows = [(i, "h1 h2 h3 h4") for i in range(1100)]
+    rows += [(1100, "p1 p2 p3 p4"), (1101, "p1 p2 p3 p4")]
+    d = tmp_path_factory.mktemp("planted_hot_bucket")
+    _write_documents(os.path.join(str(d), "documents.parquet"), rows)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hot_bucket_duck(hot_bucket_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{hot_bucket_dir}/documents.parquet'"
+    )
+    return con
+
+
+def test_hot_bucket_cap_witness_minhash(spark, hot_bucket_dir, hot_bucket_duck):
+    """HOT_BUCKET_CAP at its production value (1000), engine AND
+    oracle: the round-10 sweep found the minhash/jaccard/neardup/
+    containment oracles carried NO cap mirror (only simhash's QUALIFY
+    did), so engine and oracle agreed only while no fixture bucket
+    exceeded the cap. This corpus puts 1100 docs in every band bucket:
+    the capped pipeline must report exactly the one genuine pair, the
+    uncapped pipeline reports C(1100,2)+1 — and both the engine and
+    the (now QUALIFY-mirrored) oracle must sit on the capped side."""
+    from odoo_batch_processing_spark.operators.dedup import (
+        HOT_BUCKET_CAP,
+        ORACLES as DEDUP_ORACLES,
+        _doc_shingle_sets,
+        _q_x3_minhash_lsh,
+        lsh_candidate_pairs,
+        minhash_band_keys,
+    )
+
+    bk = minhash_band_keys(_doc_shingle_sets(spark, hot_bucket_dir))
+    max_bucket = (
+        bk.groupBy("band", "band_key")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_bucket == 1100 > HOT_BUCKET_CAP  # witness row on the capped side
+
+    res = compare(
+        "x3_minhash_lsh[planted]",
+        _q_x3_minhash_lsh(spark, hot_bucket_dir),
+        hot_bucket_duck,
+        DEDUP_ORACLES["x3_minhash_lsh"],
+    )
+    assert res.ok, str(res)
+    assert res.spark_rows == 1  # only the genuine 2-doc bucket pairs
+    # lifting the ceiling floods the output — the cap changed the answer
+    uncapped = lsh_candidate_pairs(bk, cap=10**9).count()
+    assert uncapped == 1100 * 1099 // 2 + 1
+
+
+def test_hot_bucket_cap_witness_ngram_jaccard(spark, hot_bucket_dir, hot_bucket_duck):
+    from odoo_batch_processing_spark.operators.dedup import (
+        ORACLES as DEDUP_ORACLES,
+        _doc_shingles,
+        _q_x3_ngram_jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    res = compare(
+        "x3_ngram_jaccard[planted]",
+        _q_x3_ngram_jaccard(spark, hot_bucket_dir),
+        hot_bucket_duck,
+        DEDUP_ORACLES["x3_ngram_jaccard"],
+    )
+    assert res.ok, str(res)
+    assert res.spark_rows == 1
+    uncapped = ngram_jaccard_pairs(
+        _doc_shingles(spark, hot_bucket_dir), cap=10**9
+    ).count()
+    assert uncapped == 1100 * 1099 // 2 + 1
+
+
+def test_posting_abs_cap_witness(spark, tmp_path_factory):
+    """POSTING_ABS_CAP=1000's own capped-side witness: a 25 k-doc
+    corpus (5 %·n = 1250 > 1000) with a df-1100 shingle — dropped by
+    the production cap, kept when the absolute ceiling is lifted, so
+    the absolute term is provably the one doing the cutting."""
+    n, hot_df = 25_000, 1100
+    rows = [(i, f"pA pB pC u{i} v{i}") for i in range(hot_df)]
+    rows += [(i, f"f{i}") for i in range(hot_df, n)]
+    d = tmp_path_factory.mktemp("planted_posting_cap")
+    _write_documents(os.path.join(str(d), "documents.parquet"), rows)
+
+    import math
+
+    prop = max(2, int(math.ceil(0.05 * n)))
+    assert POSTING_ABS_CAP < hot_df <= prop
+
+    pruned_prod, n_docs = pruned_shingle_postings(spark, str(d))
+    assert n_docs == n
+    kept_prod = {
+        r["shingle"] for r in pruned_prod.select("shingle").distinct().collect()
+    }
+    pruned_lifted, _ = pruned_shingle_postings(spark, str(d), abs_cap=10**9)
+    kept_lifted = {
+        r["shingle"] for r in pruned_lifted.select("shingle").distinct().collect()
+    }
+    assert "pA pB pC" not in kept_prod, "df=1100 must be cut by the 1000 ceiling"
+    assert "pA pB pC" in kept_lifted, "without the ceiling the 5% term keeps it"

@@ -68,3 +68,20 @@ def test_triangle_free_star_is_zero(spark):
     rows = triangle_counts(df).collect()
     assert all(r["tri"] == 0 for r in rows)
     assert {r["deg"] for r in rows} == {29, 1}
+
+
+def test_edge_budget_raises(spark):
+    # the fail-loud guard's FIRING side (§7.5: a guard certification
+    # needs the guarded branch exercised, not just the pass-through)
+    import pytest
+
+    from odoo_batch_processing_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "src bigint, dst bigint",
+    )
+    with pytest.raises(ValueError, match="edge_budget"):
+        pagerank(edges, iters=3, edge_budget=10)
+    # same graph under a sufficient budget completes
+    assert pagerank(edges, iters=3, edge_budget=1000).count() == 4
