@@ -140,39 +140,25 @@ def pagerank(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-vertex triangle counts via degree-ordered edge orientation
-    (the standard distributed algorithm; e.g. Suri & Vassilvitskii,
-    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
-
-    ``edges`` is any directed/duplicated edge list; it is first
-    canonicalized to the undirected simple graph (least/greatest +
-    distinct, self-loops dropped). Each edge is then ORIENTED from the
-    lower-rank endpoint to the higher, where rank is the total order
-    (degree, id). Every triangle has exactly one vertex with two
-    out-edges (its minimum-rank corner), so generating wedges only at
-    out-degree pairs and closing them with one semi-join counts each
-    triangle exactly once — no per-triangle double counting to divide
-    away, and, critically for scale, wedge fan-out at a hub vertex is
-    bounded by its OUT-degree, which orientation caps near the graph's
-    arboricity instead of the raw degree. A celebrity node with 10^6
-    neighbours generates ~0 wedges instead of 10^12.
-
-    100 TB shape: three hash joins, all on vertex ids (shuffle
-    partitioned by key, AQE-balanced); the canonical edge set is
-    materialized once and reused by the degree pass, the orientation
-    join, and the closing semi-join. Returns one row per vertex:
-    ``id``, ``deg`` (undirected degree), ``tri`` (triangles the vertex
-    participates in, 0 if none).
-    """
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
+def _canonical_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonicalize any directed/duplicated edge list to the undirected
+    simple graph: (a, b) with a = least, b = greatest, self-loops
+    dropped, duplicates collapsed."""
+    return (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .transform(materialize_once)
     )
+
+
+def _triangle_relation(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One row PER TRIANGLE ``(u, v1, v2)`` of a canonical undirected
+    edge list (plus the degree table) via degree-ordered orientation —
+    the shared core of :func:`triangle_counts` (per-vertex
+    participation) and :func:`doulion_triangle_estimate` (global
+    count on a sampled graph). ``und`` must already be canonical
+    (:func:`_canonical_undirected`); each triangle appears exactly
+    once, with ``u`` its minimum-rank corner."""
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
@@ -206,6 +192,36 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     triangles = wedges.join(closing, ["v1", "v2"], "leftsemi").select(
         "u", "v1", "v2"
     )
+    return triangles, deg
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts via degree-ordered edge orientation
+    (the standard distributed algorithm; e.g. Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+
+    ``edges`` is any directed/duplicated edge list; it is first
+    canonicalized to the undirected simple graph (least/greatest +
+    distinct, self-loops dropped). Each edge is then ORIENTED from the
+    lower-rank endpoint to the higher, where rank is the total order
+    (degree, id). Every triangle has exactly one vertex with two
+    out-edges (its minimum-rank corner), so generating wedges only at
+    out-degree pairs and closing them with one semi-join counts each
+    triangle exactly once — no per-triangle double counting to divide
+    away, and, critically for scale, wedge fan-out at a hub vertex is
+    bounded by its OUT-degree, which orientation caps near the graph's
+    arboricity instead of the raw degree. A celebrity node with 10^6
+    neighbours generates ~0 wedges instead of 10^12.
+
+    100 TB shape: three hash joins, all on vertex ids (shuffle
+    partitioned by key, AQE-balanced); the canonical edge set is
+    materialized once and reused by the degree pass, the orientation
+    join, and the closing semi-join. Returns one row per vertex:
+    ``id``, ``deg`` (undirected degree), ``tri`` (triangles the vertex
+    participates in, 0 if none).
+    """
+    und = _canonical_undirected(edges).transform(materialize_once)
+    triangles, deg = _triangle_relation(und)
     per_vertex = (
         triangles.select(
             F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("id")
@@ -254,6 +270,139 @@ def _q_g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DOULION sampling probability. 0.5 at fixture scale keeps the
+#: hash-deterministic estimate tight enough for a 4σ bound with small
+#: triangle counts; at a 100 TB corpus the operating point is p ≤ 0.1
+#: (edge volume ×p, triangle work ×p³ — the whole point of the
+#: operator). Deterministic Bernoulli via xxhash64(a, b, seed), NOT
+#: rand(): re-execution under task retry must sample the same edges,
+#: and the oracle contract needs a reproducible estimate.
+DOULION_P = 0.5
+DOULION_SEED = 10
+
+
+def doulion_triangle_estimate(
+    edges: DataFrame,
+    p: float = DOULION_P,
+    seed: int = DOULION_SEED,
+    already_canonical: bool = False,
+) -> DataFrame:
+    """DOULION edge-sampled global triangle count (Tsourakakis,
+    Kang, Miller & Faloutsos, "DOULION: Counting Triangles in Massive
+    Graphs with a Coin", KDD'09): keep each undirected edge with
+    probability ``p``, count triangles in the sparsified graph, scale
+    by 1/p³. Unbiased; Var(T̂) = T·(1/p³ − 1) + 2k·(1/p − 1) where k
+    is the number of triangle PAIRS sharing an edge (paper Lemma 2).
+
+    100 TB shape: the sample is a scan-local filter on a hash of the
+    edge key — no extra shuffle — so every downstream join/aggregate
+    of the Θ(wedges) counting pass runs on a graph with p·|E| edges
+    and ~p^1.5-scaled wedge volume. This is the approximate twin the
+    exact :func:`triangle_counts` needs at corpora where even the
+    df-capped wedge volume is the bottleneck (SCALE.md's triangle
+    attribution names exactly this escape hatch).
+
+    Returns ONE row: ``n_tri_sampled`` (exact count in the sampled
+    graph), ``est`` (the 1/p³-scaled estimate, double).
+
+    ``already_canonical=True`` skips the least/greatest+distinct pass
+    for callers handing over an (a, b) relation that is canonical by
+    construction (the catalog query reuses its materialized exact-pass
+    edge set — no second Deduplicate shuffle)."""
+    und = edges if already_canonical else _canonical_undirected(edges)
+    sampled = und.filter(
+        F.pmod(F.xxhash64("a", "b", F.lit(seed)), F.lit(10_000))
+        < F.lit(int(p * 10_000))
+    )
+    tri, _deg = _triangle_relation(sampled.transform(materialize_once))
+    return tri.agg(F.count(F.lit(1)).alias("n_tri_sampled")).select(
+        "n_tri_sampled",
+        (F.col("n_tri_sampled") / F.lit(float(p) ** 3)).alias("est"),
+    )
+
+
+def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION estimate vs exact count over the same GRAPH_DF_CAP
+    trigram co-occurrence graph as ``g_triangle_counts``, under the
+    x8 oracle contract (exact measures + an in-engine ``_ok``
+    tolerance boolean; the estimate itself is hash-sample-determined
+    and not DuckDB-replicable, so it rides inside the boolean).
+
+    ``est_ok`` asserts the estimate sits within 4σ of the exact count
+    using the paper's OWN variance — both terms: σ² = T·(1/p³ − 1) +
+    2k·(1/p − 1), with k = Σ_e C(t_e, 2) computed exactly from the
+    triangle relation the exact count already enumerates (one extra
+    groupBy over 3·T short rows) — plus a +8 additive floor so the
+    bound is non-vacuous in the T≈0 regime. Everything is a 1-row
+    aggregate cross-joined (the q22/x8 free-scalar shape); no
+    collect."""
+    from odoo_batch_processing_spark.operators.text import (
+        GRAPH_DF_CAP,
+        pruned_shingle_postings,
+    )
+
+    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=GRAPH_DF_CAP)
+    pruned = pruned.select("doc_id", "shingle")
+    a = pruned.select("shingle", F.col("doc_id").alias("src"))
+    b = pruned.select("shingle", F.col("doc_id").alias("dst"))
+    edges = (
+        a.join(b, "shingle")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    # one canonical edge build feeds BOTH the exact pass and the
+    # sampled pass (the sample is a scan-local filter over it)
+    und = _canonical_undirected(edges).transform(materialize_once)
+    tri, _deg = _triangle_relation(und)
+    tri = tri.transform(materialize_once)  # reused: T and the k incidence
+    t_exact = tri.agg(F.count(F.lit(1)).alias("n_tri_exact"))
+    # k = Σ_e C(t_e, 2): explode each triangle into its 3 canonical
+    # edges, count triangles per edge, sum the pair counts
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v1").alias("ea"), F.greatest("u", "v1").alias("eb")
+                ),
+                F.struct(
+                    F.least("u", "v2").alias("ea"), F.greatest("u", "v2").alias("eb")
+                ),
+                F.struct(
+                    F.least("v1", "v2").alias("ea"), F.greatest("v1", "v2").alias("eb")
+                ),
+            )
+        ).alias("e")
+    )
+    k_shared = (
+        tri_edges.groupBy("e")
+        .agg(F.count(F.lit(1)).alias("t_e"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t_e") * (F.col("t_e") - F.lit(1)) / F.lit(2)), F.lit(0.0)
+            ).alias("k_shared")
+        )
+    )
+    est = doulion_triangle_estimate(
+        und, p=DOULION_P, seed=DOULION_SEED, already_canonical=True
+    )
+    p = DOULION_P
+    var = (
+        F.col("n_tri_exact") * F.lit(1.0 / p**3 - 1.0)
+        + F.lit(2.0) * F.col("k_shared") * F.lit(1.0 / p - 1.0)
+    )
+    return (
+        t_exact.crossJoin(k_shared)
+        .crossJoin(est)
+        .select(
+            "n_tri_exact",
+            (
+                F.abs(F.col("est") - F.col("n_tri_exact"))
+                <= F.lit(4.0) * F.sqrt(var) + F.lit(8.0)
+            ).alias("est_ok"),
+        )
+    )
+
+
 def _q_g_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the trigram co-occurrence graph: docs
     are vertices, an (undirected) edge joins any two docs sharing a
@@ -294,6 +443,7 @@ ORACLES: dict = {}
 QUERIES_EXT = {
     "g_pagerank_simgraph": _q_g_pagerank_simgraph,
     "g_triangle_counts": _q_g_triangle_counts,
+    "g_doulion_triangles": _q_g_doulion_triangles,
 }
 
 # the SAME tokenization/shingle fragments the text module's oracles
@@ -341,6 +491,22 @@ _PAIRS_CTES = """
 """.format(trigrams=_TRIGRAMS_SQL, toks=_TOKS, df_cap=GRAPH_DF_CAP_SQL)
 
 ORACLES_EXT = {
+    # x8 contract: exact global count + literal TRUE for the in-engine
+    # tolerance boolean (the hash-sampled estimate is engine-side only)
+    "g_doulion_triangles": f"""
+    WITH {_PAIRS_CTES},
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM pairs WHERE src <> dst
+    ), tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(COUNT(1) AS BIGINT) AS n_tri_exact, TRUE AS est_ok
+    FROM tri
+    """,
     "g_triangle_counts": f"""
     WITH {_PAIRS_CTES},
     und AS (

@@ -832,3 +832,19 @@ ORACLES_EXT["w_twap"] = """
     FROM spans WHERE dt_s IS NOT NULL
     GROUP BY user_id
 """
+
+
+def _q_x7_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sessionize_chunked`` — the hot-key-resilient parallel
+    prefix-sum sessionizer — registered under the SAME DuckDB oracle
+    as ``x7_sessionize`` (VERDICT r8 #5 / r9 #3): the chunk-and-stitch
+    decomposition is value-identical to the single Window by contract,
+    and this entry puts that contract under the hash gate every
+    extended sweep instead of only its own equivalence tests."""
+    return sessionize_chunked(load_table(spark, sf_dir, "events"))
+
+
+QUERIES_EXT["x7_sessionize_chunked"] = _q_x7_sessionize_chunked
+# deliberately the SAME SQL string as the Window form — one oracle, two
+# physical strategies (the kmeans_lloyd_cells promotion pattern)
+ORACLES_EXT["x7_sessionize_chunked"] = ORACLES["x7_sessionize"]

@@ -85,3 +85,38 @@ def test_edge_budget_raises(spark):
         pagerank(edges, iters=3, edge_budget=10)
     # same graph under a sufficient budget completes
     assert pagerank(edges, iters=3, edge_budget=1000).count() == 4
+
+
+def test_doulion_p1_equals_exact(spark):
+    # with p=1.0 every edge survives the hash filter, so the "estimate"
+    # must equal the exact global count — pins the sampler's estimator
+    # wiring (scale factor, canonicalization) independent of chance
+    from odoo_batch_processing_spark.operators.graph import (
+        doulion_triangle_estimate,
+    )
+
+    rng = random.Random(11)
+    raw = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    df = spark.createDataFrame(raw, "src bigint, dst bigint")
+    exact_total = sum(_brute_force(set(raw)).values()) // 3
+    row = doulion_triangle_estimate(df, p=1.0).collect()[0]
+    assert row["n_tri_sampled"] == exact_total
+    assert row["est"] == float(exact_total)
+
+
+def test_doulion_deterministic_and_subsampling(spark):
+    # hash-Bernoulli sampling: same seed → identical count across runs
+    # (the oracle-contract requirement); p<1 samples a strict subset
+    from odoo_batch_processing_spark.operators.graph import (
+        doulion_triangle_estimate,
+    )
+
+    rng = random.Random(13)
+    raw = [(rng.randrange(25), rng.randrange(25)) for _ in range(220)]
+    df = spark.createDataFrame(raw, "src bigint, dst bigint")
+    a = doulion_triangle_estimate(df, p=0.5, seed=10).collect()[0]
+    b = doulion_triangle_estimate(df, p=0.5, seed=10).collect()[0]
+    assert (a["n_tri_sampled"], a["est"]) == (b["n_tri_sampled"], b["est"])
+    exact_total = sum(_brute_force(set(raw)).values()) // 3
+    assert a["n_tri_sampled"] <= exact_total
+    assert a["est"] == a["n_tri_sampled"] * 8.0  # 1/p³ at p=0.5

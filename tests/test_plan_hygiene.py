@@ -63,6 +63,10 @@ _ALLOWED_NESTED_LOOP = {
     # global sketch-union estimate + exact global distinct are ONE-row
     # aggregates cross-joined onto the (event-type-bounded) per-part rows
     "x8_hll_merge",
+    # exact T, shared-edge pair count k, and the sampled estimate are
+    # each ONE-row aggregates cross-joined for the est_ok expression —
+    # the same free scalar shape as x8_hll_merge
+    "g_doulion_triangles",
 }
 
 
