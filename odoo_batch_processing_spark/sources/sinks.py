@@ -37,6 +37,20 @@ _SCRATCH_TTL_SECONDS = 24 * 3600
 #: long-lived session may re-read lazily at any point
 _KEYED_PREFIX = "keyed-"
 
+#: rescue dirs (staged_once's wedged-restore escape hatch) get a
+#: DEDICATED long TTL instead of the blanket keyed- exemption
+#: (ADVICE r10): each rescue is a full artifact copy that the keyed
+#: path never re-discovers (the keyed name is fingerprint-derived),
+#: so exempting it forever leaks one copy per wedged-restore race.
+#: Re-adopting it onto the keyed path was considered and rejected: the
+#: rescue PATH was returned to the racing caller, and a later rename
+#: would yank the directory out from under that session's lazy
+#: readers — the exact hazard class the aside-flow exists to avoid.
+#: A week bounds the leak while comfortably outliving any session
+#: that could still hold the path.
+_RESCUE_PREFIX = _KEYED_PREFIX + "rescue-"
+_RESCUE_TTL_SECONDS = 7 * 24 * 3600
+
 
 def _sweep_stale(root: str) -> None:
     """Best-effort removal of scratch dirs older than the TTL so
@@ -53,11 +67,15 @@ def _sweep_stale(root: str) -> None:
     try:
         now = time.time()
         for entry in os.scandir(root):
-            if (
-                entry.is_dir()
-                and not entry.name.startswith(_KEYED_PREFIX)
-                and now - entry.stat().st_mtime > _SCRATCH_TTL_SECONDS
-            ):
+            if not entry.is_dir():
+                continue
+            if entry.name.startswith(_RESCUE_PREFIX):
+                ttl = _RESCUE_TTL_SECONDS  # bounded, not exempt (ADVICE r10)
+            elif entry.name.startswith(_KEYED_PREFIX):
+                continue  # content-keyed standing index: key governs staleness
+            else:
+                ttl = _SCRATCH_TTL_SECONDS
+            if now - entry.stat().st_mtime > ttl:
                 shutil.rmtree(entry.path, ignore_errors=True)
     except OSError:
         pass
@@ -175,13 +193,27 @@ def staged_once(name: str, src_path: str, build) -> str:
                 if not restored and not _marker_present(path):
                     rescue = os.path.join(
                         _SCRATCH,
-                        _KEYED_PREFIX + "rescue-" + os.path.basename(aside),
+                        _RESCUE_PREFIX + os.path.basename(aside),
                     )
                     try:
                         os.rename(aside, rescue)
                     except OSError:
                         rescue = None  # aside itself moved/committed away
                     if rescue is not None and _marker_present(rescue):
+                        # loud, attributable event (ADVICE r10): each
+                        # rescue is a full artifact copy living outside
+                        # the keyed path, reclaimed only by its
+                        # dedicated 7-day TTL
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "staged_once: keyed path %s wedged; serving "
+                            "committed artifact from rescue dir %s "
+                            "(reclaimed by the %d-day rescue TTL)",
+                            path,
+                            rescue,
+                            _RESCUE_TTL_SECONDS // 86400,
+                        )
                         return rescue  # readable committed artifact
                 if _marker_present(path):
                     return path

@@ -83,3 +83,29 @@ def test_min_ratio_guards_flat_stage_in_falling_family():
     fam["flat"] = [1.0, 1.2, 1.8]
     div = family_divergence(fam)
     assert div["flat"]["divergent_rungs"] == [2]
+
+
+def test_loo_median_catches_co_occurring_hazards():
+    """ADVICE r10: with the all-stages median, two simultaneous
+    superlinear stages in a 4-stage family masked each other (ratios
+    [1, 1, 8, 8] → median 4.5, 8 < 2·4.5, neither flags). The
+    leave-one-out baseline excludes the stage under test, so both
+    flag; the healthy stages stay clean."""
+    fam = {
+        "a": [1.0, 1.0, 1.0],
+        "b": [1.0, 1.0, 1.0],
+        "c": [1.0, 1.1, 8.0],
+        "d": [1.0, 1.0, 8.0],
+    }
+    div = family_divergence(fam)
+    assert div["c"]["divergent_rungs"] == [2]
+    assert div["d"]["divergent_rungs"] == [2]
+    assert div["a"]["divergent_rungs"] == []
+    assert div["b"]["divergent_rungs"] == []
+
+
+def test_single_stage_family_has_no_divergence_baseline():
+    # leave-one-out over a 1-stage family has no peers; only the
+    # absolute rule applies there
+    div = family_divergence({"only": [1.0, 2.0, 3.9]})
+    assert div["only"]["divergent_rungs"] == []

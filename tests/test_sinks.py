@@ -475,3 +475,34 @@ def test_staged_once_rescues_commit_when_restore_is_wedged(tmp_path, monkeypatch
         for d in (rescued, p):
             if d and os.path.isdir(d):
                 shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rescue_dirs_swept_by_dedicated_ttl(tmp_path, monkeypatch):
+    """Rescue dirs are a bounded leak, not a permanent one (ADVICE
+    r10): the sweep reclaims them after the dedicated 7-day TTL while
+    ordinary keyed- index dirs stay exempt at any age."""
+    import os
+    import time
+
+    from odoo_batch_processing_spark.sources import sinks
+
+    root = str(tmp_path)
+    old = time.time() - sinks._RESCUE_TTL_SECONDS - 60
+    young = time.time() - sinks._SCRATCH_TTL_SECONDS - 60  # > plain TTL, < rescue TTL
+
+    def mk(name, mtime):
+        p = os.path.join(root, name)
+        os.makedirs(p)
+        os.utime(p, (mtime, mtime))
+        return p
+
+    keep_keyed = mk("keyed-index-abc", old)          # exempt forever
+    keep_rescue = mk("keyed-rescue-x-1", young)      # under rescue TTL
+    drop_rescue = mk("keyed-rescue-x-2", old)        # past rescue TTL
+    drop_plain = mk("stagetmp-aside-x-3", young)     # past plain TTL
+
+    sinks._sweep_stale(root)
+    assert os.path.exists(keep_keyed)
+    assert os.path.exists(keep_rescue)
+    assert not os.path.exists(drop_rescue)
+    assert not os.path.exists(drop_plain)

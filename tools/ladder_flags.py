@@ -42,8 +42,20 @@ def family_divergence(
     for every stage; rung 0 is the base). Returns
     ``{stage: {"ratios": [...], "divergent_rungs": [...]}}`` where a
     rung i (i ≥ 1) is divergent iff
-    ``ratio_i > factor * median(family ratios at rung i)`` and
-    ``ratio_i >= min_ratio``."""
+    ``ratio_i > factor * median(OTHER stages' ratios at rung i)`` and
+    ``ratio_i >= min_ratio``.
+
+    The baseline is a LEAVE-ONE-OUT median (ADVICE r10): with the
+    all-stages median, two simultaneous superlinear stages in a small
+    family mask each other — e.g. a 4-stage family with ratios
+    [1, 1, 8, 8] has median 4.5, so 8 < 2·4.5 and neither flags.
+    Excluding the stage under test from its own baseline makes the
+    same case [1, 1, 8] → median 1, 8 > 2 → both flag. BLIND SPOT
+    (inherent, documented): a superlinearity SHARED by the whole
+    family — every stage ×8 because the corpus generator, not a
+    stage, went quadratic — shifts every leave-one-out median equally
+    and is invisible to any within-family relative rule; only the
+    absolute top-rung rule (flagged_stages) can catch it."""
     ratios = {
         s: [sec / max(secs[0], floor_sec) for sec in secs]
         for s, secs in stage_secs.items()
@@ -54,8 +66,11 @@ def family_divergence(
         for s in stage_secs
     }
     for i in range(1, n_rungs):
-        med = statistics.median(ratios[s][i] for s in stage_secs)
         for s in stage_secs:
+            others = [ratios[o][i] for o in stage_secs if o != s]
+            if not others:
+                continue  # single-stage family: no peers to diverge from
+            med = statistics.median(others)
             r = ratios[s][i]
             if r > factor * med and r >= min_ratio:
                 out[s]["divergent_rungs"].append(i)
