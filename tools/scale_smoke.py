@@ -104,6 +104,12 @@ STAGES = (
     # (linear in corpus bytes); exact-copy replicas form the planted
     # dup clusters, scrambled replicas add fold volume but no pairs.
     "mm_neardup",
+    # round-10 addition (VERDICT r9 #2): the DOULION sampled-triangle
+    # twin — exact pass + k incidence + p=0.5 sampled pass over the
+    # same capped pair graph as g_triangle_counts, so its curve should
+    # track g_triangle_counts at ≲1.5× (the sampled pass re-counts on
+    # half the edges ≈ 1/8 the wedges)
+    "g_doulion_triangles",
 )
 
 
