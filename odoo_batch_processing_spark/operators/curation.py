@@ -209,6 +209,19 @@ def _q_x9_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tiny vocabulary, so 5 keeps the overlap non-degenerate)
 CONTAM_N = 5
 
+#: decontamination inverted-index hot-shingle ceiling — same df² skew
+#: guard as dedup.HOT_BUCKET_CAP, sized for 5-gram shingles (far
+#: rarer than trigrams, so the ceiling is generous). Mirrored in the
+#: _CONTAM oracle fragment's QUALIFY (§7.5: engine and oracle must
+#: share every drop-filter constant — the round-10 cap sweep found
+#: this one engine-only, the same gap class as the seven dedup
+#: oracles). Never binding at fixture scale (no planted witness: a
+#: 100k-doc hot shingle is beyond unit-test budget; the
+#: cap_hot_buckets MECHANISM carries the planted witnesses in
+#: tests/test_cap_witness.py / test_text_dedup.py, and sharing the
+#: constant makes divergence impossible by construction).
+DECONTAM_HOT_CAP = 100_000
+
 #: benchmark source id within the fixture corpus
 BENCH_SOURCE = "src0"
 
@@ -227,8 +240,9 @@ def _q_x9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a shingle present in huge numbers of docs (boilerplate) is a skew
     # bomb on the join key — same guard as the LSH band join; the cap
     # sits far above any fixture shingle frequency, so results are
-    # unchanged at test scale (the dedup-module convention)
-    doc_sh = cap_hot_buckets(doc_sh, ["sh"], cap=100_000)
+    # unchanged at test scale (the dedup-module convention) — and is
+    # mirrored in the oracle's QUALIFY (DECONTAM_HOT_CAP)
+    doc_sh = cap_hot_buckets(doc_sh, ["sh"], cap=DECONTAM_HOT_CAP)
     bench = (
         doc_sh.filter(F.col("source") == BENCH_SOURCE)
         .select("sh")
@@ -416,7 +430,7 @@ def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize_once)
     )
     # same boilerplate-shingle skew guard as _q_x9_decontaminate
-    corpus_sh = cap_hot_buckets(corpus_sh, ["sh"], cap=100_000)
+    corpus_sh = cap_hot_buckets(corpus_sh, ["sh"], cap=DECONTAM_HOT_CAP)
     contaminated = corpus_sh.join(bench_sh, "sh").select("doc_id").distinct()
     return kept.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "source", "n_tokens"
@@ -571,9 +585,15 @@ _SCRUBBED = (
 )
 
 _CONTAM = f"""
-    WITH doc_sh AS (
+    WITH doc_sh_all AS (
         SELECT doc_id, source, unnest({_sh_sql(CONTAM_N)}) AS sh
         FROM documents
+    ),
+    -- DECONTAM_HOT_CAP mirror (§7.5): the engine caps the inverted
+    -- index over ALL documents before the bench/corpus split
+    doc_sh AS (
+        SELECT * FROM doc_sh_all
+        QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {DECONTAM_HOT_CAP}
     ),
     bench AS (SELECT DISTINCT sh FROM doc_sh WHERE source = '{BENCH_SOURCE}')
     SELECT c.doc_id, c.source,
@@ -645,8 +665,31 @@ ORACLES_EXT = {
         GROUP BY source
     """,
     "x9_curation_pipeline": f"""
-        WITH contaminated AS (
-            SELECT DISTINCT doc_id FROM ({_CONTAM})
+        WITH kept_corpus_sh AS (
+            SELECT doc_id, unnest({_sh_sql(CONTAM_N)}) AS sh
+            FROM documents d
+            WHERE ({_GATES})
+              AND (d.doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < 50
+              AND d.source <> '{BENCH_SOURCE}'
+        ),
+        -- DECONTAM_HOT_CAP mirror (§7.5). NOTE the cap POPULATION
+        -- differs from x9_decontaminate's: the pipeline counts over
+        -- the KEPT (gated + sampled) corpus side only, because the
+        -- engine shingles nothing else — the mirror must match that
+        -- exactly, not reuse _CONTAM's all-documents count
+        capped_corpus_sh AS (
+            SELECT * FROM kept_corpus_sh
+            QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {DECONTAM_HOT_CAP}
+        ),
+        bench AS (
+            SELECT DISTINCT sh FROM (
+                SELECT unnest({_sh_sql(CONTAM_N)}) AS sh
+                FROM documents WHERE source = '{BENCH_SOURCE}'
+            )
+        ),
+        contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM capped_corpus_sh c JOIN bench b ON c.sh = b.sh
         )
         SELECT d.doc_id, d.source, {_N_TOK} AS n_tokens
         FROM documents d
