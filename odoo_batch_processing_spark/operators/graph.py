@@ -245,27 +245,10 @@ def _q_g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     while boilerplate hubs (high degree, low triangles) do not, which
     is the signal a curation pass uses to separate the two.
     """
-    from odoo_batch_processing_spark.operators.text import (
-        GRAPH_DF_CAP,
-        pruned_shingle_postings,
-    )
-
-    # abs_cap=GRAPH_DF_CAP (64, not POSTING_ABS_CAP=1000): a df-k
-    # shingle is a k-clique, so the wedge/triangle work is df³ — the
-    # graph queries need the tighter absolute cap their GRAPH_DF_CAP_SQL
-    # oracles prune with (divergent only at corpora where 5%·n_docs > 64,
-    # i.e. sf0.1+; certified there by tools/oracle_check.py --extended
-    # --sf-dir sf0.1 this round).
-    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=GRAPH_DF_CAP)
-    pruned = pruned.select("doc_id", "shingle")
-    a = pruned.select("shingle", F.col("doc_id").alias("src"))
-    b = pruned.select("shingle", F.col("doc_id").alias("dst"))
-    edges = (
-        a.join(b, "shingle")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-    )
-    return triangle_counts(edges).select(
+    # shared edge builder: cap certified by the planted witness in
+    # tests/test_cap_witness.py (a df=100 shingle cut at 64 while
+    # POSTING_ABS_CAP keeps it, oracle hash-matched on the capped side)
+    return triangle_counts(_cooccurrence_edges(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), "deg", "tri"
     )
 
@@ -279,6 +262,34 @@ def _q_g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and the oracle contract needs a reproducible estimate.
 DOULION_P = 0.5
 DOULION_SEED = 10
+
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed doc-pair edges of the GRAPH_DF_CAP-pruned trigram
+    co-occurrence graph — the ONE shared builder for all three graph
+    queries, so the cap certification (tests/test_cap_witness.py)
+    covers every consumer and a future cap edit cannot diverge
+    per-query (the round-8 bug was exactly a per-call-site cap
+    divergence). abs_cap=GRAPH_DF_CAP (64, not POSTING_ABS_CAP=1000):
+    a df-k shingle is a k-clique, so triangle work grows with df³
+    where pair work grows with df² — the oracles prune at the same 64
+    via GRAPH_DF_CAP_SQL (_PAIRS_CTES). Output is NOT deduplicated:
+    the triangle consumers canonicalize downstream
+    (least/greatest + distinct), pagerank adds its own .distinct()."""
+    from odoo_batch_processing_spark.operators.text import (
+        GRAPH_DF_CAP,
+        pruned_shingle_postings,
+    )
+
+    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=GRAPH_DF_CAP)
+    pruned = pruned.select("doc_id", "shingle")
+    a = pruned.select("shingle", F.col("doc_id").alias("src"))
+    b = pruned.select("shingle", F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
 
 
 def doulion_triangle_estimate(
@@ -297,7 +308,9 @@ def doulion_triangle_estimate(
     100 TB shape: the sample is a scan-local filter on a hash of the
     edge key — no extra shuffle — so every downstream join/aggregate
     of the Θ(wedges) counting pass runs on a graph with p·|E| edges
-    and ~p^1.5-scaled wedge volume. This is the approximate twin the
+    and p²-scaled wedge volume (each wedge = two independently
+    sampled edges; surviving triangles scale p³). This is the
+    approximate twin the
     exact :func:`triangle_counts` needs at corpora where even the
     df-capped wedge volume is the bottleneck (SCALE.md's triangle
     attribution names exactly this escape hatch).
@@ -312,7 +325,9 @@ def doulion_triangle_estimate(
     und = edges if already_canonical else _canonical_undirected(edges)
     sampled = und.filter(
         F.pmod(F.xxhash64("a", "b", F.lit(seed)), F.lit(10_000))
-        < F.lit(int(p * 10_000))
+        # round, not int(): truncation would sample p=0.3 at 0.2999
+        # while the estimator scales by 1/0.3³ — a systematic bias
+        < F.lit(round(p * 10_000))
     )
     tri, _deg = _triangle_relation(sampled.transform(materialize_once))
     return tri.agg(F.count(F.lit(1)).alias("n_tri_sampled")).select(
@@ -336,23 +351,11 @@ def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound is non-vacuous in the T≈0 regime. Everything is a 1-row
     aggregate cross-joined (the q22/x8 free-scalar shape); no
     collect."""
-    from odoo_batch_processing_spark.operators.text import (
-        GRAPH_DF_CAP,
-        pruned_shingle_postings,
-    )
-
-    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=GRAPH_DF_CAP)
-    pruned = pruned.select("doc_id", "shingle")
-    a = pruned.select("shingle", F.col("doc_id").alias("src"))
-    b = pruned.select("shingle", F.col("doc_id").alias("dst"))
-    edges = (
-        a.join(b, "shingle")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-    )
     # one canonical edge build feeds BOTH the exact pass and the
     # sampled pass (the sample is a scan-local filter over it)
-    und = _canonical_undirected(edges).transform(materialize_once)
+    und = _canonical_undirected(_cooccurrence_edges(spark, sf_dir)).transform(
+        materialize_once
+    )
     tri, _deg = _triangle_relation(und)
     tri = tri.transform(materialize_once)  # reused: T and the k incidence
     t_exact = tri.agg(F.count(F.lit(1)).alias("n_tri_exact"))
@@ -412,23 +415,9 @@ def _q_g_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations at d = 0.85; output is every connected doc with its
     degree and rank.
     """
-    from odoo_batch_processing_spark.operators.text import (
-        GRAPH_DF_CAP,
-        pruned_shingle_postings,
-    )
-
-    # abs_cap=GRAPH_DF_CAP — see _q_g_triangle_counts: df³ hazard class,
-    # oracle prunes at the same 64 via GRAPH_DF_CAP_SQL.
-    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=GRAPH_DF_CAP)
-    pruned = pruned.select("doc_id", "shingle")
-    a = pruned.select("shingle", F.col("doc_id").alias("src"))
-    b = pruned.select("shingle", F.col("doc_id").alias("dst"))
-    edges = (
-        a.join(b, "shingle")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    # shared builder (+ distinct: pagerank wants the simple directed
+    # graph, not co-occurrence multiplicities)
+    edges = _cooccurrence_edges(spark, sf_dir).distinct()
     # budget = 10^9 edge-iterations: ~6 minutes of one-core join work
     # per 32-core executor-equivalent — generous for the fixture ladder
     # (sf0.1 8×: |E| ≈ 10^6), a loud stop for a runaway corpus graph

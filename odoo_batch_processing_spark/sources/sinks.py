@@ -176,10 +176,12 @@ def staged_once(name: str, src_path: str, build) -> str:
                 # racer occupied path meanwhile; retry briefly (its own
                 # aside-flow clears marker-less occupants), and if path
                 # stays wedged, move the committed artifact to a
-                # sweep-EXEMPT keyed- rescue name instead of leaving it
-                # stranded under the TTL-swept stagetmp-aside-* prefix
-                # (ADVICE r9: a COMMITTED artifact is never deleted, so
-                # it must never sit where the janitor collects).
+                # keyed-rescue name instead of leaving it stranded
+                # under the 24h-TTL stagetmp-aside-* prefix. Rescue
+                # dirs are NOT sweep-exempt forever: they get the
+                # dedicated 7-day _RESCUE_TTL_SECONDS (ADVICE r10 —
+                # bounded leak), which still outlives any session that
+                # could hold the returned path.
                 restored = False
                 for _ in range(20):
                     try:

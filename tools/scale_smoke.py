@@ -108,7 +108,7 @@ STAGES = (
     # twin — exact pass + k incidence + p=0.5 sampled pass over the
     # same capped pair graph as g_triangle_counts, so its curve should
     # track g_triangle_counts at ≲1.5× (the sampled pass re-counts on
-    # half the edges ≈ 1/8 the wedges)
+    # half the edges ≈ 1/4 the wedges, 1/8 the surviving triangles)
     "g_doulion_triangles",
 )
 
