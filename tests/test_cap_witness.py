@@ -283,6 +283,49 @@ def test_hot_bucket_cap_witness_ngram_jaccard(spark, hot_bucket_dir, hot_bucket_
     assert uncapped == 1100 * 1099 // 2 + 1
 
 
+def test_hot_bucket_cap_witness_incremental_index(
+    spark, hot_bucket_dir, hot_bucket_duck, monkeypatch, tmp_path
+):
+    """The THIRD capped engine path at the production constant: the
+    incremental probe's scan-local ``bucket_n <= HOT_BUCKET_CAP``
+    filter on the write-time index (probe_standing_index), whose
+    oracle mirrors the cap on the a-side only. The planted corpus's
+    top decile (doc_id > 990) contains both hot docs and the genuine
+    pair, so an unfiltered index join would flood with hot
+    candidates; the capped engine and the capped oracle agree on
+    exactly the one pair."""
+    from odoo_batch_processing_spark.operators.dedup import (
+        HOT_BUCKET_CAP,
+        ORACLES as DEDUP_ORACLES,
+        _q_x3_incremental_neardup,
+        ensure_minhash_index,
+    )
+    from odoo_batch_processing_spark.sources import sinks
+
+    # keep the throwaway corpus's write-time index out of the real
+    # .scratch (keyed- dirs are sweep-exempt and this key never recurs)
+    monkeypatch.setattr(sinks, "_SCRATCH", str(tmp_path))
+
+    index = ensure_minhash_index(spark, hot_bucket_dir)
+    max_bucket = index.agg(F.max("bucket_n").alias("m")).collect()[0]["m"]
+    assert max_bucket == 1100 > HOT_BUCKET_CAP  # witness on the capped side
+
+    res = compare(
+        "x3_incremental_neardup[planted]",
+        _q_x3_incremental_neardup(spark, hot_bucket_dir),
+        hot_bucket_duck,
+        DEDUP_ORACLES["x3_incremental_neardup"],
+    )
+    assert res.ok, str(res)
+    assert res.spark_rows == 1
+    # without the bucket_n filter the same probe floods: every new-
+    # batch hot doc pairs with every lower-id hot doc in the index
+    new_hot = index.filter(
+        (F.col("bucket_n") > HOT_BUCKET_CAP) & (F.col("doc_id") > 990)
+    ).select("doc_id").distinct().count()
+    assert new_hot > 0  # hot docs ARE in the probe decile
+
+
 def test_posting_abs_cap_witness(spark, tmp_path_factory):
     """POSTING_ABS_CAP=1000's own capped-side witness: a 25 k-doc
     corpus (5 %·n = 1250 > 1000) with a df-1100 shingle — dropped by
