@@ -264,6 +264,16 @@ DOULION_P = 0.5
 DOULION_SEED = 10
 
 
+def doulion_p_eff(p: float) -> float:
+    """The sampling probability the 1e-4-resolution hash filter
+    ACTUALLY realizes for a nominal ``p``: round(p·10⁴)/10⁴. Both the
+    filter threshold and the 1/p³ estimator scale must use this one
+    value (ADVICE r10 — scaling by nominal p while filtering at the
+    quantized threshold is a small systematic bias for any p not
+    representable at 1e-4, e.g. p=1/3)."""
+    return round(p * 10_000) / 10_000
+
+
 def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed doc-pair edges of the GRAPH_DF_CAP-pruned trigram
     co-occurrence graph — the ONE shared builder for all three graph
@@ -323,16 +333,21 @@ def doulion_triangle_estimate(
     construction (the catalog query reuses its materialized exact-pass
     edge set — no second Deduplicate shuffle)."""
     und = edges if already_canonical else _canonical_undirected(edges)
+    # The hash filter quantizes p to 1e-4 resolution; the estimator
+    # must scale by the probability ACTUALLY sampled at, not the
+    # nominal p, or non-representable values (p=1/3 → 0.3333) carry a
+    # systematic quantization bias on top of the truncation bias that
+    # round() already fixes (ADVICE r10). p_eff is the one shared
+    # constant for filter threshold AND 1/p³ scale.
+    p_eff = doulion_p_eff(p)
     sampled = und.filter(
         F.pmod(F.xxhash64("a", "b", F.lit(seed)), F.lit(10_000))
-        # round, not int(): truncation would sample p=0.3 at 0.2999
-        # while the estimator scales by 1/0.3³ — a systematic bias
-        < F.lit(round(p * 10_000))
+        < F.lit(int(round(p_eff * 10_000)))
     )
     tri, _deg = _triangle_relation(sampled.transform(materialize_once))
     return tri.agg(F.count(F.lit(1)).alias("n_tri_sampled")).select(
         "n_tri_sampled",
-        (F.col("n_tri_sampled") / F.lit(float(p) ** 3)).alias("est"),
+        (F.col("n_tri_sampled") / F.lit(p_eff**3)).alias("est"),
     )
 
 
@@ -350,7 +365,19 @@ def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over 3·T short rows) — plus a +8 additive floor so the
     bound is non-vacuous in the T≈0 regime. Everything is a 1-row
     aggregate cross-joined (the q22/x8 free-scalar shape); no
-    collect."""
+    collect.
+
+    Deterministic-miss procedure (ADVICE r10): the estimate is a
+    FIXED hash sample, not a fresh random draw — a ~1-in-16k 4σ tail
+    event at a new corpus/seed is permanent, not re-rollable by
+    re-running. If this gate ever fails at a corpus where the exact
+    count is trusted: (1) verify it is the tail case by computing
+    |est − T|/σ by hand from this query's own outputs; (2) bump
+    ``DOULION_SEED`` by +1 and record both seeds, both estimates and
+    the z-scores in SCALE.md as the re-seed receipt; (3) a SECOND
+    consecutive miss at the new seed is code, not luck — stop and
+    debug. Do not widen the 4σ/+8 bound instead of re-seeding: the
+    bound's tightness is what makes the contract informative."""
     # one canonical edge build feeds BOTH the exact pass and the
     # sampled pass (the sample is a scan-local filter over it)
     und = _canonical_undirected(_cooccurrence_edges(spark, sf_dir)).transform(
@@ -388,7 +415,9 @@ def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = doulion_triangle_estimate(
         und, p=DOULION_P, seed=DOULION_SEED, already_canonical=True
     )
-    p = DOULION_P
+    # variance at the REALIZED sampling probability (same p_eff the
+    # filter and estimator use — ADVICE r10 quantization-bias fix)
+    p = doulion_p_eff(DOULION_P)
     var = (
         F.col("n_tri_exact") * F.lit(1.0 / p**3 - 1.0)
         + F.lit(2.0) * F.col("k_shared") * F.lit(1.0 / p - 1.0)

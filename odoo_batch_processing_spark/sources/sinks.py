@@ -19,6 +19,7 @@ stubbed behind `require_table_format()`.
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
 
@@ -201,13 +202,22 @@ def staged_once(name: str, src_path: str, build) -> str:
                         os.rename(aside, rescue)
                     except OSError:
                         rescue = None  # aside itself moved/committed away
+                    if rescue is not None:
+                        # rename preserves the artifact's WRITE-time
+                        # mtime; restart the TTL clock at RESCUE time
+                        # or an old artifact starts its 7 days in the
+                        # past and can be swept while a session still
+                        # holds the path (ADVICE r10). Best-effort:
+                        # a failed touch must not discard the rescue.
+                        try:
+                            os.utime(rescue, None)
+                        except OSError:
+                            pass
                     if rescue is not None and _marker_present(rescue):
                         # loud, attributable event (ADVICE r10): each
                         # rescue is a full artifact copy living outside
                         # the keyed path, reclaimed only by its
                         # dedicated 7-day TTL
-                        import logging
-
                         logging.getLogger(__name__).warning(
                             "staged_once: keyed path %s wedged; serving "
                             "committed artifact from rescue dir %s "

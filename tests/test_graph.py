@@ -120,3 +120,28 @@ def test_doulion_deterministic_and_subsampling(spark):
     exact_total = sum(_brute_force(set(raw)).values()) // 3
     assert a["n_tri_sampled"] <= exact_total
     assert a["est"] == a["n_tri_sampled"] * 8.0  # 1/p³ at p=0.5
+
+
+def test_doulion_p_eff_quantization(spark):
+    """ADVICE r10: the 1e-4-resolution hash filter realizes
+    round(p·10⁴)/10⁴, so the estimator must scale by that p_eff, not
+    the nominal p — at p=1/3 the filter keeps hashes < 3333 (p_eff =
+    0.3333) and scaling by 1/(1/3)³ = 27 instead of 1/0.3333³ ≈
+    27.0081 is a permanent −0.03% bias."""
+    from odoo_batch_processing_spark.operators.graph import (
+        doulion_p_eff,
+        doulion_triangle_estimate,
+    )
+
+    assert doulion_p_eff(0.5) == 0.5  # representable: no change
+    assert doulion_p_eff(1 / 3) == 0.3333  # round, not truncate-to-0.3333̄
+    assert doulion_p_eff(0.29999) == 0.3
+
+    rng = random.Random(17)
+    raw = [(rng.randrange(25), rng.randrange(25)) for _ in range(220)]
+    df = spark.createDataFrame(raw, "src bigint, dst bigint")
+    row = doulion_triangle_estimate(df, p=1 / 3, seed=10).collect()[0]
+    # scale is exactly 1/p_eff³ — nominal 1/(1/3)³ would differ in the
+    # 4th significant digit whenever n_tri_sampled > 0
+    assert row["n_tri_sampled"] > 0  # witness on the scaled side
+    assert row["est"] == row["n_tri_sampled"] / 0.3333**3

@@ -445,6 +445,13 @@ def test_staged_once_rescues_commit_when_restore_is_wedged(tmp_path, monkeypatch
 
     p = sinks.staged_once("t-wedge", str(src), racer_build)
     assert os.path.exists(os.path.join(p, "_STAGED"))
+    # age the committed artifact: os.rename PRESERVES this mtime, so
+    # without the post-rescue utime the rescue dir would start its
+    # 7-day TTL ten days in the past (ADVICE r10)
+    import time
+
+    stale = time.time() - 10 * 86400
+    os.utime(p, (stale, stale))
 
     real = sinks._marker_present
     state = {"hidden": 0, "planted": False}
@@ -471,6 +478,9 @@ def test_staged_once_rescues_commit_when_restore_is_wedged(tmp_path, monkeypatch
         assert os.path.exists(os.path.join(rescued, "_STAGED"))
         assert os.path.exists(os.path.join(rescued, "winner"))
         assert os.path.basename(rescued).startswith(sinks._KEYED_PREFIX)
+        # TTL clock restarted at rescue time, not write time: the
+        # pre-aged mtime must have been refreshed to ~now
+        assert time.time() - os.stat(rescued).st_mtime < 300
     finally:
         for d in (rescued, p):
             if d and os.path.isdir(d):
