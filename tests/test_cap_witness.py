@@ -28,9 +28,6 @@ term and capped vs uncapped outputs genuinely differ.  They assert:
 
 from __future__ import annotations
 
-import os
-
-import duckdb
 import pytest
 from pyspark.sql import functions as F
 
@@ -46,6 +43,7 @@ from odoo_batch_processing_spark.operators.text import (
     pruned_shingle_postings,
 )
 from odoo_batch_processing_spark.oracle import compare
+from tests.planted import duck_view, plant_corpus
 
 #: planted corpus shape: hot-df strictly inside (GRAPH_DF_CAP, 5%·n]
 #: so the absolute cap — not the proportional term — decides its fate
@@ -54,22 +52,6 @@ HOT_DF = 100  # 64 < 100 <= ceil(0.05 * 3000) = 150
 N_GROUPS, GROUP_SIZE = 10, 4  # df=4 cliques that survive BOTH caps
 
 HOT_SHINGLE = "hotA hotB hotC"
-
-
-def _write_documents(path: str, rows: list[tuple[int, str]]) -> None:
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    table = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array(["en"] * len(rows), pa.string()),
-            "source": pa.array(["planted"] * len(rows), pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
-        }
-    )
-    pq.write_table(table, path)
 
 
 @pytest.fixture(scope="module")
@@ -92,19 +74,12 @@ def planted_dir(tmp_path_factory) -> str:
     while len(rows) < N_DOCS:
         rows.append((doc_id, f"f{doc_id}"))
         doc_id += 1
-    d = tmp_path_factory.mktemp("planted_cap")
-    _write_documents(os.path.join(str(d), "documents.parquet"), rows)
-    return str(d)
+    return plant_corpus(tmp_path_factory.mktemp("planted_cap"), rows)
 
 
 @pytest.fixture(scope="module")
 def planted_duck(planted_dir):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"'{planted_dir}/documents.parquet'"
-    )
-    return con
+    return duck_view(planted_dir)
 
 
 def _distinct_shingles(spark, sf_dir: str, abs_cap: int) -> set[str]:
@@ -206,19 +181,12 @@ def hot_bucket_dir(tmp_path_factory) -> str:
     holds all 1100) plus one genuine near-dup pair in a 2-doc bucket."""
     rows = [(i, "h1 h2 h3 h4") for i in range(1100)]
     rows += [(1100, "p1 p2 p3 p4"), (1101, "p1 p2 p3 p4")]
-    d = tmp_path_factory.mktemp("planted_hot_bucket")
-    _write_documents(os.path.join(str(d), "documents.parquet"), rows)
-    return str(d)
+    return plant_corpus(tmp_path_factory.mktemp("planted_hot_bucket"), rows)
 
 
 @pytest.fixture(scope="module")
 def hot_bucket_duck(hot_bucket_dir):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"'{hot_bucket_dir}/documents.parquet'"
-    )
-    return con
+    return duck_view(hot_bucket_dir)
 
 
 def test_hot_bucket_cap_witness_minhash(spark, hot_bucket_dir, hot_bucket_duck):
@@ -334,8 +302,7 @@ def test_posting_abs_cap_witness(spark, tmp_path_factory):
     n, hot_df = 25_000, 1100
     rows = [(i, f"pA pB pC u{i} v{i}") for i in range(hot_df)]
     rows += [(i, f"f{i}") for i in range(hot_df, n)]
-    d = tmp_path_factory.mktemp("planted_posting_cap")
-    _write_documents(os.path.join(str(d), "documents.parquet"), rows)
+    d = plant_corpus(tmp_path_factory.mktemp("planted_posting_cap"), rows)
 
     import math
 
