@@ -212,24 +212,31 @@ CONTAM_N = 5
 #: decontamination inverted-index hot-shingle ceiling — same df² skew
 #: guard as dedup.HOT_BUCKET_CAP, sized for 5-gram shingles (far
 #: rarer than trigrams, so the ceiling is generous). Mirrored in the
-#: _CONTAM oracle fragment's QUALIFY (§7.5: engine and oracle must
-#: share every drop-filter constant — the round-10 cap sweep found
-#: this one engine-only, the same gap class as the seven dedup
-#: oracles). Never binding at fixture scale (no planted witness: a
-#: 100k-doc hot shingle is beyond unit-test budget; the
-#: cap_hot_buckets MECHANISM carries the planted witnesses in
-#: tests/test_cap_witness.py / test_text_dedup.py, and sharing the
-#: constant makes divergence impossible by construction).
+#: _contam_sql / _pipeline_oracle_sql QUALIFY fragments (§7.5: engine
+#: and oracle must share every drop-filter constant — the round-10
+#: cap sweep found this one engine-only, the same gap class as the
+#: seven dedup oracles). WIRING-witnessed at a test-injected cap=5
+#: (tests/test_cap_witness.py::test_decontam_hot_cap_witness_*): both
+#: query builders and both oracle strings are parameterized over the
+#: cap, and the planted corpus proves capped ≠ uncapped with engine ==
+#: capped-oracle for BOTH cap populations (decontaminate counts over
+#: ALL documents, the pipeline over the kept corpus side only).
 DECONTAM_HOT_CAP = 100_000
 
 #: benchmark source id within the fixture corpus
 BENCH_SOURCE = "src0"
 
 
-def _q_x9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_x9_decontaminate(
+    spark: SparkSession, sf_dir: str, cap: int = DECONTAM_HOT_CAP
+) -> DataFrame:
     """Corpus docs sharing ≥1 CONTAM_N-gram with any benchmark
     (BENCH_SOURCE) doc, with the count of distinct matched shingles —
-    the inverted-index join of dedup.py, benchmark side hot-capped."""
+    the inverted-index join of dedup.py, benchmark side hot-capped.
+
+    ``cap`` defaults to the production constant; the witness test
+    injects cap=5 to certify the engine/oracle wiring at a corpus a
+    unit test can afford (§7.5)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     # materialize-once, same rationale as dedup._doc_shingles: the
     # index feeds the cap count, the benchmark side, and the corpus
@@ -242,7 +249,7 @@ def _q_x9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sits far above any fixture shingle frequency, so results are
     # unchanged at test scale (the dedup-module convention) — and is
     # mirrored in the oracle's QUALIFY (DECONTAM_HOT_CAP)
-    doc_sh = cap_hot_buckets(doc_sh, ["sh"], cap=DECONTAM_HOT_CAP)
+    doc_sh = cap_hot_buckets(doc_sh, ["sh"], cap=cap)
     bench = (
         doc_sh.filter(F.col("source") == BENCH_SOURCE)
         .select("sh")
@@ -393,9 +400,13 @@ def _q_x9_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The composed pipeline: gate ∧ decontaminate ∧ sample
 # ---------------------------------------------------------------------------
-def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_x9_curation_pipeline(
+    spark: SparkSession, sf_dir: str, cap: int = DECONTAM_HOT_CAP
+) -> DataFrame:
     """End-to-end shard selection: quality-gated, decontaminated,
     hash-sampled — the keep-set a pretraining run would actually read.
+    ``cap`` is the decontamination hot-shingle ceiling (test-injectable
+    for the §7.5 wiring witness; production default).
 
     Filter ORDER is the scale lever: the cheap predicates (gates +
     hash cut) run first, and only the surviving slice is shingled for
@@ -430,7 +441,7 @@ def _q_x9_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize_once)
     )
     # same boilerplate-shingle skew guard as _q_x9_decontaminate
-    corpus_sh = cap_hot_buckets(corpus_sh, ["sh"], cap=DECONTAM_HOT_CAP)
+    corpus_sh = cap_hot_buckets(corpus_sh, ["sh"], cap=cap)
     contaminated = corpus_sh.join(bench_sh, "sh").select("doc_id").distinct()
     return kept.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "source", "n_tokens"
@@ -584,7 +595,11 @@ _SCRUBBED = (
     f" '{PHONE_PATTERN}', '<PHONE>', 'g')"
 )
 
-_CONTAM = f"""
+def _contam_sql(cap: int = DECONTAM_HOT_CAP) -> str:
+    """x9_decontaminate oracle, parameterized over the hot-shingle cap
+    so the §7.5 wiring witness can run engine and oracle at the SAME
+    injected constant (cap=5) on a corpus where it binds."""
+    return f"""
     WITH doc_sh_all AS (
         SELECT doc_id, source, unnest({_sh_sql(CONTAM_N)}) AS sh
         FROM documents
@@ -593,7 +608,7 @@ _CONTAM = f"""
     -- index over ALL documents before the bench/corpus split
     doc_sh AS (
         SELECT * FROM doc_sh_all
-        QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {DECONTAM_HOT_CAP}
+        QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {cap}
     ),
     bench AS (SELECT DISTINCT sh FROM doc_sh WHERE source = '{BENCH_SOURCE}')
     SELECT c.doc_id, c.source,
@@ -602,6 +617,48 @@ _CONTAM = f"""
     WHERE c.source <> '{BENCH_SOURCE}'
     GROUP BY c.doc_id, c.source
 """
+
+
+_CONTAM = _contam_sql()
+
+
+def _pipeline_oracle_sql(cap: int = DECONTAM_HOT_CAP) -> str:
+    """x9_curation_pipeline oracle, parameterized over the hot-shingle
+    cap (same §7.5 witness contract as :func:`_contam_sql`). The cap
+    POPULATION deliberately differs from x9_decontaminate's: the
+    pipeline counts over the KEPT (gated + sampled, non-benchmark)
+    corpus side only, because the engine shingles nothing else — the
+    mirror must match that exactly, not reuse the all-documents count.
+    The witness corpus plants a shingle hot in one population but not
+    the other, so swapping populations fails the compare."""
+    return f"""
+        WITH kept_corpus_sh AS (
+            SELECT doc_id, unnest({_sh_sql(CONTAM_N)}) AS sh
+            FROM documents d
+            WHERE ({_GATES})
+              AND (d.doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < 50
+              AND d.source <> '{BENCH_SOURCE}'
+        ),
+        capped_corpus_sh AS (
+            SELECT * FROM kept_corpus_sh
+            QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {cap}
+        ),
+        bench AS (
+            SELECT DISTINCT sh FROM (
+                SELECT unnest({_sh_sql(CONTAM_N)}) AS sh
+                FROM documents WHERE source = '{BENCH_SOURCE}'
+            )
+        ),
+        contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM capped_corpus_sh c JOIN bench b ON c.sh = b.sh
+        )
+        SELECT d.doc_id, d.source, {_N_TOK} AS n_tokens
+        FROM documents d
+        WHERE ({_GATES})
+          AND (d.doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < 50
+          AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    """
 
 ORACLES_EXT = {
     "x9_pii_scrub": f"""
@@ -664,39 +721,7 @@ ORACLES_EXT = {
                    ELSE {MIX_DEFAULT_RATE} END
         GROUP BY source
     """,
-    "x9_curation_pipeline": f"""
-        WITH kept_corpus_sh AS (
-            SELECT doc_id, unnest({_sh_sql(CONTAM_N)}) AS sh
-            FROM documents d
-            WHERE ({_GATES})
-              AND (d.doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < 50
-              AND d.source <> '{BENCH_SOURCE}'
-        ),
-        -- DECONTAM_HOT_CAP mirror (§7.5). NOTE the cap POPULATION
-        -- differs from x9_decontaminate's: the pipeline counts over
-        -- the KEPT (gated + sampled) corpus side only, because the
-        -- engine shingles nothing else — the mirror must match that
-        -- exactly, not reuse _CONTAM's all-documents count
-        capped_corpus_sh AS (
-            SELECT * FROM kept_corpus_sh
-            QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {DECONTAM_HOT_CAP}
-        ),
-        bench AS (
-            SELECT DISTINCT sh FROM (
-                SELECT unnest({_sh_sql(CONTAM_N)}) AS sh
-                FROM documents WHERE source = '{BENCH_SOURCE}'
-            )
-        ),
-        contaminated AS (
-            SELECT DISTINCT c.doc_id
-            FROM capped_corpus_sh c JOIN bench b ON c.sh = b.sh
-        )
-        SELECT d.doc_id, d.source, {_N_TOK} AS n_tokens
-        FROM documents d
-        WHERE ({_GATES})
-          AND (d.doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < 50
-          AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
-    """,
+    "x9_curation_pipeline": _pipeline_oracle_sql(),
     # the one-partition restatement of the bucketed Spark plan: the
     # bucket is a PREFIX of the sort key, so key order == bucket-major
     # order and the two forms assign identical positions

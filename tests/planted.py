@@ -32,14 +32,16 @@ _DOCUMENTS_COLUMNS = (
 
 def plant_corpus(
     dirpath,
-    rows: list[tuple[int, str]],
+    rows: list[tuple],
     lang: str = "en",
     source: str = "planted",
 ) -> str:
     """Write ``documents.parquet`` under ``dirpath`` from (doc_id,
-    text) pairs, deriving the remaining FIXTURES.md columns; returns
-    ``str(dirpath)`` so the caller can hand it anywhere a fixture
-    ``sf_dir`` is expected."""
+    text) or (doc_id, text, source) tuples — the 3-form exists for
+    guards whose semantics split on ``source`` (benchmark
+    decontamination). Remaining FIXTURES.md columns are derived;
+    returns ``str(dirpath)`` so the caller can hand it anywhere a
+    fixture ``sf_dir`` is expected."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -50,7 +52,9 @@ def plant_corpus(
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
             "text": pa.array([r[1] for r in rows], pa.string()),
             "lang": pa.array([lang] * len(rows), pa.string()),
-            "source": pa.array([source] * len(rows), pa.string()),
+            "source": pa.array(
+                [r[2] if len(r) > 2 else source for r in rows], pa.string()
+            ),
             "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
         }
     )

@@ -23,7 +23,14 @@ term and capped vs uncapped outputs genuinely differ.  They assert:
       caught it;
   (c) POSTING_ABS_CAP itself gets its own witness at a 25 k-doc
       corpus where 5 %·n = 1250 > 1000, with a df-1100 shingle on the
-      capped side.
+      capped side;
+  (d) DECONTAM_HOT_CAP gets a WIRING witness at a test-injected cap=5
+      (the production 100k ceiling needs an unaffordable corpus; the
+      §7.5 pattern certifies the engine/oracle parameterization at any
+      shared constant) — for BOTH curation queries, because their cap
+      populations differ (all documents vs kept corpus side) and the
+      planted corpus makes the two populations give OPPOSITE verdicts
+      on the same hot shingle.
 """
 
 from __future__ import annotations
@@ -320,3 +327,166 @@ def test_posting_abs_cap_witness(spark, tmp_path_factory):
     }
     assert "pA pB pC" not in kept_prod, "df=1100 must be cut by the 1000 ceiling"
     assert "pA pB pC" in kept_lifted, "without the ceiling the 5% term keeps it"
+
+
+# ---------------------------------------------------------------------------
+# DECONTAM_HOT_CAP wiring witness (VERDICT r10 #1)
+# ---------------------------------------------------------------------------
+
+#: test-injected cap — the §7.5 pattern certifies the WIRING at any
+#: shared constant; a corpus where the production 100k ceiling binds
+#: is beyond unit-test budget, a cap-5 one is ~30 docs
+DECONTAM_TEST_CAP = 5
+
+_HOT_A = "ha1 ha2 ha3 ha4 ha5"  # all-docs df 9 > 5; kept-corpus df 3 <= 5
+_HOT_B = "hb1 hb2 hb3 hb4 hb5"  # all-docs df 13 > 5; kept-corpus df 6 > 5
+_GENUINE = "ca1 ca2 ca3 ca4 ca5"  # df 2 everywhere — survives both caps
+
+
+def _gated_text(uid: str, window: str | None = None) -> str:
+    """20 distinct tokens passing every quality gate (stopword 'the',
+    mean word length in range, zero repetition), with an optional
+    planted 5-token window whose shingle is the ONLY one the doc
+    shares with anything (every other 5-gram touches a uid token)."""
+    pre = [f"{uid}p{k}" for k in range(8)]
+    mid = window.split() if window else [f"{uid}m{k}" for k in range(5)]
+    suf = [f"{uid}s{k}" for k in range(6)] + ["the"]
+    toks = pre + mid + suf
+    assert len(toks) == 20
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def decontam_dir(tmp_path_factory):
+    """Corpus where cap=5 binds DIFFERENTLY in the two cap
+    populations: hotA sits over the cap in the all-documents count
+    (x9_decontaminate's population) but UNDER it in the kept-corpus
+    count (x9_curation_pipeline's), hotB is over in both, and one
+    genuine contaminated doc survives both — so the two queries give
+    different hotA verdicts and a population-swapped mirror fails."""
+    from odoo_batch_processing_spark.operators.curation import (
+        _HASH_MOD,
+        _KNUTH,
+        BENCH_SOURCE,
+    )
+
+    kept_pool = iter(i for i in range(500) if (i * _KNUTH) % _HASH_MOD % 100 < 50)
+    drop_pool = iter(i for i in range(500) if (i * _KNUTH) % _HASH_MOD % 100 >= 50)
+    ids = {
+        "hotA_kept": [next(kept_pool) for _ in range(3)],
+        "hotA_drop": [next(drop_pool) for _ in range(5)],
+        "hotB_kept": [next(kept_pool) for _ in range(6)],
+        "hotB_drop": [next(drop_pool) for _ in range(6)],
+    }
+    ids["genuine"] = [next(kept_pool)]
+    ids["filler"] = [next(kept_pool) for _ in range(4)]
+    ids["bench"] = [next(drop_pool)]  # drop-side: never enters `kept`
+
+    rows = [
+        (i, _gated_text(f"a{i}", _HOT_A))
+        for i in ids["hotA_kept"] + ids["hotA_drop"]
+    ]
+    rows += [
+        (i, _gated_text(f"b{i}", _HOT_B))
+        for i in ids["hotB_kept"] + ids["hotB_drop"]
+    ]
+    rows += [(i, _gated_text(f"g{i}", _GENUINE)) for i in ids["genuine"]]
+    rows += [(i, _gated_text(f"f{i}")) for i in ids["filler"]]
+    bench_toks = (
+        ["w0", "w1", "w2"] + _HOT_A.split() + ["w3", "w4", "w5"]
+        + _HOT_B.split() + ["w6", "w7", "w8"] + _GENUINE.split() + ["w9"]
+    )
+    rows += [(i, " ".join(bench_toks), BENCH_SOURCE) for i in ids["bench"]]
+    d = plant_corpus(tmp_path_factory.mktemp("planted_decontam"), rows)
+    return d, ids
+
+
+@pytest.fixture(scope="module")
+def decontam_duck(decontam_dir):
+    return duck_view(decontam_dir[0])
+
+
+def test_decontam_hot_cap_witness_decontaminate(spark, decontam_dir, decontam_duck):
+    """x9_decontaminate at cap=5: the all-documents population counts
+    hotA at 9 > 5, so BOTH hot shingles are cut and only the genuine
+    pair survives; lifting the cap floods 21 rows; the uncapped engine
+    output mismatches the capped oracle (the r8 bug shape fails)."""
+    from odoo_batch_processing_spark.operators.curation import (
+        _contam_sql,
+        _q_x9_decontaminate,
+    )
+
+    d, ids = decontam_dir
+    res = compare(
+        "x9_decontaminate[planted,cap5]",
+        _q_x9_decontaminate(spark, d, cap=DECONTAM_TEST_CAP),
+        decontam_duck,
+        _contam_sql(DECONTAM_TEST_CAP),
+    )
+    assert res.ok, str(res)
+    assert res.spark_rows == 1  # only the genuine doc is flagged
+    flagged = {
+        r["doc_id"]
+        for r in _q_x9_decontaminate(spark, d, cap=DECONTAM_TEST_CAP).collect()
+    }
+    assert flagged == set(ids["genuine"])  # hotA docs NOT flagged here
+    # capped != uncapped: every hot doc floods back without the cap
+    uncapped = _q_x9_decontaminate(spark, d, cap=10**9)
+    assert uncapped.count() == 8 + 12 + 1
+    res_buggy = compare(
+        "x9_decontaminate[planted,uncapped]",
+        uncapped,
+        decontam_duck,
+        _contam_sql(DECONTAM_TEST_CAP),
+    )
+    assert not res_buggy.ok, "uncapped engine must MISMATCH the capped oracle"
+
+
+def test_decontam_hot_cap_witness_pipeline(spark, decontam_dir, decontam_duck):
+    """x9_curation_pipeline at cap=5: the kept-corpus population
+    counts hotA at 3 <= 5, so hotA SURVIVES the cap here, its kept
+    docs are flagged contaminated and dropped — the opposite hotA
+    verdict from x9_decontaminate on the same corpus, which is
+    exactly the population asymmetry the mirror must reproduce
+    (curation._pipeline_oracle_sql counts the kept corpus side only;
+    an all-documents mirror would cut hotA and wrongly keep its
+    docs)."""
+    from odoo_batch_processing_spark.operators.curation import (
+        _pipeline_oracle_sql,
+        _q_x9_curation_pipeline,
+    )
+
+    d, ids = decontam_dir
+    res = compare(
+        "x9_curation_pipeline[planted,cap5]",
+        _q_x9_curation_pipeline(spark, d, cap=DECONTAM_TEST_CAP),
+        decontam_duck,
+        _pipeline_oracle_sql(DECONTAM_TEST_CAP),
+    )
+    assert res.ok, str(res)
+    kept_ids = {
+        r["doc_id"]
+        for r in _q_x9_curation_pipeline(spark, d, cap=DECONTAM_TEST_CAP).collect()
+    }
+    # hotB (over the kept-population cap) is NOT decontaminated and
+    # stays; hotA (under it) IS decontaminated and drops; the genuine
+    # doc drops; fillers stay
+    assert kept_ids == set(ids["hotB_kept"]) | set(ids["filler"])
+    # the asymmetry precondition, asserted not narrated: hotA is over
+    # the cap in the all-docs population and under it in kept-corpus
+    all_docs_hotA = decontam_duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE text LIKE '%ha1 ha2 ha3 ha4 ha5%'"
+    ).fetchone()[0]
+    assert all_docs_hotA == 9 > DECONTAM_TEST_CAP >= len(ids["hotA_kept"])
+    # capped != uncapped: without the cap hotB is also flagged and the
+    # keep-set shrinks to the fillers; that engine output mismatches
+    # the capped oracle
+    uncapped = _q_x9_curation_pipeline(spark, d, cap=10**9)
+    assert {r["doc_id"] for r in uncapped.collect()} == set(ids["filler"])
+    res_buggy = compare(
+        "x9_curation_pipeline[planted,uncapped]",
+        uncapped,
+        decontam_duck,
+        _pipeline_oracle_sql(DECONTAM_TEST_CAP),
+    )
+    assert not res_buggy.ok, "uncapped engine must MISMATCH the capped oracle"
