@@ -1,0 +1,156 @@
+"""tools/bench_compare.py — replay the r8→r9→r10 adjudications.
+
+The tool exists so perf adjudication stops being narrative (VERDICT
+r10 #2); this test pins that the mechanized rules reproduce the three
+adjudications those rounds actually made:
+
+* r8→r9: `x3_minhash_lsh` ×1.77 is flagged (it was the r9 watch item)
+  and nothing else is;
+* r9→r10: the streaming jitter (×1.15–1.19) is NOT flagged and the
+  minhash recovery shows as improvement — i.e. r10's "host noise"
+  verdict;
+* raw reps make the rule sharper: the r9 minhash rep spread
+  (2.36/11.45/7.98/2.27/2.79, SCALE.md) OVERLAPS the r10 reps, so
+  all-reps separation calls it "improved", not a coin-flip;
+* unlabeled or mismatched `drain` refuses; a calibration_boundary
+  crossing needs the recorded 1.4157 bridge and then reproduces the
+  retroactive "r9 passed the r8 gate" finding (bridged ratio ≈1.11).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tools.bench_compare import (
+    IncomparableError,
+    NOISE_FACTOR,
+    compare_artifacts,
+    load_artifact,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _art(name):
+    return load_artifact(os.path.join(REPO, name))
+
+
+def test_r8_to_r9_flags_exactly_the_minhash_blip():
+    res = compare_artifacts(
+        _art("BENCH_r08.json"),
+        _art("BENCH_r09.json"),
+        assume={"old_drain": "forcing-v2"},
+        calibration_bridge=1.4157,
+    )
+    assert res["flagged"] == ["x3_minhash_lsh"]
+    assert res["verdicts"]["x3_minhash_lsh"]["ratio"] > NOISE_FACTOR
+    # the retroactive r9 finding: bridged yardstick ratio ~1.11, i.e.
+    # r9 PASSED the r8 gate once the boundary change is bridged
+    assert res["calibration"]["bridged"]
+    assert res["calibration"]["ratio"] == pytest.approx(1.111, abs=0.01)
+
+
+def test_r9_to_r10_streaming_jitter_not_flagged():
+    res = compare_artifacts(_art("BENCH_r09.json"), _art("BENCH_r10.json"))
+    assert res["flagged"] == []  # ×1.15–1.19 streaming swings pass
+    assert "x3_minhash_lsh" in res["improved"]  # the blip reverted
+    # boundary: r9 predates the field → calibration context withheld
+    assert not res["calibration"]["comparable"]
+    res2 = compare_artifacts(
+        _art("BENCH_r09.json"),
+        _art("BENCH_r10.json"),
+        assume={"old_boundary": "hoisted-v2"},
+    )
+    assert res2["calibration"]["comparable"]
+
+
+def _mk(queries, runs=None, **meta):
+    meta.setdefault("drain", "forcing-v2")
+    return {"queries": queries, "runs": runs, "meta": meta}
+
+
+def test_all_reps_separation_rule():
+    # the r9 minhash reps overlap the r10 reps → improved, not flagged
+    r9 = {"x3_minhash_lsh": [2.36, 11.45, 7.98, 2.27, 2.79]}
+    r10 = {"x3_minhash_lsh": [1.87, 1.54, 1.69, 1.44, 1.30]}
+    res = compare_artifacts(
+        _mk({q: min(r) for q, r in r9.items()}, r9),
+        _mk({q: min(r) for q, r in r10.items()}, r10),
+    )
+    assert res["mode"] == "all-reps"
+    assert res["verdicts"]["x3_minhash_lsh"]["verdict"] == "improved"
+
+    # separation: best new rep worse than worst old rep → flagged
+    res = compare_artifacts(
+        _mk({"q": 1.0}, {"q": [1.0, 1.1, 1.2]}),
+        _mk({"q": 1.3}, {"q": [1.3, 1.35, 1.4]}),
+    )
+    assert res["flagged"] == ["q"]
+
+    # overlap in either direction → same, even at a 1.4x min ratio
+    res = compare_artifacts(
+        _mk({"q": 1.0}, {"q": [1.0, 1.5]}),
+        _mk({"q": 1.4}, {"q": [1.4, 1.6]}),
+    )
+    assert res["verdicts"]["q"]["verdict"] == "same"
+
+
+def test_one_sided_reps_use_old_spread():
+    # new side is a min only; it sits inside the old spread → same
+    res = compare_artifacts(
+        _mk({"q": 1.0}, {"q": [1.0, 1.8]}), _mk({"q": 1.6})
+    )
+    assert res["mode"] == "one-sided-reps"
+    assert res["verdicts"]["q"]["verdict"] == "same"
+    res = compare_artifacts(
+        _mk({"q": 1.0}, {"q": [1.0, 1.2]}), _mk({"q": 1.3})
+    )
+    assert res["flagged"] == ["q"]
+
+
+def test_drain_gate():
+    with pytest.raises(IncomparableError, match="unlabeled"):
+        compare_artifacts(_mk({"q": 1.0}, drain=None), _mk({"q": 1.0}))
+    with pytest.raises(IncomparableError, match="drain mismatch"):
+        compare_artifacts(
+            _mk({"q": 1.0}, drain="count-v1"), _mk({"q": 1.0})
+        )
+    # an assume flag must not overrule a labeled artifact
+    with pytest.raises(IncomparableError, match="assume"):
+        compare_artifacts(
+            _mk({"q": 1.0}),
+            _mk({"q": 1.0}),
+            assume={"old_drain": "count-v1"},
+        )
+
+
+def test_boundary_gate_is_context_only():
+    # boundary mismatch never blocks the raw comparison, only the
+    # calibration context line
+    res = compare_artifacts(
+        _mk({"q": 1.0}, calibration_sec=0.3, calibration_boundary="per-rep-v1"),
+        _mk({"q": 1.0}, calibration_sec=0.25, calibration_boundary="hoisted-v2"),
+    )
+    assert res["headline_ratio"] == 1.0
+    assert not res["calibration"]["comparable"]
+    assert "bridge" in res["calibration"]["reason"]
+
+
+def test_load_artifact_shapes(tmp_path):
+    # bare bench line
+    p = tmp_path / "bare.json"
+    p.write_text(json.dumps({"queries": {"q": 1.0}, "drain": "forcing-v2"}))
+    a = load_artifact(str(p))
+    assert a["queries"] == {"q": 1.0} and a["runs"] is None
+    # raw-reps artifact: min derived from reps
+    p2 = tmp_path / "raw.json"
+    p2.write_text(json.dumps({"reps": 2, "runs": {"q": [2.0, 1.5]}}))
+    a2 = load_artifact(str(p2))
+    assert a2["queries"] == {"q": 1.5} and a2["runs"] == {"q": [2.0, 1.5]}
+    # real driver wrapper
+    a3 = _art("BENCH_r10.json")
+    assert a3["meta"]["drain"] == "forcing-v2"
+    assert len(a3["queries"]) == 50

@@ -1,0 +1,307 @@
+"""Mechanized cross-round bench comparison (VERDICT r10 #2).
+
+Round after round, per-query regressions were adjudicated by narrative
+("probably host noise", "jitter band") — this tool encodes the rules
+those adjudications actually used, so the verdict is reproducible:
+
+**Noise model** (SCALE.md round 10): the calibration yardstick itself
+swings ×1.29 between same-host runs 30 minutes apart, and ±20% per-
+query swings with zero code change are routine; timer/trigger-bound
+streaming queries carry most of it. Consequently:
+
+* a single min-of-reps number is NOT evidence of a regression unless
+  the ratio clears the noise band — ``NOISE_FACTOR`` (1.5) sits above
+  every observed no-change swing (streaming jitter ×1.15–1.19 r9→r10,
+  yardstick ×1.29) and below every confirmed blip (minhash ×1.77
+  r8→r9, which two later re-runs proved noisy — the flag means
+  "re-measure", not "guilty");
+* with raw reps on both sides the rule is **all-reps separation**:
+  flag only when min(new reps) > max(old reps) — i.e. the single best
+  new run is worse than the single worst old run, so no overlap story
+  survives. Improvement is the mirror image (max(new) < min(old)).
+  One-sided reps use the available spread: old reps only → flag when
+  new min > max(old); new reps only → flag when min(new) clears the
+  NOISE_FACTOR over the old min.
+
+**Comparability gate**: artifacts are only comparable under the same
+workload definition. ``drain`` (count-v1 vs forcing-v2 — round 8
+proved count() drains are vacuous for whole query classes) must match
+or the tool refuses; artifacts predating the field must be labeled
+explicitly (``--assume-drain old=forcing-v2``) — an unlabeled
+definition is unknown, not assumed-compatible. ``calibration_boundary``
+mismatches gate only the calibration CONTEXT line (the headline
+comparison is raw-vs-raw by rule — SCALE.md round 10); crossing a
+boundary needs the recorded two-way bridge ratio
+(``--calibration-bridge 1.4157``, tools/calibration_bridge.py).
+
+Input formats (auto-detected): a driver ``BENCH_r{N}.json`` wrapper
+(``.parsed``), a bare bench JSON line (``BENCH_LAST.json``), or a
+``BENCH_LAST_RAW.json`` raw-reps artifact (``.runs``).
+
+Usage::
+
+    python tools/bench_compare.py BENCH_r09.json BENCH_r10.json \
+        --assume-boundary old=hoisted-v2
+    python tools/bench_compare.py BENCH_r08.json BENCH_r09.json \
+        --assume-drain old=forcing-v2 --assume-boundary old=per-rep-v1 \
+        --assume-boundary new=hoisted-v2 --calibration-bridge 1.4157
+
+Output: a per-query verdict table on stderr-free stdout plus ONE
+trailing JSON line ``{"flagged": [...], "improved": [...], ...}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+#: mins-only flag threshold. Above every observed zero-code-change
+#: swing (streaming ×1.15–1.19, yardstick ×1.29, SCALE.md r10), below
+#: every blip that warranted re-measurement (minhash ×1.77 r8→r9).
+NOISE_FACTOR = 1.5
+
+
+class IncomparableError(ValueError):
+    """The two artifacts measure different workload definitions."""
+
+
+def load_artifact(path: str) -> dict:
+    """Normalize any bench artifact to
+    {queries: {q: min}, runs: {q: [reps]}|None, meta: {...}}."""
+    with open(path) as fh:
+        d = json.load(fh)
+    if "parsed" in d and isinstance(d["parsed"], dict):  # driver wrapper
+        d = d["parsed"]
+    if "runs" in d and isinstance(d["runs"], dict):  # raw-reps artifact
+        runs = d["runs"]
+        return {
+            "queries": {q: min(r) for q, r in runs.items() if r},
+            "runs": runs,
+            "meta": {k: v for k, v in d.items() if k != "runs"},
+        }
+    if "queries" in d:
+        return {
+            "queries": dict(d["queries"]),
+            "runs": None,
+            "meta": {k: v for k, v in d.items() if k != "queries"},
+        }
+    raise ValueError(f"{path}: not a recognizable bench artifact")
+
+
+def _effective(meta: dict, field: str, assumed: str | None) -> str | None:
+    v = meta.get(field)
+    if v is not None and assumed is not None and v != assumed:
+        raise IncomparableError(
+            f"{field}: artifact says {v!r} but --assume says {assumed!r} — "
+            "drop the assume flag for labeled artifacts"
+        )
+    return v if v is not None else assumed
+
+
+def _verdict(old_reps, new_reps, old_min: float, new_min: float) -> str:
+    """One query's verdict under the rules in the module docstring."""
+    if old_reps and new_reps:
+        if min(new_reps) > max(old_reps):
+            return "REGRESSED"
+        if max(new_reps) < min(old_reps):
+            return "improved"
+        return "same"
+    if old_reps:  # new side is a min only — still a real observation
+        if new_min > max(old_reps):
+            return "REGRESSED"
+        if new_min < min(old_reps):
+            return "improved"
+        return "same"
+    if new_reps:
+        if min(new_reps) > NOISE_FACTOR * old_min:
+            return "REGRESSED"
+        if max(new_reps) < old_min / NOISE_FACTOR:
+            return "improved"
+        return "same"
+    if new_min > NOISE_FACTOR * old_min:
+        return "REGRESSED"
+    if new_min < old_min / NOISE_FACTOR:
+        return "improved"
+    return "same"
+
+
+def compare_artifacts(
+    old: dict,
+    new: dict,
+    assume: dict | None = None,
+    calibration_bridge: float | None = None,
+) -> dict:
+    """Pure comparison: raises IncomparableError on a drain mismatch,
+    returns {verdicts, flagged, improved, headline_old, headline_new,
+    headline_ratio, calibration: {...}} otherwise."""
+    assume = assume or {}
+    old_drain = _effective(old["meta"], "drain", assume.get("old_drain"))
+    new_drain = _effective(new["meta"], "drain", assume.get("new_drain"))
+    if old_drain is None or new_drain is None:
+        raise IncomparableError(
+            "drain definition unlabeled on "
+            + ("old" if old_drain is None else "new")
+            + " side — an unknown workload definition is not assumed "
+            "compatible; label it with --assume-drain side=forcing-v2 "
+            "(BENCH_r08 onward is forcing-v2 per SCALE.md)"
+        )
+    if old_drain != new_drain:
+        raise IncomparableError(
+            f"drain mismatch ({old_drain!r} vs {new_drain!r}): different "
+            "workload definitions — re-bench one side under the other's "
+            "definition; there is no scalar bridge for drains (round 8 "
+            "re-based the headline 34.37→52.57s for exactly this reason)"
+        )
+
+    verdicts: dict[str, dict] = {}
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    for q in shared:
+        o_min, n_min = old["queries"][q], new["queries"][q]
+        v = _verdict(
+            (old["runs"] or {}).get(q),
+            (new["runs"] or {}).get(q),
+            o_min,
+            n_min,
+        )
+        verdicts[q] = {
+            "old_min": o_min,
+            "new_min": n_min,
+            "ratio": round(n_min / o_min, 4) if o_min else None,
+            "verdict": v,
+        }
+
+    # headline: raw-vs-raw sum over shared queries (artifact `value`
+    # fields can cover different catalogs)
+    h_old = sum(old["queries"][q] for q in shared)
+    h_new = sum(new["queries"][q] for q in shared)
+
+    # calibration context (context ONLY, never part of verdicts)
+    cal: dict = {"comparable": False}
+    ob = old["meta"].get("calibration_boundary") or assume.get("old_boundary")
+    nb = new["meta"].get("calibration_boundary") or assume.get("new_boundary")
+    oc, nc = old["meta"].get("calibration_sec"), new["meta"].get("calibration_sec")
+    if oc and nc:
+        if ob is not None and ob == nb:
+            cal = {"comparable": True, "ratio": round(nc / oc, 4)}
+        elif calibration_bridge:
+            # bridge maps OLD-boundary seconds onto the NEW boundary's
+            # scale (per-rep ≙ hoisted × bridge, tools/calibration_bridge)
+            cal = {
+                "comparable": True,
+                "bridged": True,
+                "ratio": round(nc / (oc / calibration_bridge), 4),
+            }
+        else:
+            cal = {
+                "comparable": False,
+                "reason": f"calibration_boundary {ob!r} vs {nb!r}: bridge "
+                "required (--calibration-bridge; 1.4157 recorded in SCALE.md)",
+            }
+
+    flagged = [q for q, v in verdicts.items() if v["verdict"] == "REGRESSED"]
+    improved = [q for q, v in verdicts.items() if v["verdict"] == "improved"]
+    return {
+        "verdicts": verdicts,
+        "flagged": flagged,
+        "improved": improved,
+        "only_old": sorted(set(old["queries"]) - set(new["queries"])),
+        "only_new": sorted(set(new["queries"]) - set(old["queries"])),
+        "headline_old": round(h_old, 4),
+        "headline_new": round(h_new, 4),
+        "headline_ratio": round(h_new / h_old, 4) if h_old else None,
+        "drain": old_drain,
+        "calibration": cal,
+        "mode": "all-reps"
+        if (old["runs"] and new["runs"])
+        else ("one-sided-reps" if (old["runs"] or new["runs"]) else "mins-only"),
+    }
+
+
+def _parse_assume(pairs: list[str], field: str) -> dict:
+    out = {}
+    for p in pairs:
+        side, _, val = p.partition("=")
+        if side not in ("old", "new") or not val:
+            raise SystemExit(f"--assume-{field} expects old=VALUE or new=VALUE")
+        out[f"{side}_{field}"] = val
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--old-raw", help="raw-reps artifact for the old side")
+    ap.add_argument("--new-raw", help="raw-reps artifact for the new side")
+    ap.add_argument(
+        "--assume-drain",
+        action="append",
+        default=[],
+        metavar="SIDE=VALUE",
+        help="label an artifact that predates the drain field",
+    )
+    ap.add_argument(
+        "--assume-boundary",
+        action="append",
+        default=[],
+        metavar="SIDE=VALUE",
+        help="label an artifact that predates calibration_boundary",
+    )
+    ap.add_argument(
+        "--calibration-bridge",
+        type=float,
+        help="two-way bridge ratio across a calibration_boundary change",
+    )
+    args = ap.parse_args(argv)
+
+    old, new = load_artifact(args.old), load_artifact(args.new)
+    for side, raw_path, art in (("old", args.old_raw, old), ("new", args.new_raw, new)):
+        if raw_path:
+            raw = load_artifact(raw_path)
+            if raw["runs"] is None:
+                raise SystemExit(f"--{side}-raw {raw_path}: carries no reps")
+            art["runs"] = raw["runs"]
+
+    assume = {
+        **_parse_assume(args.assume_drain, "drain"),
+        **_parse_assume(args.assume_boundary, "boundary"),
+    }
+    try:
+        res = compare_artifacts(
+            old, new, assume=assume, calibration_bridge=args.calibration_bridge
+        )
+    except IncomparableError as e:
+        print(f"REFUSED: {e}")
+        return 2
+
+    width = max((len(q) for q in res["verdicts"]), default=8)
+    for q, v in sorted(
+        res["verdicts"].items(), key=lambda kv: -(kv[1]["ratio"] or 0)
+    ):
+        mark = {"REGRESSED": "!!", "improved": "++", "same": "  "}[v["verdict"]]
+        print(
+            f"{mark} {q:<{width}} {v['old_min']:>8.3f} -> {v['new_min']:>8.3f}"
+            f"  x{v['ratio']:.2f}  {v['verdict']}"
+        )
+    print(
+        f"headline (shared queries, raw-vs-raw): {res['headline_old']:.2f} -> "
+        f"{res['headline_new']:.2f}  x{res['headline_ratio']:.3f}  "
+        f"[mode={res['mode']}, drain={res['drain']}]"
+    )
+    cal = res["calibration"]
+    if cal.get("comparable"):
+        b = " (bridged)" if cal.get("bridged") else ""
+        print(
+            f"calibration context{b}: yardstick ratio x{cal['ratio']:.3f} — "
+            "context only, NEVER a verdict input (the yardstick itself "
+            "swings x1.29 same-host, SCALE.md r10)"
+        )
+    else:
+        print(f"calibration context: {cal.get('reason', 'unavailable')}")
+    print(json.dumps({k: v for k, v in res.items() if k != "verdicts"}))
+    return 1 if res["flagged"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
