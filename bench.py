@@ -198,11 +198,22 @@ def main() -> int:
         sf = float(sf)
     except ValueError:
         pass
+    # sub-totals (VERDICT r10 #3): the streaming family (`s_*`) is
+    # ~35% of the headline and carries nearly all round-over-round
+    # noise (trigger-cadence floors, not compute — see SCALE.md's
+    # floor table / tools/streaming_floors.py). Splitting the headline
+    # lets a future regression attribute mechanically to cadence vs
+    # compute before anyone stares at per-query numbers.
+    streaming_total = round(
+        sum(t for n, t in timings.items() if n.startswith("s_") and t > 0), 4
+    )
     payload = {
         "metric": "all_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "headline_batch": round(total - streaming_total, 4),
+        "headline_streaming": streaming_total,
         "sf": sf,
         "reps": reps,
         "stat": "min",
