@@ -199,9 +199,19 @@ def compare_artifacts(
                 "required (--calibration-bridge; 1.4157 recorded in SCALE.md)",
             }
 
+    # batch/streaming sub-totals (computed over shared queries so the
+    # split is comparable even if one artifact predates the
+    # headline_batch/headline_streaming fields)
+    s_old = sum(old["queries"][q] for q in shared if q.startswith("s_"))
+    s_new = sum(new["queries"][q] for q in shared if q.startswith("s_"))
+
     flagged = [q for q, v in verdicts.items() if v["verdict"] == "REGRESSED"]
     improved = [q for q, v in verdicts.items() if v["verdict"] == "improved"]
     return {
+        "headline_batch_old": round(h_old - s_old, 4),
+        "headline_batch_new": round(h_new - s_new, 4),
+        "headline_streaming_old": round(s_old, 4),
+        "headline_streaming_new": round(s_new, 4),
         "verdicts": verdicts,
         "flagged": flagged,
         "improved": improved,
@@ -288,6 +298,13 @@ def main(argv: list[str] | None = None) -> int:
         f"headline (shared queries, raw-vs-raw): {res['headline_old']:.2f} -> "
         f"{res['headline_new']:.2f}  x{res['headline_ratio']:.3f}  "
         f"[mode={res['mode']}, drain={res['drain']}]"
+    )
+    print(
+        f"  batch     {res['headline_batch_old']:.2f} -> "
+        f"{res['headline_batch_new']:.2f}   streaming "
+        f"{res['headline_streaming_old']:.2f} -> "
+        f"{res['headline_streaming_new']:.2f} (cadence-floor-bound, "
+        "see SCALE.md floor table)"
     )
     cal = res["calibration"]
     if cal.get("comparable"):
