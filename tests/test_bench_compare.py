@@ -127,6 +127,20 @@ def test_drain_gate():
         )
 
 
+def test_boundary_assume_must_not_overrule_label():
+    # same conflict rule as drain: a labeled boundary beats --assume
+    with pytest.raises(IncomparableError, match="assume"):
+        compare_artifacts(
+            _mk(
+                {"q": 1.0},
+                calibration_sec=0.3,
+                calibration_boundary="hoisted-v2",
+            ),
+            _mk({"q": 1.0}, calibration_sec=0.25),
+            assume={"old_boundary": "per-rep-v1"},
+        )
+
+
 def test_boundary_gate_is_context_only():
     # boundary mismatch never blocks the raw comparison, only the
     # calibration context line

@@ -178,8 +178,8 @@ def compare_artifacts(
 
     # calibration context (context ONLY, never part of verdicts)
     cal: dict = {"comparable": False}
-    ob = old["meta"].get("calibration_boundary") or assume.get("old_boundary")
-    nb = new["meta"].get("calibration_boundary") or assume.get("new_boundary")
+    ob = _effective(old["meta"], "calibration_boundary", assume.get("old_boundary"))
+    nb = _effective(new["meta"], "calibration_boundary", assume.get("new_boundary"))
     oc, nc = old["meta"].get("calibration_sec"), new["meta"].get("calibration_sec")
     if oc and nc:
         if ob is not None and ob == nb:
