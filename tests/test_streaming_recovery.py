@@ -33,7 +33,45 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
+
+#: both providers the engine targets: HDFS-backed is the local/test
+#: default; RocksDB is the 100 TB production provider (state spills to
+#: disk, changelog checkpointing — SCALE.md). Running every recovery
+#: scenario under BOTH certifies the streaming family is
+#: provider-portable: no query logic leans on HDFSBackedStateStore
+#: semantics, and restart recovery holds under RocksDB's
+#: snapshot+changelog reconstruction too.
+PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+@pytest.fixture(params=sorted(PROVIDERS))
+def state_provider(request, spark):
+    """Pin the state-store provider for the duration of one test; the
+    provider choice is baked into each query's checkpoint at start, so
+    both phases of a restart scenario see the same provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, PROVIDERS[request.param])
+    yield request.param
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
 
 EVENTS_DDL = (
     "event_id bigint, ts bigint, user_id bigint, "
@@ -82,7 +120,7 @@ def _start_dedup(spark, src: str, ckpt: str, out: str):
     )
 
 
-def test_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+def test_dedup_state_survives_checkpoint_restart(spark, tmp_path, state_provider):
     src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
 
     # phase 1: events 1,2,3 — stop after the batch commits
@@ -158,7 +196,7 @@ def _start_join(spark, src: str, ckpt: str, out: str):
     )
 
 
-def test_join_state_survives_checkpoint_restart(spark, tmp_path):
+def test_join_state_survives_checkpoint_restart(spark, tmp_path, state_provider):
     src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
 
     # phase 1: a purchase with no follow-up yet — buffered in join state
@@ -202,7 +240,7 @@ def _start_hourly(spark, src: str, ckpt: str, out: str):
     )
 
 
-def test_windowed_agg_state_survives_checkpoint_restart(spark, tmp_path):
+def test_windowed_agg_state_survives_checkpoint_restart(spark, tmp_path, state_provider):
     src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
 
     # phase 1: two hour-0 events — the window stays OPEN (watermark at
