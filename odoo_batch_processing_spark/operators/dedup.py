@@ -76,14 +76,31 @@ def exact_dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
 
 
 def deterministic_dedup(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFrame:
-    """One survivor per key group: the row whose ``id_col`` is minimal.
+    """One survivor per key group: the row whose ``id_col`` is minimal
+    (``id_col`` is the discriminator and must be unique within a group
+    — typically the primary key).
 
-    Implemented as min(id) per key + semi join back (two narrow
-    shuffles on the same key → Catalyst/AQE co-plans them) rather than
-    a Window row_number (which would sort within groups needlessly).
+    Implemented as a single ``min_by(struct(<non-key cols>), id_col)``
+    aggregation: ONE scan of the input and ONE shuffle on the keys,
+    with map-side partial min_by combining before the exchange. The
+    previous min(id)+semi-join-back form scanned the input TWICE (the
+    aggregate side and the join-back side) — value-identical, but the
+    file-count ladder (tools/scale_files.py, round 11) surfaced the
+    doubled per-file overhead as the family's only divergent stage at
+    K=1024, and on a 100 TB relation the second scan is the cost that
+    matters. A Window row_number would additionally sort within
+    groups; min_by keeps only the running minimum per group.
     """
-    keep = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, [*keys, id_col], "left_semi")
+    others = [c for c in df.columns if c not in keys]
+    packed = df.groupBy(*keys).agg(
+        F.min_by(F.struct(*others), F.col(id_col)).alias("_survivor")
+    )
+    return packed.select(
+        *[
+            F.col(c) if c in keys else F.col(f"_survivor.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
 
 
 def _q_x2_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
