@@ -155,8 +155,46 @@ def main() -> int:
     # indicator, and every raw rep is in BENCH_LAST_RAW.json so a
     # regression is attributable to a plan change vs. host noise. One
     # failing query reports -1 instead of killing the bench.
+    def _io_calibration() -> float:
+        """Fixed I/O yardstick (round 11). The CPU calibration above is
+        blind to I/O degradation: bench run 4 matched the prior round's
+        CPU calib ×1.01 while the headline ran ×1.16 on I/O-side
+        stalls (SCALE.md round 11). This probe times the cost class
+        those stalls live in — many small write+fsync+read cycles, the
+        checkpoint-commit / shuffle-file pattern: 64 × 256 KiB files
+        written with fsync then read back, min-of-reps. Context only,
+        like the CPU yardstick — never a verdict input."""
+        import shutil
+        import tempfile
+
+        scratch = os.path.join(REPO_ROOT, ".scratch")
+        base = tempfile.mkdtemp(
+            prefix="io-calib-", dir=scratch if os.path.isdir(scratch) else None
+        )
+        payload = b"\xa5" * (256 * 1024)
+        runs = []
+        try:
+            for r in range(reps):
+                paths = [os.path.join(base, f"f{r}_{i}") for i in range(64)]
+                t0 = time.perf_counter()
+                for p in paths:
+                    with open(p, "wb") as fh:
+                        fh.write(payload)
+                        fh.flush()
+                        os.fsync(fh.fileno())
+                for p in paths:
+                    with open(p, "rb") as fh:
+                        fh.read()
+                runs.append(time.perf_counter() - t0)
+                for p in paths:
+                    os.unlink(p)
+            return round(min(runs), 4)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     calibration_sec = _calibration()
+    io_calibration_sec = _io_calibration()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -220,6 +258,12 @@ def main() -> int:
         # frozen-plan host yardstick; compare across BENCH_r{N} to
         # quantify host drift (excluded from the headline sum)
         "calibration_sec": calibration_sec,
+        # fixed small-file fsync+read probe (round 11): the I/O-side
+        # companion the CPU yardstick lacks — a matched calibration_sec
+        # with an elevated io_calibration_sec localizes a slow window
+        # to I/O (checkpoint/shuffle machinery) mechanically
+        "io_calibration_sec": io_calibration_sec,
+        "io_calibration_probe": "smallfile-fsync-v1",
         # drain definition marker (VERDICT r8 item 2): BENCH_r01–r07
         # used a count() drain that never executed pruned projections,
         # unreferenced aggregate expressions, or LEFT-join-deleted

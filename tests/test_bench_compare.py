@@ -127,6 +127,30 @@ def test_drain_gate():
         )
 
 
+def test_io_yardstick_is_context_only():
+    # both sides carry the same probe → io_ratio reported as context;
+    # a mismatched or absent probe stays silent; verdicts unaffected
+    res = compare_artifacts(
+        _mk(
+            {"q": 1.0},
+            io_calibration_sec=0.2,
+            io_calibration_probe="smallfile-fsync-v1",
+        ),
+        _mk(
+            {"q": 1.0},
+            io_calibration_sec=0.5,
+            io_calibration_probe="smallfile-fsync-v1",
+        ),
+    )
+    assert res["calibration"]["io_ratio"] == 2.5
+    assert res["flagged"] == []
+    res2 = compare_artifacts(
+        _mk({"q": 1.0}, io_calibration_sec=0.2, io_calibration_probe="v1"),
+        _mk({"q": 1.0}, io_calibration_sec=0.5, io_calibration_probe="v2"),
+    )
+    assert "io_ratio" not in res2["calibration"]
+
+
 def test_boundary_assume_must_not_overrule_label():
     # same conflict rule as drain: a labeled boundary beats --assume
     with pytest.raises(IncomparableError, match="assume"):

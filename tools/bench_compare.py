@@ -199,6 +199,19 @@ def compare_artifacts(
                 "required (--calibration-bridge; 1.4157 recorded in SCALE.md)",
             }
 
+    # I/O yardstick context (round 11): the CPU yardstick is blind to
+    # I/O degradation (a matched calibration_sec with a x1.16 headline,
+    # SCALE.md round 11) — report the small-file probe ratio alongside
+    # when both artifacts carry the same probe. Context only.
+    oio, nio = old["meta"].get("io_calibration_sec"), new["meta"].get(
+        "io_calibration_sec"
+    )
+    if oio and nio and (
+        old["meta"].get("io_calibration_probe")
+        == new["meta"].get("io_calibration_probe")
+    ):
+        cal["io_ratio"] = round(nio / oio, 4)
+
     # batch/streaming sub-totals (computed over shared queries so the
     # split is comparable even if one artifact predates the
     # headline_batch/headline_streaming fields)
@@ -312,10 +325,17 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"calibration context{b}: yardstick ratio x{cal['ratio']:.3f} — "
             "context only, NEVER a verdict input (the yardstick itself "
-            "swings x1.29 same-host, SCALE.md r10)"
+            "swings x1.29 same-host, SCALE.md r10; CPU-only — blind to "
+            "I/O degradation, SCALE.md r11)"
         )
     else:
         print(f"calibration context: {cal.get('reason', 'unavailable')}")
+    if cal.get("io_ratio") is not None:
+        print(
+            f"io yardstick context: small-file probe ratio "
+            f"x{cal['io_ratio']:.3f} — localizes a slow window to I/O "
+            "vs CPU; context only"
+        )
     print(json.dumps({k: v for k, v in res.items() if k != "verdicts"}))
     return 1 if res["flagged"] else 0
 
