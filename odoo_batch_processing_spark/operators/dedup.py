@@ -90,14 +90,56 @@ def deterministic_dedup(df: DataFrame, keys: Sequence[str], id_col: str) -> Data
     K=1024, and on a 100 TB relation the second scan is the cost that
     matters. A Window row_number would additionally sort within
     groups; min_by keeps only the running minimum per group.
+
+    NULL contract (explicit, round 12):
+
+    - **NULL key values follow SQL GROUP BY semantics**: NULLs group
+      together, so a NULL-keyed group yields exactly one survivor.
+      (The retired semi-join form silently dropped NULL-keyed rows via
+      null-unsafe join equality — an accident of the implementation,
+      not a contract; GROUP BY semantics is the documented behavior.)
+    - **Rows with a NULL ``id_col`` can never be survivors** and are
+      filtered before the aggregate (``min_by`` would skip them as
+      ordering candidates anyway; the filter also makes a group whose
+      ids are ALL NULL emit nothing rather than a synthetic all-NULL
+      struct row). The predicate pushes to the scan.
+    - ``id_col`` must not be one of ``keys``: the ordering would be
+      constant within every group, making the survivor silently
+      nondeterministic. Raises ``ValueError`` instead.
+    - Ties on ``id_col`` keep ONE arbitrary tied row (uniqueness of
+      ``id_col`` within a group is the caller's documented obligation;
+      the old form degenerated to keeping every tied row).
     """
+    if id_col in keys:
+        raise ValueError(
+            f"deterministic_dedup: id_col {id_col!r} is also a grouping key; "
+            "the survivor ordering would be constant per group "
+            "(silently nondeterministic survivor)"
+        )
+    survivor_alias = "_survivor"
+    while survivor_alias in df.columns:
+        survivor_alias = "_" + survivor_alias
+
+    def _bq(name: str) -> F.Column:
+        # backtick-quoted exact-name reference: plain F.col()/df[...]
+        # parse dots as struct-field paths and break on names like
+        # "a.b" (ADVICE r11)
+        return F.col("`" + name.replace("`", "``") + "`")
+
     others = [c for c in df.columns if c not in keys]
-    packed = df.groupBy(*keys).agg(
-        F.min_by(F.struct(*others), F.col(id_col)).alias("_survivor")
+    packed = (
+        df.where(_bq(id_col).isNotNull())
+        .groupBy(*[_bq(k).alias(k) for k in keys])
+        .agg(
+            F.min_by(
+                F.struct(*[_bq(c).alias(c) for c in others]), _bq(id_col)
+            ).alias(survivor_alias)
+        )
     )
+    # Column[str] is getField with a literal name — no dot parsing
     return packed.select(
         *[
-            F.col(c) if c in keys else F.col(f"_survivor.{c}").alias(c)
+            _bq(c) if c in keys else packed[survivor_alias][c].alias(c)
             for c in df.columns
         ]
     )

@@ -49,3 +49,24 @@ def test_subfloor_overhead_never_flags():
     secs = {"tiny": [0.10, 0.10, 0.11, 0.20], "peer": [1.0, 1.0, 1.0, 1.0]}
     flagged, _ = filecount_superlinear(secs, RUNGS)
     assert flagged == []
+
+
+def test_absolute_rule_requires_absolute_floor():
+    # the r11-ADVICE misfire: base 0.1 s, perfectly linear per-file
+    # overhead reaching +0.5 s at K=1024 — ratio 6 but a healthy
+    # additive shape; must NOT trip the exit-code flag
+    from tools.scale_files import absolute_blowup
+
+    secs = {"cheap_linear": [0.10, 0.11, 0.22, 0.60]}
+    assert absolute_blowup(secs) == []
+
+
+def test_absolute_rule_flags_true_blowup():
+    # a stage that truly blows up clears both the ratio and the floor
+    from tools.scale_files import absolute_blowup
+
+    secs = {
+        "blowup": [0.5, 0.7, 2.5, 9.0],
+        "flat": [1.0, 1.0, 1.1, 1.2],
+    }
+    assert absolute_blowup(secs) == ["blowup"]

@@ -455,3 +455,53 @@ def test_shingles_bound_equivalence(spark):
         # bigrams cross-checked structurally: prefix pairs of trigrams
         if r["tg"]:
             assert [t.rsplit(" ", 1)[0] for t in r["tg"]] == r["bg"][: len(r["tg"])]
+
+
+def test_deterministic_dedup_null_contract(spark):
+    """Round-12 documented NULL contract: NULL keys follow SQL GROUP
+    BY semantics (one survivor per NULL-key group); NULL-id rows never
+    survive; an all-NULL-id group emits nothing."""
+    from odoo_batch_processing_spark.operators.dedup import deterministic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (7, None, "a"),      # NULL key group: survivors by min id
+            (4, None, "b"),
+            (None, "k1", "c"),   # NULL id alongside a real id: dropped
+            (9, "k1", "d"),
+            (None, "k2", "e"),   # all-NULL-id group: emits NOTHING
+            (None, "k2", "f"),
+        ],
+        "id bigint, k string, v string",
+    )
+    out = deterministic_dedup(df, ["k"], "id").collect()
+    by_key = {r["k"]: r for r in out}
+    assert set(by_key) == {None, "k1"}          # k2 emitted nothing
+    assert by_key[None]["id"] == 4 and by_key[None]["v"] == "b"
+    assert by_key["k1"]["id"] == 9 and by_key["k1"]["v"] == "d"
+
+
+def test_deterministic_dedup_id_in_keys_raises(spark):
+    import pytest as _pytest
+
+    from odoo_batch_processing_spark.operators.dedup import deterministic_dedup
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, k string")
+    with _pytest.raises(ValueError, match="id_col"):
+        deterministic_dedup(df, ["id", "k"], "id")
+
+
+def test_deterministic_dedup_hostile_column_names(spark):
+    """Dotted column names and a literal `_survivor` input column must
+    not break the struct unpack (getField access + collision-proof
+    internal alias)."""
+    from odoo_batch_processing_spark.operators.dedup import deterministic_dedup
+
+    df = spark.createDataFrame(
+        [(2, "k1", "x", "s1"), (1, "k1", "y", "s2")],
+        ["id", "k", "a.b", "_survivor"],
+    )
+    out = deterministic_dedup(df, ["k"], "id").collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["id"] == 1 and row["a.b"] == "y" and row["_survivor"] == "s2"

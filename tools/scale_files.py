@@ -36,8 +36,11 @@ now fixed to the single-scan min_by form. The ratio divergence is
 therefore kept as an INFORMATIONAL `watch_divergent` column, never an
 exit-code flag.) The gating rules are:
 
-* absolute: top-rung ratio > FLAG_RATIO (4×) — a stage that truly
-  blows up in K clears any base;
+* absolute: top-rung ratio > FLAG_RATIO (4×) AND top-rung growth ≥
+  ABS_FLOOR_SEC (1 s) — a stage that truly blows up in K clears any
+  base, while a cheap stage whose purely-linear per-file overhead
+  dwarfs its tiny base (the small-base misfire this additive axis
+  must avoid) stays under the absolute floor;
 * additive superlinearity: per-file overhead (sec(K) − sec(1)) / K
   must not GROW with K. Linear cost (base + a·K, the healthy shape:
   listing + footer reads) keeps it constant; an O(K²) listing or a
@@ -70,6 +73,13 @@ FLAG_RATIO = 4.0
 DELTA_FACTOR = 2.0
 #: overhead below this is timer noise, not a per-file cost signal
 DELTA_FLOOR_SEC = 0.25
+#: the absolute-ratio rule additionally requires the top-rung growth
+#: to clear this floor: a cheap stage (base ~0.1 s) with perfectly
+#: linear per-file overhead (+0.5 s at K=1024) posts ratio 6 — the
+#: healthy additive shape this axis must NOT flag. 1 s of growth at
+#: 1024 files ≈ 1 ms/file on sf0.1 — at that magnitude the ratio is
+#: a real per-file cost story, not a small-base artifact.
+ABS_FLOOR_SEC = 1.0
 
 
 def filecount_superlinear(stage_secs, rungs, factor=DELTA_FACTOR, floor=DELTA_FLOOR_SEC):
@@ -96,6 +106,20 @@ def filecount_superlinear(stage_secs, rungs, factor=DELTA_FACTOR, floor=DELTA_FL
             "superlinear": is_flagged,
         }
     return flagged, detail
+
+def absolute_blowup(stage_secs, ratio=FLAG_RATIO, floor=ABS_FLOOR_SEC):
+    """Absolute gating rule: top-rung ratio > ``ratio`` AND top-rung
+    growth ≥ ``floor`` seconds. The ratio alone misfires on a cheap
+    stage with purely linear per-file overhead (base ~0.1 s, +0.5 s at
+    K=1024 posts ratio 6 — the healthy additive shape); the absolute
+    floor keeps the rule for stages that truly blow up (ADVICE r11)."""
+    return [
+        n
+        for n, secs in stage_secs.items()
+        if secs[-1] / max(secs[0], 0.01) > ratio
+        and (secs[-1] - secs[0]) >= floor
+    ]
+
 
 #: tables rewritten as K files; everything else is symlinked unchanged
 EXPLODED = ("lineitem", "documents")
@@ -134,8 +158,17 @@ def stage_rung(spark, sf_dir: str, out: str, k: int) -> dict[str, int]:
                 1 for f in os.listdir(dst) if f.endswith(".parquet")
             )
         else:
-            if not os.path.lexists(dst):
-                os.symlink(src, dst)
+            # re-point unconditionally: a stale symlink from a prior
+            # run with a different --sf-dir would silently measure the
+            # previous fixture (ADVICE r11)
+            if os.path.lexists(dst):
+                if os.path.islink(dst):
+                    os.unlink(dst)
+                else:  # a prior run exploded this table here
+                    import shutil
+
+                    shutil.rmtree(dst)
+            os.symlink(src, dst)
             counts[t] = 1
     return counts
 
@@ -199,10 +232,7 @@ def main() -> int:
         name: [r["stages"][name]["sec"] for r in results] for name in STAGES
     }
     # gating rules: absolute ratio + additive per-file-overhead growth
-    abs_flagged = [
-        n for n, secs in stage_secs.items()
-        if secs[-1] / max(secs[0], 0.01) > FLAG_RATIO
-    ]
+    abs_flagged = absolute_blowup(stage_secs)
     add_flagged, overhead = filecount_superlinear(stage_secs, RUNGS)
     flagged = sorted(set(abs_flagged) | set(add_flagged))
     # informational only on this axis (see module docstring): the
@@ -234,6 +264,7 @@ def main() -> int:
         "flag_ratio": FLAG_RATIO,
         "delta_factor": DELTA_FACTOR,
         "delta_floor_sec": DELTA_FLOOR_SEC,
+        "abs_floor_sec": ABS_FLOOR_SEC,
         "flagged_filecount_superlinear": flagged,
         "overhead": overhead,
         "watch_divergent": {
