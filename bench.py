@@ -100,6 +100,70 @@ def calibration_df(spark, sf_dir: str):
     )
 
 
+#: Healthy-window reference points for the pre-flight gate (VERDICT
+#: r11 #2): the session that produced BENCH_r11 burned six full bench
+#: runs discovering the host was degraded — the gate spends ~10 s up
+#: front instead. Provenance (all sf0.1 / local[32], SCALE.md round
+#: 11): cpu = best recent calibrations (r10 driver 0.1889, r11 run 4
+#: 0.1914); io = r11 run 6 best 0.1215; floors = STREAM_FLOORS_cpus32
+#: at r11 HEAD (floor_single_append 0.5188, floor_2file_append_ckpt
+#: 1.075 — the plain-cadence and checkpoint-commit cost classes).
+#: A probe exceeding ref × DEGRADED_FACTOR labels the artifact
+#: ``window: degraded`` — the artifact still records everything, but
+#: cross-round conclusions must not be drawn from it (the label is
+#: what bench_compare and the ledger key on). References only apply
+#: at the driver config (sf0.1 / 32 cpus); other configs get
+#: ``window: unknown``.
+#:
+#: Factor calibration: the two known-healthy cpu yardsticks sit
+#: within ±2% of the reference (0.1889 / 0.1914), while the round-11
+#: driver window the verdict had to adjudicate degraded BY HAND sat
+#: at ratio 1.21 (0.2301) — ×1.3 would have missed it, so the gate
+#: uses ×1.2: generous against same-window jitter, tight enough to
+#: catch every window round 11 actually called degraded (the six-run
+#: cpu ledger 0.2497/0.2134/0.2667/0.1914/0.2381/0.2832 classifies
+#: d/h/d/h/d/d).
+HEALTHY_WINDOW = {
+    "cpu_calibration_sec": 0.19,
+    "io_calibration_sec": 0.12,
+    "floor_single_append": 0.52,
+    "floor_2file_append_ckpt": 1.08,
+}
+DEGRADED_FACTOR = 1.2
+
+
+def preflight_window(
+    checks: dict[str, float],
+    refs: dict[str, float] | None = None,
+    factor: float = DEGRADED_FACTOR,
+    applicable: bool = True,
+) -> dict:
+    """Classify a bench window from probe measurements. Pure so the
+    rule is unit-testable; ``applicable=False`` (non-driver sf/cpus)
+    records the probes but refuses to classify."""
+    refs = HEALTHY_WINDOW if refs is None else refs
+    detail = {}
+    degraded = []
+    for name, sec in checks.items():
+        ref = refs.get(name)
+        entry = {"sec": sec, "ref": ref}
+        if ref is not None and applicable:
+            entry["ratio"] = round(sec / ref, 3)
+            if sec > ref * factor:
+                degraded.append(name)
+        detail[name] = entry
+    if not applicable:
+        label = "unknown"
+    else:
+        label = "degraded" if degraded else "healthy"
+    return {
+        "window": label,
+        "degraded_probes": degraded,
+        "factor": factor,
+        "checks": detail,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -124,7 +188,7 @@ def main() -> int:
     # yardstick and cross-round host drift is measured, not argued.
     # Runs after warmup, before the suite (the quietest point of the
     # session); min-of-reps like every headline number.
-    def _calibration() -> float:
+    def _calibration(reps: int) -> float:
         # the DataFrame is built ONCE, outside the timed region, so the
         # yardstick times only .count(). HISTORY (ADVICE r9/r10): r6–r8
         # all constructed the DataFrame per rep INSIDE the timed region
@@ -155,7 +219,7 @@ def main() -> int:
     # indicator, and every raw rep is in BENCH_LAST_RAW.json so a
     # regression is attributable to a plan change vs. host noise. One
     # failing query reports -1 instead of killing the bench.
-    def _io_calibration() -> float:
+    def _io_calibration(reps: int) -> float:
         """Fixed I/O yardstick (round 11). The CPU calibration above is
         blind to I/O degradation: bench run 4 matched the prior round's
         CPU calib ×1.01 while the headline ran ×1.16 on I/O-side
@@ -193,8 +257,53 @@ def main() -> int:
             shutil.rmtree(base, ignore_errors=True)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-    calibration_sec = _calibration()
-    io_calibration_sec = _io_calibration()
+    calibration_sec = _calibration(reps)
+    io_calibration_sec = _io_calibration(reps)
+
+    # Pre-flight window gate (VERDICT r11 #2): two zero-work streaming
+    # floor twins (plain cadence + checkpoint-commit) alongside the
+    # CPU/IO yardsticks, judged against the recorded healthy-window
+    # references. ~5 s; classifies the window BEFORE 250 query
+    # executions are spent on it. Skippable for tooling that reuses
+    # bench.main() on fixtures (SPARK_GRAFT_SKIP_PREFLIGHT=1).
+    preflight = {"window": "skipped", "degraded_probes": [], "checks": {}}
+    if os.environ.get("SPARK_GRAFT_SKIP_PREFLIGHT", "0") != "1":
+        from odoo_batch_processing_spark.streaming.queries import (
+            _with_stream_shuffle,
+        )
+        from tools.streaming_floors import (
+            floor_2file_append_ckpt,
+            floor_single_append,
+        )
+
+        floor_checks = {}
+        for fn in (floor_single_append, floor_2file_append_ckpt):
+            wrapped = _with_stream_shuffle(fn)
+            runs = []
+            for _ in range(3):
+                release_materialized()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                drain(wrapped(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            floor_checks[fn.__name__] = round(min(runs), 4)
+        preflight = preflight_window(
+            {
+                "cpu_calibration_sec": calibration_sec,
+                "io_calibration_sec": io_calibration_sec,
+                **floor_checks,
+            },
+            applicable=(sf_dir.rstrip("/").endswith("sf0.1") and cpus == 32),
+        )
+        print(
+            f"bench: pre-flight window = {preflight['window']}"
+            + (
+                f" (degraded probes: {preflight['degraded_probes']})"
+                if preflight["degraded_probes"]
+                else ""
+            ),
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -279,6 +388,12 @@ def main() -> int:
         # .count() ("hoisted-v2"). Cross-boundary comparisons go
         # through the round-10 same-host bridge in SCALE.md.
         "calibration_boundary": "hoisted-v2",
+        # pre-flight window label (round 12): healthy / degraded /
+        # unknown (non-driver config) / skipped. A degraded artifact
+        # records everything but is excluded from cross-round
+        # conclusions; details (probe secs, refs, ratios) ride along.
+        "window": preflight["window"],
+        "preflight": preflight,
     }
     with open(os.path.join(REPO_ROOT, "BENCH_LAST_RAW.json"), "w") as fh:
         json.dump(
