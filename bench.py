@@ -397,7 +397,22 @@ def main() -> int:
     }
     with open(os.path.join(REPO_ROOT, "BENCH_LAST_RAW.json"), "w") as fh:
         json.dump(
-            {"reps": reps, "loop_wall": loop_wall, "runs": raw, "medians": medians},
+            {
+                "reps": reps,
+                "loop_wall": loop_wall,
+                "runs": raw,
+                "medians": medians,
+                # self-description (round 12): archived per-run raws
+                # (BENCH_RAW_r{N}_run{k}.json) feed bench_compare
+                # --pool-*, which needs the workload definition and
+                # window label ON the raw artifact, not inferred
+                "drain": payload["drain"],
+                "window": preflight["window"],
+                "sf": sf,
+                "cpus": cpus,
+                "calibration_sec": calibration_sec,
+                "io_calibration_sec": io_calibration_sec,
+            },
             fh,
         )
         fh.write("\n")

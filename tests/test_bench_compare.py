@@ -192,3 +192,82 @@ def test_load_artifact_shapes(tmp_path):
     a3 = _art("BENCH_r10.json")
     assert a3["meta"]["drain"] == "forcing-v2"
     assert len(a3["queries"]) == 50
+
+
+def _raw(tmp_path, name, runs, **meta):
+    p = tmp_path / name
+    p.write_text(json.dumps({"reps": 5, "runs": runs, **meta}))
+    return str(p)
+
+
+def test_pooled_all_reps_separation(tmp_path):
+    """VERDICT r11 #1: the pooled rule spans every rep of every pooled
+    run. One new run alone separates from the old reps; pooling a
+    second run whose best rep overlaps the old spread dissolves the
+    separation — the by-hand round-11 adjudication shape."""
+    from tools.bench_compare import merge_pool
+
+    old = {
+        "queries": {"q": 1.0},
+        "runs": {"q": [1.0, 1.1, 1.2]},
+        "meta": {"drain": "forcing-v2"},
+    }
+
+    def _new(pool_paths):
+        art = {
+            "queries": {"q": 2.0},
+            "runs": {"q": [2.0, 2.2]},  # min 2.0 > max(old) 1.2: separated
+            "meta": {"drain": "forcing-v2"},
+        }
+        merge_pool(art, pool_paths, "new")
+        return compare_artifacts(old, art)
+
+    assert _new([])["flagged"] == ["q"]
+    overlap_run = _raw(
+        tmp_path, "run2.json", {"q": [1.15, 2.5]}, drain="forcing-v2"
+    )
+    assert _new([overlap_run])["flagged"] == []
+
+
+def test_pooled_old_side_and_min_rederivation(tmp_path):
+    from tools.bench_compare import merge_pool
+
+    old = {
+        "queries": {"q": 3.0},
+        "runs": {"q": [3.0, 3.2]},
+        "meta": {"drain": "forcing-v2"},
+    }
+    fast_old = _raw(tmp_path, "old2.json", {"q": [0.9, 3.1]})
+    merge_pool(old, [fast_old], "old")
+    assert old["queries"]["q"] == 0.9  # pooled min re-derived
+    new = {
+        "queries": {"q": 1.0},
+        "runs": {"q": [1.0, 1.05]},
+        "meta": {"drain": "forcing-v2"},
+    }
+    res = compare_artifacts(old, new)
+    # new reps sit INSIDE the pooled old spread: neither flag nor improve
+    assert res["flagged"] == [] and res["improved"] == []
+
+
+def test_pooled_drain_mismatch_refuses(tmp_path):
+    from tools.bench_compare import merge_pool
+
+    art = {"queries": {}, "runs": {}, "meta": {"drain": "forcing-v2"}}
+    bad = _raw(tmp_path, "bad.json", {"q": [1.0]}, drain="count-v1")
+    with pytest.raises(IncomparableError, match="drain"):
+        merge_pool(art, [bad], "new")
+
+
+def test_pooled_sentinel_reps_dropped(tmp_path):
+    from tools.bench_compare import merge_pool
+
+    art = {
+        "queries": {"q": 1.0},
+        "runs": {"q": [1.0]},
+        "meta": {"drain": "forcing-v2"},
+    }
+    failed = _raw(tmp_path, "failed.json", {"q": [-1.0], "r": [-1.0]})
+    merge_pool(art, [failed], "new")
+    assert art["runs"]["q"] == [1.0]  # sentinel not pooled
+    assert "r" not in art["runs"]  # all-sentinel query not introduced

@@ -45,6 +45,9 @@ Usage::
     python tools/bench_compare.py BENCH_r08.json BENCH_r09.json \
         --assume-drain old=forcing-v2 --assume-boundary old=per-rep-v1 \
         --assume-boundary new=hoisted-v2 --calibration-bridge 1.4157
+    python tools/bench_compare.py BENCH_r11.json BENCH_r12.json \
+        --old-raw BENCH_RAW_r11_driver.json \
+        --pool-new BENCH_RAW_r12_run1.json --pool-new BENCH_RAW_r12_run2.json
 
 Output: a per-query verdict table on stderr-free stdout plus ONE
 trailing JSON line ``{"flagged": [...], "improved": [...], ...}``.
@@ -87,6 +90,48 @@ def load_artifact(path: str) -> dict:
             "meta": {k: v for k, v in d.items() if k != "queries"},
         }
     raise ValueError(f"{path}: not a recognizable bench artifact")
+
+
+def merge_pool(art: dict, paths: list[str], side: str) -> list[str]:
+    """Pooled adjudication (VERDICT r11 #1): merge additional raw-reps
+    artifacts into one side so the all-reps-separation rule runs across
+    EVERY rep of EVERY archived run — the round-11 "pool all 30 reps,
+    zero separations" verdict was computed by hand off files that never
+    reached the repo; this makes it a tool mode over committed
+    ``BENCH_RAW_r{N}_run{k}.json`` artifacts.
+
+    Failed-query sentinel reps (≤ 0) are dropped. A pooled artifact
+    that carries a ``drain`` label must match the primary's (raw
+    artifacts predating round 12 carry no label and are accepted —
+    the committed archive starts at r11's driver run, which is
+    forcing-v2 per SCALE.md). Pooled mins re-derive ``queries`` so
+    ratios/headline reflect the pool."""
+    used = []
+    for p in paths:
+        raw = load_artifact(p)
+        if raw["runs"] is None:
+            raise IncomparableError(f"--pool-{side} {p}: carries no reps")
+        pd, ad = raw["meta"].get("drain"), art["meta"].get("drain")
+        if pd is not None and ad is not None and pd != ad:
+            raise IncomparableError(
+                f"--pool-{side} {p}: drain {pd!r} != primary {ad!r} — "
+                "pooled runs must measure the same workload definition"
+            )
+        if art["runs"] is None:
+            art["runs"] = {}
+        for q, reps in raw["runs"].items():
+            good = [r for r in reps if r > 0]
+            if good:
+                art["runs"][q] = [
+                    r for r in art["runs"].get(q, []) if r > 0
+                ] + good
+        used.append(p)
+    for q, reps in (art["runs"] or {}).items():
+        if reps:
+            art["queries"][q] = min(
+                min(reps), art["queries"].get(q, float("inf"))
+            )
+    return used
 
 
 def _effective(meta: dict, field: str, assumed: str | None) -> str | None:
@@ -258,6 +303,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--old-raw", help="raw-reps artifact for the old side")
     ap.add_argument("--new-raw", help="raw-reps artifact for the new side")
     ap.add_argument(
+        "--pool-old",
+        action="append",
+        default=[],
+        metavar="RAW",
+        help="additional raw-reps artifact(s) pooled into the old side "
+        "(all-reps rule then spans every rep of every pooled run)",
+    )
+    ap.add_argument(
+        "--pool-new",
+        action="append",
+        default=[],
+        metavar="RAW",
+        help="additional raw-reps artifact(s) pooled into the new side",
+    )
+    ap.add_argument(
         "--assume-drain",
         action="append",
         default=[],
@@ -291,12 +351,16 @@ def main(argv: list[str] | None = None) -> int:
         **_parse_assume(args.assume_boundary, "boundary"),
     }
     try:
+        pooled_old = merge_pool(old, args.pool_old, "old")
+        pooled_new = merge_pool(new, args.pool_new, "new")
         res = compare_artifacts(
             old, new, assume=assume, calibration_bridge=args.calibration_bridge
         )
     except IncomparableError as e:
         print(f"REFUSED: {e}")
         return 2
+    res["pooled_old"] = pooled_old
+    res["pooled_new"] = pooled_new
 
     width = max((len(q) for q in res["verdicts"]), default=8)
     for q, v in sorted(
