@@ -276,6 +276,13 @@ def main() -> int:
             floor_single_append,
         )
 
+        # warm the streaming machinery once unmeasured (state-store
+        # init, listener setup, sink registration) — the reference
+        # floor values come from tools/streaming_floors.py, which
+        # warms the same way before timing; without this the first
+        # twin absorbs first-streaming-query session costs and reads
+        # ×2-4 high on a healthy host
+        drain(_with_stream_shuffle(floor_single_append)(spark, sf_dir))
         floor_checks = {}
         for fn in (floor_single_append, floor_2file_append_ckpt):
             wrapped = _with_stream_shuffle(fn)

@@ -290,7 +290,39 @@ FLOORS = {
 }
 
 
+#: state-store providers (same classes the recovery certification
+#: runs under, tests/test_streaming_recovery.py): hdfs is Spark's
+#: default, rocksdb is the 100 TB production provider. ``--provider
+#: rocksdb`` re-runs the identical floor/query matrix with the
+#: provider pinned and writes STREAM_FLOORS_rocksdb.json — the cost-
+#: profile posture run (VERDICT r11 #4): flat vs the HDFS artifact
+#: means the production provider is a config-only swap at scale; a
+#: cliff is a documented knob.
+PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--provider",
+        choices=sorted(PROVIDERS),
+        default=None,
+        help="pin a state-store provider; output becomes "
+        "STREAM_FLOORS_{provider}.json instead of the cpus-keyed file",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -305,6 +337,11 @@ def main() -> int:
 
     spark = get_spark("stream-floors", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    if args.provider:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            PROVIDERS[args.provider],
+        )
 
     queries = {
         n: f for n, f in all_queries().items() if n in MAPPING
@@ -345,12 +382,18 @@ def main() -> int:
         "reps": reps,
         "stat": "min",
         "stream_shuffle_partitions": STREAM_SHUFFLE_PARTITIONS,
+        "state_store_provider": args.provider or "hdfs-default",
         "floors": floors,
         "queries": q_times,
         "mapping": MAPPING,
         "floor_share": share,
     }
-    out = os.path.join(REPO_ROOT, f"STREAM_FLOORS_cpus{cpus}.json")
+    out = os.path.join(
+        REPO_ROOT,
+        f"STREAM_FLOORS_{args.provider}.json"
+        if args.provider
+        else f"STREAM_FLOORS_cpus{cpus}.json",
+    )
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
