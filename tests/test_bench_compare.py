@@ -271,3 +271,26 @@ def test_pooled_sentinel_reps_dropped(tmp_path):
     merge_pool(art, [failed], "new")
     assert art["runs"]["q"] == [1.0]  # sentinel not pooled
     assert "r" not in art["runs"]  # all-sentinel query not introduced
+
+
+def test_window_labels_surface_as_context():
+    old = {
+        "queries": {"q": 1.0},
+        "runs": None,
+        "meta": {"drain": "forcing-v2", "window": "healthy"},
+    }
+    new = {
+        "queries": {"q": 1.1},
+        "runs": None,
+        "meta": {"drain": "forcing-v2", "window": "degraded"},
+    }
+    res = compare_artifacts(old, new)
+    assert res["windows"] == {"old": "healthy", "new": "degraded"}
+    # context only: labels never change verdicts
+    assert res["flagged"] == []
+
+
+def test_window_labels_absent_on_old_artifacts():
+    art = {"queries": {"q": 1.0}, "runs": None, "meta": {"drain": "forcing-v2"}}
+    res = compare_artifacts(art, dict(art))
+    assert res["windows"] == {}

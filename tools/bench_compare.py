@@ -265,7 +265,18 @@ def compare_artifacts(
 
     flagged = [q for q, v in verdicts.items() if v["verdict"] == "REGRESSED"]
     improved = [q for q, v in verdicts.items() if v["verdict"] == "improved"]
+    # pre-flight window labels (round 12): context like the
+    # yardsticks — a degraded side means cross-round conclusions
+    # from MINS are suspect; the all-reps rule itself stays valid
+    # (degradation only widens spreads, it cannot fake an overlap
+    # into a separation on the side that got slower)
+    windows = {
+        side: art["meta"].get("window")
+        for side, art in (("old", old), ("new", new))
+        if art["meta"].get("window") is not None
+    }
     return {
+        "windows": windows,
         "headline_batch_old": round(h_old - s_old, 4),
         "headline_batch_new": round(h_new - s_new, 4),
         "headline_streaming_old": round(s_old, 4),
@@ -399,6 +410,13 @@ def main(argv: list[str] | None = None) -> int:
             f"io yardstick context: small-file probe ratio "
             f"x{cal['io_ratio']:.3f} — localizes a slow window to I/O "
             "vs CPU; context only"
+        )
+    if res["windows"]:
+        print(
+            "pre-flight windows: "
+            + ", ".join(f"{s}={w}" for s, w in sorted(res["windows"].items()))
+            + " — a degraded side weakens min-based conclusions; the "
+            "all-reps separation rule remains valid"
         )
     print(json.dumps({k: v for k, v in res.items() if k != "verdicts"}))
     return 1 if res["flagged"] else 0
