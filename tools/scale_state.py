@@ -398,6 +398,16 @@ def main() -> int:
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
     parser.add_argument("--reps", type=int, default=2)
+    parser.add_argument(
+        "--provider",
+        choices=("hdfs", "rocksdb"),
+        default=None,
+        help="pin the state-store provider; output becomes "
+        "SCALE_STATE_{provider}.json. The floors posture run measured "
+        "RocksDB ~flat at FIXTURE state (x1.09 family, SCALE.md round "
+        "12); this axis is where a provider cost that scales with "
+        "STATE would actually show.",
+    )
     args = parser.parse_args()
 
     from odoo_batch_processing_spark.session import get_spark
@@ -408,6 +418,13 @@ def main() -> int:
     spark = get_spark("scale-state", cpus=args.cpus, shuffle_partitions=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    if args.provider:
+        from tools.streaming_floors import PROVIDERS
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            PROVIDERS[args.provider],
+        )
 
     n_rows = spark.read.parquet(
         os.path.join(args.sf_dir, "events.parquet")
@@ -449,6 +466,7 @@ def main() -> int:
         "abs_floor_sec": ABS_FLOOR_SEC,
         "growth_min": GROWTH_MIN,
         "bound_fraction": BOUND_FRACTION,
+        "state_store_provider": args.provider or "hdfs-default",
         "shapes": {
             shape: {
                 "knob": SHAPES[shape][1],
@@ -462,7 +480,10 @@ def main() -> int:
         "flagged": flagged,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    with open(os.path.join(REPO_ROOT, "SCALE_STATE.json"), "w") as fh:
+    out = (
+        f"SCALE_STATE_{args.provider}.json" if args.provider else "SCALE_STATE.json"
+    )
+    with open(os.path.join(REPO_ROOT, out), "w") as fh:
         fh.write(line + "\n")
     print(line)
     return 1 if flagged else 0
