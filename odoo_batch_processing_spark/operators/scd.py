@@ -113,7 +113,14 @@ def asof_join_carry(
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.struct(*carry).alias("__carry"),
+        # backtick-quoted exact names: bare strings in struct() parse
+        # dots as field paths
+        F.struct(
+            *[
+                F.col("`" + c.replace("`", "``") + "`").alias(c)
+                for c in carry
+            ]
+        ).alias("__carry"),
         F.lit(1).alias("__is_dim"),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_dim", F.lit(0))
@@ -128,8 +135,11 @@ def asof_join_carry(
         "__c",
         F.last(F.when(F.col("__is_dim") == 1, F.col("__carry")), ignorenulls=True).over(w),
     ).filter(F.col("__is_dim") == 0)
+    # Column[str] is getField with a literal name — survives dotted
+    # carry-column names, unlike a parsed "__c.name" path (the same
+    # hazard class ADVICE r11 flagged in deterministic_dedup)
     out = carried.select(
-        *left.columns, *[F.col(f"__c.{c}").alias(c) for c in carry]
+        *left.columns, *[F.col("__c")[c].alias(c) for c in carry]
     )
     return out
 

@@ -128,3 +128,25 @@ def test_scd2_single_shuffle(spark):
     )
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan[:3000]
+
+
+def test_asof_carry_hostile_column_names(spark):
+    """Dotted carry-column names must survive the struct pack/unpack
+    (getField + backticked struct build — the ADVICE-r11 hazard class
+    fixed in deterministic_dedup, applied here)."""
+    import datetime as dt
+
+    from odoo_batch_processing_spark.operators.scd import asof_join_carry
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t + dt.timedelta(days=2), "f1")], ["k", "ts", "fact"]
+    )
+    right = spark.createDataFrame(
+        [(1, t, "gold", "x")], ["k", "rts", "tier.name", "other"]
+    )
+    out = asof_join_carry(
+        left, right, ["k"], "ts", "rts", ["tier.name"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].asDict()["tier.name"] == "gold"
