@@ -123,11 +123,21 @@ def calibration_df(spark, sf_dir: str):
 #: catch every window round 11 actually called degraded (the six-run
 #: cpu ledger 0.2497/0.2134/0.2667/0.1914/0.2381/0.2832 classifies
 #: d/h/d/h/d/d).
+#: Floor refs are PROTOCOL-BOUND (round 12): the pre-flight measures
+#: its twins shallow-warm (fresh session, one batch + one streaming
+#: warmup, 3 reps), while the STREAM_FLOORS artifacts measure them
+#: deep-warm (6th floor into a long floors session) — a decomposition
+#: probe localized the whole gap to processAllAvailable converging
+#: with warmup depth (0.82 → 0.57 over 7 same-session executions).
+#: The r11-artifact values (0.52/1.08) are therefore a different
+#: quantity; these refs are three fresh-session runs of the exact
+#: pre-flight protocol on a window with cpu ratio 1.005 / io 0.86
+#: (best-of-trials 0.862/0.866/1.029 and 1.344/1.366/1.582).
 HEALTHY_WINDOW = {
     "cpu_calibration_sec": 0.19,
     "io_calibration_sec": 0.12,
-    "floor_single_append": 0.52,
-    "floor_2file_append_ckpt": 1.08,
+    "floor_single_append": 0.86,
+    "floor_2file_append_ckpt": 1.35,
 }
 DEGRADED_FACTOR = 1.2
 
