@@ -196,9 +196,15 @@ def _run_stream(spark, build_query, name_prefix: str) -> dict:
         ),
         "operators": len(ops),
     }
+    # output volume (outside the timed region): verifies the ladder's
+    # constant-work design — dedup emits exactly one row per event_id
+    # at every rung, and ss_join's 720/S-minute range holds matches
+    # ~flat, so recorded out_rows is the receipt that wall changes
+    # are state-attributable, not output-volume-attributable
+    out_rows = spark.table(name).count()
     # free the memory sink table
     spark.catalog.dropTempView(name)
-    return {"sec": sec, "state": state}
+    return {"sec": sec, "out_rows": out_rows, "state": state}
 
 
 # ---------------------------------------------------------------------------
@@ -448,10 +454,20 @@ def main() -> int:
             print(
                 f"[{shape:16s} S={s:2d}] {best['sec']:6.2f}s  "
                 f"state_rows={st['numRowsTotal']:7d}  "
+                f"out_rows={best['out_rows']:7d}  "
                 f"mem={st['memoryUsedBytes'] / 1e6:8.2f}MB  "
                 f"dropped={st['numRowsDroppedByWatermark']}",
                 file=sys.stderr,
             )
+        if shape == "dedup_wm":
+            # constant-output invariant: one row per unique event_id
+            # at EVERY rung — compression must never change results
+            outs = {r["out_rows"] for r in results[shape]}
+            if outs != {n_rows}:
+                raise SystemExit(
+                    f"dedup_wm output varied across rungs: {sorted(outs)} "
+                    f"(expected exactly {n_rows} at every rung)"
+                )
 
     flags = judge(results, n_rows)
     flagged = sorted(s for s, f in flags.items() if f)
