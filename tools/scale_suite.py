@@ -137,6 +137,14 @@ def time_suite(spark, queries, sf_dir: str, reps: int) -> dict[str, dict]:
             runs.append(time.perf_counter() - t0)
         out[name] = {"sec": round(min(runs), 4), "rows": rows}
         print(f"  {name:28s} {out[name]['sec']:8.2f}s  {rows}r", file=sys.stderr)
+        # same hygiene as bench.py: drop Python-side DataFrame refs
+        # promptly so the ContextCleaner releases localCheckpoint RDD
+        # blocks between queries — the suite executes ~100 queries in
+        # one session and late-session pinned blocks are the GC-stall
+        # shape behind the round-12 x3_embedding_neardup transient
+        import gc
+
+        gc.collect()
     return out
 
 
