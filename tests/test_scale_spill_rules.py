@@ -1,0 +1,61 @@
+"""The spill ladder's certification rules (tools/scale_spill.judge):
+exactness under spill, engagement at the bottom rung, graceful
+degradation, and rung failures."""
+
+from __future__ import annotations
+
+from tools.scale_spill import GRACE_RATIO, judge
+
+
+def _rung(mem, agg_sec, sort_sec, agg_spill=0, sort_spill=0,
+          agg_hash=11, sort_hash=22):
+    return {
+        "mem": mem,
+        "workloads": {
+            "agg": {"sec": agg_sec, "rows": 100, "hash": agg_hash,
+                    "memoryBytesSpilled": agg_spill * 4,
+                    "diskBytesSpilled": agg_spill},
+            "sort": {"sec": sort_sec, "rows": 200, "hash": sort_hash,
+                     "memoryBytesSpilled": sort_spill * 4,
+                     "diskBytesSpilled": sort_spill},
+        },
+    }
+
+
+def test_round12_measured_shape_passes():
+    rungs = [
+        _rung("8g", 1.24, 4.59),
+        _rung("2g", 1.38, 4.10),
+        _rung("512m", 1.50, 4.35, agg_spill=152_006_696, sort_spill=390_735_229),
+    ]
+    assert judge(rungs) == []
+
+
+def test_results_differ_under_spill_is_flagged():
+    rungs = [
+        _rung("8g", 1.0, 1.0),
+        _rung("512m", 1.2, 1.2, agg_spill=1, agg_hash=999),
+    ]
+    assert "agg:results_differ_under_spill" in judge(rungs)
+
+
+def test_no_spill_at_bottom_is_ladder_invalid():
+    rungs = [_rung("8g", 1.0, 1.0), _rung("512m", 1.1, 1.1)]
+    assert "ladder_invalid:no_spill_at_bottom_rung" in judge(rungs)
+
+
+def test_cliff_is_not_graceful():
+    rungs = [
+        _rung("8g", 1.0, 1.0),
+        _rung("512m", GRACE_RATIO * 1.0 + 1, 1.1, agg_spill=1),
+    ]
+    assert "agg:degradation_not_graceful" in judge(rungs)
+
+
+def test_failed_rung_flags_and_does_not_crash_judge():
+    rungs = [
+        _rung("8g", 1.0, 1.0),
+        {"mem": "512m", "workloads": {}, "error": "OOM"},
+    ]
+    flags = judge(rungs)
+    assert "agg:rung_failed" in flags and "sort:rung_failed" in flags
