@@ -321,6 +321,15 @@ def main() -> int:
             ),
             file=sys.stderr,
         )
+
+    # probes-only mode (round 12): tools/preflight_refs.py re-runs THE
+    # SAME protocol in fresh subprocesses to validate or re-base the
+    # HEALTHY_WINDOW references — the floor refs are protocol-bound
+    # (see HEALTHY_WINDOW docstring), so the validator must share this
+    # exact code path rather than re-implement it
+    if os.environ.get("SPARK_GRAFT_PREFLIGHT_ONLY", "0") == "1":
+        print(json.dumps({"preflight": preflight}, separators=(",", ":")))
+        return 0
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
