@@ -35,6 +35,40 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+def assess(trials: list[dict], refs: dict, factor: float) -> dict:
+    """Pure assessment: best-of-trials per probe vs refs; a probe is
+    mis-based only when its BEST reading sits outside ±20% of its ref
+    on a window where cpu AND io read healthy (elevation alongside
+    cpu/io is a degraded host, not a bad ref — the distinction that
+    separated the round-12 floor re-base from ordinary noise)."""
+    best = {k: min(t[k] for t in trials if k in t) for k in trials[0]}
+    report = {
+        k: {
+            "best": best[k],
+            "ref": refs.get(k),
+            "ratio": round(best[k] / refs[k], 3) if refs.get(k) else None,
+        }
+        for k in best
+    }
+    cpu_io_healthy = all(
+        report[k]["ratio"] is not None and report[k]["ratio"] <= factor
+        for k in ("cpu_calibration_sec", "io_calibration_sec")
+        if k in report
+    )
+    misbased = [
+        k
+        for k, r in report.items()
+        if r["ratio"] is not None and not (0.8 <= r["ratio"] <= 1.2)
+    ] if cpu_io_healthy else []
+    return {
+        "trials": trials,
+        "report": report,
+        "cpu_io_healthy_window": cpu_io_healthy,
+        "misbased_probes": misbased,
+        "suggested_refs": {k: best[k] for k in misbased},
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=3)
@@ -63,34 +97,7 @@ def main() -> int:
         print(json.dumps({"error": "no successful trials"}))
         return 0
 
-    best = {k: min(t[k] for t in trials if k in t) for k in trials[0]}
-    report = {
-        k: {
-            "best": best[k],
-            "ref": HEALTHY_WINDOW.get(k),
-            "ratio": round(best[k] / HEALTHY_WINDOW[k], 3)
-            if HEALTHY_WINDOW.get(k)
-            else None,
-        }
-        for k in best
-    }
-    cpu_io_healthy = all(
-        report[k]["ratio"] is not None and report[k]["ratio"] <= DEGRADED_FACTOR
-        for k in ("cpu_calibration_sec", "io_calibration_sec")
-        if k in report
-    )
-    misbased = [
-        k
-        for k, r in report.items()
-        if r["ratio"] is not None and not (0.8 <= r["ratio"] <= 1.2)
-    ] if cpu_io_healthy else []
-    out = {
-        "trials": trials,
-        "report": report,
-        "cpu_io_healthy_window": cpu_io_healthy,
-        "misbased_probes": misbased,
-        "suggested_refs": {k: best[k] for k in misbased},
-    }
+    out = assess(trials, HEALTHY_WINDOW, DEGRADED_FACTOR)
     print(json.dumps(out, separators=(",", ":")))
     return 0
 
