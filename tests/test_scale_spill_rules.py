@@ -59,3 +59,16 @@ def test_failed_rung_flags_and_does_not_crash_judge():
     ]
     flags = judge(rungs)
     assert "agg:rung_failed" in flags and "sort:rung_failed" in flags
+
+
+def test_committed_artifact_agrees_with_judge():
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "SCALE_SPILL.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        d = json.load(fh)
+    assert judge(d["rungs"]) == d["flagged"], judge(d["rungs"])

@@ -66,3 +66,26 @@ def test_state_unbounded_on_watermark_shapes():
         N_ROWS,
     )
     assert flags["hourly_complete"] == []
+
+
+def test_committed_artifacts_agree_with_judge():
+    """Re-derive flags from the committed SCALE_STATE artifacts: the
+    recorded verdict and the current rule implementation must agree
+    (guards against editing one without the other)."""
+    import json
+    import os
+
+    from tools.scale_state import judge as state_judge
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("SCALE_STATE.json", "SCALE_STATE_rocksdb.json"):
+        path = os.path.join(repo, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            d = json.load(fh)
+        results = {s: v["rungs"] for s, v in d["shapes"].items()}
+        flags = state_judge(results, d["n_input_rows"])
+        recorded = {s: v["flags"] for s, v in d["shapes"].items()}
+        assert flags == recorded, (name, flags, recorded)
+        assert sorted(s for s, f in flags.items() if f) == d["flagged"]
