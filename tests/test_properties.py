@@ -349,3 +349,50 @@ def test_sessionize_chunked_property(spark, events, chunk_minutes):
         tuple(r) for r in sessionize_chunked(ev, chunk_minutes=chunk_minutes).collect()
     )
     assert got == expected
+
+
+# --- deterministic_dedup NULL contract (round 12) ---------------------------
+# Reference model of the documented contract: drop NULL-id rows, then
+# one survivor per key group (NULLs group together, SQL GROUP BY
+# semantics), survivor = row with minimal id. Generated ids are unique
+# per row (the operator's documented precondition), so the survivor is
+# fully determined and the model is exact.
+dedup_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 6)),  # key (small domain → collisions)
+        st.one_of(st.none(), st.integers(0, 10**6)),  # id (unique-ified below)
+        st.text(max_size=5),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(dedup_rows)
+@SETTINGS
+def test_deterministic_dedup_null_contract_property(spark, rows):
+    from odoo_batch_processing_spark.operators.dedup import deterministic_dedup
+
+    # enforce the documented uniqueness precondition on non-NULL ids
+    seen: set[int] = set()
+    uniq = []
+    for k, i, v in rows:
+        if i is not None:
+            while i in seen:
+                i += 1
+            seen.add(i)
+        uniq.append((k, i, v))
+
+    expected: dict[object, tuple] = {}
+    for k, i, v in uniq:
+        if i is None:
+            continue  # NULL ids can never survive
+        if k not in expected or i < expected[k][1]:
+            expected[k] = (k, i, v)
+
+    df = spark.createDataFrame(uniq, "k int, id bigint, v string")
+    got = {
+        r["k"]: (r["k"], r["id"], r["v"])
+        for r in deterministic_dedup(df, ["k"], "id").collect()
+    }
+    assert got == expected
