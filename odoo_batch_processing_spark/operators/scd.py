@@ -110,24 +110,24 @@ def asof_join_carry(
 
     Union-and-window: one shuffle on ``keys``, no inequality join, no
     row multiplication by history length."""
+    # backtick-quote EVERY caller-supplied name (keys, timestamps,
+    # carry, and the pass-through left columns): a bare string in
+    # select()/col()/partitionBy() parses dots as struct-field paths
+    # (ADVICE r11/r12 hazard class)
+    def _q(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     r = right.select(
-        *keys,
-        F.col(right_ts).alias("__ts"),
-        # backtick-quoted exact names: bare strings in struct() parse
-        # dots as field paths
-        F.struct(
-            *[
-                F.col("`" + c.replace("`", "``") + "`").alias(c)
-                for c in carry
-            ]
-        ).alias("__carry"),
+        *[_q(k).alias(k) for k in keys],
+        _q(right_ts).alias("__ts"),
+        F.struct(*[_q(c).alias(c) for c in carry]).alias("__carry"),
         F.lit(1).alias("__is_dim"),
     )
-    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_dim", F.lit(0))
+    l = left.withColumn("__ts", _q(left_ts)).withColumn("__is_dim", F.lit(0))
     merged = l.unionByName(r, allowMissingColumns=True)
     # dimension rows sort BEFORE facts at equal ts → inclusive (≤) as-of
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*[_q(k) for k in keys])
         .orderBy(F.col("__ts"), F.col("__is_dim").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -139,7 +139,8 @@ def asof_join_carry(
     # carry-column names, unlike a parsed "__c.name" path (the same
     # hazard class ADVICE r11 flagged in deterministic_dedup)
     out = carried.select(
-        *left.columns, *[F.col("__c")[c].alias(c) for c in carry]
+        *[_q(c).alias(c) for c in left.columns],
+        *[F.col("__c")[c].alias(c) for c in carry],
     )
     return out
 

@@ -294,3 +294,79 @@ def test_window_labels_absent_on_old_artifacts():
     art = {"queries": {"q": 1.0}, "runs": None, "meta": {"drain": "forcing-v2"}}
     res = compare_artifacts(art, dict(art))
     assert res["windows"] == {}
+
+
+def test_merge_pool_noop_without_pool_flags():
+    """ADVICE r12 (medium): with no --pool flags, merge_pool must not
+    touch the artifact — the unconditional re-derive changed --old-raw
+    behavior and let a -1 sentinel rep become the query min."""
+    from tools.bench_compare import merge_pool
+
+    art = {
+        "queries": {"q": 2.0},
+        # attached via --old-raw; carries a failed-rep sentinel
+        "runs": {"q": [2.0, -1.0, 2.2]},
+        "meta": {"drain": "forcing-v2"},
+    }
+    before = json.loads(json.dumps(art))
+    assert merge_pool(art, [], "old") == []
+    assert art == before  # untouched: min stays 2.0, runs unmodified
+
+
+def test_pooled_min_rederive_filters_sentinels(tmp_path):
+    """Sentinel reps (≤0) must never become the re-derived min even
+    when they arrived on the primary side via --old-raw."""
+    from tools.bench_compare import merge_pool
+
+    art = {
+        "queries": {"q": 2.0},
+        "runs": {"q": [2.0, -1.0]},
+        "meta": {"drain": "forcing-v2"},
+    }
+    extra = _raw(tmp_path, "extra.json", {"q": [2.5]})
+    merge_pool(art, [extra], "old")
+    assert art["queries"]["q"] == 2.0  # -1 sentinel never the min
+    assert all(r > 0 for r in art["runs"]["q"])
+
+
+def test_mins_only_primary_seeds_its_min_as_rep(tmp_path):
+    """ADVICE r12: a mins-only primary's min is a real observation —
+    pooling must include it in the all-reps separation rule, not let
+    the pooled raws alone declare a separation the full evidence
+    doesn't support."""
+    from tools.bench_compare import merge_pool
+
+    old = {
+        "queries": {"q": 1.0},
+        "runs": {"q": [1.0, 1.2]},
+        "meta": {"drain": "forcing-v2"},
+    }
+    # primary new artifact is mins-only with min 1.1 (inside old
+    # spread); the pooled raw alone would separate (min 1.5 > 1.2)
+    new = {"queries": {"q": 1.1}, "runs": None, "meta": {"drain": "forcing-v2"}}
+    slow_run = _raw(tmp_path, "slow.json", {"q": [1.5, 1.6]})
+    merge_pool(new, [slow_run], "new")
+    assert 1.1 in new["runs"]["q"]  # primary min participates
+    res = compare_artifacts(old, new)
+    assert res["flagged"] == []  # 1.1 overlaps old spread → no separation
+
+
+def test_pooled_sf_cpus_mismatch_refuses(tmp_path):
+    """ADVICE r12: self-describing sf/cpus fields must match — reps at
+    a different scale factor or core count are incomparable."""
+    from tools.bench_compare import merge_pool
+
+    art = {
+        "queries": {"q": 1.0},
+        "runs": {"q": [1.0]},
+        "meta": {"drain": "forcing-v2", "sf": 0.1, "cpus": 32},
+    }
+    bad_sf = _raw(tmp_path, "sf.json", {"q": [1.0]}, sf=0.01, cpus=32)
+    with pytest.raises(IncomparableError, match="sf"):
+        merge_pool(dict(art, runs=dict(art["runs"])), [bad_sf], "new")
+    bad_cpus = _raw(tmp_path, "cpus.json", {"q": [1.0]}, sf=0.1, cpus=8)
+    with pytest.raises(IncomparableError, match="cpus"):
+        merge_pool(dict(art, runs=dict(art["runs"])), [bad_cpus], "new")
+    # unlabeled pooled raws (pre-r12 archive) still accepted
+    unlabeled = _raw(tmp_path, "old.json", {"q": [1.1]})
+    assert merge_pool(art, [unlabeled], "new") == [unlabeled]

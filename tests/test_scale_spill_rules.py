@@ -61,6 +61,28 @@ def test_failed_rung_flags_and_does_not_crash_judge():
     assert "agg:rung_failed" in flags and "sort:rung_failed" in flags
 
 
+def test_ordered_digest_is_order_sensitive_and_boundary_invariant(spark):
+    """ADVICE r12: the sort receipt must detect a wrong row order. The
+    positional polynomial digest must (a) be identical for the same
+    sorted output regardless of how many partitions the range
+    partitioner used (rung-to-rung boundary placement differs), and
+    (b) CHANGE when the row order changes."""
+    from tools.scale_spill import _ordered_digest
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "cast(id * 7 % 2000 as string) as v"
+    )
+    asc_2 = df.repartition(2).orderBy("id")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    n2, d2 = _ordered_digest(asc_2)
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    n5, d5 = _ordered_digest(df.repartition(4).orderBy("id"))
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert (n2, d2) == (n5, d5)  # boundary/partition-count invariant
+    n_desc, d_desc = _ordered_digest(df.orderBy("id", ascending=False))
+    assert n_desc == n2 and d_desc != d2  # wrong order → different digest
+
+
 def test_committed_artifact_agrees_with_judge():
     import json
     import os

@@ -150,3 +150,36 @@ def test_asof_carry_hostile_column_names(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].asDict()["tier.name"] == "gold"
+
+
+def test_asof_carry_hostile_keys_timestamps_and_left_columns(spark):
+    """ADVICE r12: the r11 hardening was partial — keys, timestamp
+    columns, and pass-through LEFT columns also dot-parse when passed
+    as bare strings. All four name positions must survive dots."""
+    import datetime as dt
+
+    from odoo_batch_processing_spark.operators.scd import asof_join_carry
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t + dt.timedelta(days=2), "f1"), (2, t, "f2")],
+        ["user.id", "event.ts", "fact.col"],
+    )
+    right = spark.createDataFrame(
+        [(1, t, "gold"), (1, t + dt.timedelta(days=1), "silver")],
+        ["user.id", "valid.from", "tier.name"],
+    )
+    rows = {
+        r.asDict()["user.id"]: r.asDict()
+        for r in asof_join_carry(
+            left,
+            right,
+            ["user.id"],
+            "event.ts",
+            "valid.from",
+            ["tier.name"],
+        ).collect()
+    }
+    assert rows[1]["tier.name"] == "silver"  # latest ≤ left ts
+    assert rows[1]["fact.col"] == "f1"  # dotted left column passed through
+    assert rows[2]["tier.name"] is None  # key 2 has no dim history

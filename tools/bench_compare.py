@@ -104,8 +104,23 @@ def merge_pool(art: dict, paths: list[str], side: str) -> list[str]:
     that carries a ``drain`` label must match the primary's (raw
     artifacts predating round 12 carry no label and are accepted —
     the committed archive starts at r11's driver run, which is
-    forcing-v2 per SCALE.md). Pooled mins re-derive ``queries`` so
-    ratios/headline reflect the pool."""
+    forcing-v2 per SCALE.md); likewise the self-describing ``sf`` /
+    ``cpus`` fields (round 12) must match when both sides carry them —
+    reps measured at a different scale factor or core count are not
+    comparable observations. Pooled mins re-derive ``queries`` so
+    ratios/headline reflect the pool — but ONLY when something was
+    actually pooled (ADVICE r12: an unconditional re-derive changed
+    --old-raw/--new-raw behavior and let a failed-query sentinel rep
+    become the min), and only over reps > 0."""
+    if not paths:
+        return []
+    if art["runs"] is None:
+        # The primary is a mins-only artifact: its per-query min is a
+        # real observation and must participate in the all-reps
+        # separation rule (ADVICE r12) — seed it as a single rep.
+        art["runs"] = {
+            q: [m] for q, m in art["queries"].items() if m > 0
+        }
     used = []
     for p in paths:
         raw = load_artifact(p)
@@ -117,8 +132,14 @@ def merge_pool(art: dict, paths: list[str], side: str) -> list[str]:
                 f"--pool-{side} {p}: drain {pd!r} != primary {ad!r} — "
                 "pooled runs must measure the same workload definition"
             )
-        if art["runs"] is None:
-            art["runs"] = {}
+        for field in ("sf", "cpus"):
+            pv, av = raw["meta"].get(field), art["meta"].get(field)
+            if pv is not None and av is not None and pv != av:
+                raise IncomparableError(
+                    f"--pool-{side} {p}: {field} {pv!r} != primary "
+                    f"{av!r} — reps from a different {field} are not "
+                    "comparable observations"
+                )
         for q, reps in raw["runs"].items():
             good = [r for r in reps if r > 0]
             if good:
@@ -126,10 +147,11 @@ def merge_pool(art: dict, paths: list[str], side: str) -> list[str]:
                     r for r in art["runs"].get(q, []) if r > 0
                 ] + good
         used.append(p)
-    for q, reps in (art["runs"] or {}).items():
-        if reps:
+    for q, reps in art["runs"].items():
+        good = [r for r in reps if r > 0]
+        if good:
             art["queries"][q] = min(
-                min(reps), art["queries"].get(q, float("inf"))
+                min(good), art["queries"].get(q, float("inf"))
             )
     return used
 

@@ -31,9 +31,14 @@ heap never feeling pressure.
 
 Certification rules (exit 1 on violation):
 
-* **exactness under spill**: each workload's result hash
-  (``count + bit_xor(xxhash64(*))``, order-insensitive) is identical
-  on every rung — spilling must never change results;
+* **exactness under spill**: each workload's result receipt is
+  identical on every rung — spilling must never change results. The
+  agg receipt is ``count + bit_xor(xxhash64(*))`` (order-insensitive,
+  correct for a set-semantics result); the sort receipt is an
+  order-SENSITIVE positional polynomial digest of the sorted output
+  (``_ordered_digest`` — a transposed row pair changes it), since an
+  order-insensitive hash cannot detect a wrong sort order (ADVICE
+  r12);
 * **engagement**: the bottom rung records ``diskBytesSpilled > 0``
   for at least one workload — otherwise the ladder never created
   pressure and certifies nothing (``ladder_invalid``);
@@ -113,6 +118,60 @@ def _hash_drain(df) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
+#: polynomial-hash base/modulus for the order-sensitive sort receipt
+#: (any 61-bit prime modulus works; fixed so digests compare across
+#: rungs and rounds)
+_POLY_A = 1_000_003
+_POLY_M = (1 << 61) - 1
+
+
+def _ordered_digest(df_sorted) -> tuple[int, int]:
+    """Order-SENSITIVE receipt for the sort workload (ADVICE r12: the
+    old receipt hashed the INPUT corpus order-insensitively — invariant
+    across rungs by construction, and blind to a wrong sort order).
+
+    Rows are hashed JVM-side (projection preserves the sorted order),
+    then an Arrow-batched ``mapInPandas`` folds each partition's hash
+    sequence into a polynomial rolling hash ``d = (d·A + h) mod M`` —
+    so transposing any two unequal rows changes the digest. Per-
+    partition digests combine positionally on the driver via
+    ``digest(AB) = digest(A)·A^len(B) + digest(B)``, which makes the
+    global digest independent of WHERE the range partitioner happened
+    to place its boundaries (boundary sampling differs run to run) —
+    it depends only on the global row order. The sort keys
+    (l_orderkey, l_linenumber) are unique across the shifted replicas,
+    so a correct sort has exactly one row order and one digest.
+    Untimed verification pass; at most ``shuffle_partitions`` rows
+    reach the driver."""
+    from pyspark.sql import functions as F
+
+    df = df_sorted.toDF(*[f"_c{i}" for i in range(len(df_sorted.columns))])
+    hashed = df.select(F.xxhash64(*df.columns).alias("h"))
+
+    def fold(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        d, n = 0, 0
+        for b in batches:
+            for h in b["h"].to_numpy():
+                d = (d * _POLY_A + (int(h) & _POLY_M)) % _POLY_M
+            n += len(b)
+        yield pd.DataFrame(
+            {"pid": [TaskContext.get().partitionId()], "n": [n], "d": [str(d)]}
+        )
+
+    parts = sorted(
+        hashed.mapInPandas(fold, "pid int, n long, d string").collect(),
+        key=lambda r: r["pid"],
+    )
+    g, total = 0, 0
+    for r in parts:
+        g = (g * pow(_POLY_A, r["n"], _POLY_M) + int(r["d"])) % _POLY_M
+        total += r["n"]
+    return total, g
+
+
 def _workloads(spark, corpus: str):
     """name → (shuffle_partitions, builder). Partition counts are per
     workload but CONSTANT across rungs, so rung-to-rung comparisons
@@ -182,8 +241,11 @@ def run_rung(mem: str, sf_dir: str, reps: int) -> dict:
     for name, (parts, mode, build) in _workloads(spark, corpus).items():
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         if mode == "noop-write":
-            # identity receipt outside the timed region
-            n, h = _hash_drain(spark.read.parquet(corpus))
+            # order-SENSITIVE identity receipt, outside the timed
+            # region: digests the SORTED OUTPUT's row order (ADVICE
+            # r12 — the input-corpus hash was rung-invariant by
+            # construction and could not catch a wrong sort order)
+            n, h = _ordered_digest(build())
         spill_before = _spill_totals(spark)
         best = None
         for _ in range(reps):
