@@ -8,10 +8,13 @@ memory, one shuffle of sketch bytes, not rows.
 
 Sketch ESTIMATES are engine-specific (DuckDB uses different
 algorithms/seeds), so raw-estimate queries can't hash-match a DuckDB
-oracle. The core ``x8_approx_aggs`` therefore emits exact measures plus
-``*_ok`` tolerance booleans (oracle: exact + literal TRUE) — fully
-hash-checked. The extended raw-estimate twins stay rows-only, with
-their accuracy bounded in-engine by ``tests/test_approx.py``.
+oracle. EVERY catalog query in this family therefore emits exact
+measures plus ``*_ok`` tolerance booleans (oracle: exact + literal
+TRUE) — fully hash-checked; a sketch drifting outside its published
+bound is a driver-visible hash mismatch (VERDICT r12 #5 closed the
+last two rows-only forms). The raw-estimate builders survive as
+private helpers whose accuracy ``tests/test_approx.py`` bounds
+in-engine with tighter, value-level assertions.
 """
 
 from __future__ import annotations
@@ -29,12 +32,46 @@ def _q_x8_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_x8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct estimate (rows-only check; exact twin above)."""
+def _x8_approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL++ estimates — private helper for the in-engine accuracy
+    test (tests/test_approx.py); engine-specific values, never
+    catalog-registered."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
+    )
+
+
+def _q_x8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct under the tolerance-boolean oracle contract
+    (VERDICT r12 #5 — previously rows-only): emit the EXACT distinct
+    counts plus ``*_ok`` booleans asserting the estimate landed within
+    5×rsd of exact (rsd=0.02 is a std-dev, not a hard bound); the
+    DuckDB oracle computes exact + literal TRUE, so a drifting sketch
+    hash-mismatches. Sketches and countDistinct stay in SEPARATE
+    aggregations (the x8_approx_aggs split — mixing them makes the
+    distinct rewrite build partial HLL buffers per (flag, key) pair);
+    the rejoin key is the 3-row group key, AQE broadcasts it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_np_a"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_ns_a"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "n_parts",
+        "n_supps",
+        (F.abs(F.col("_np_a") - F.col("n_parts")) <= 0.10 * F.col("n_parts")).alias(
+            "n_parts_ok"
+        ),
+        (F.abs(F.col("_ns_a") - F.col("n_supps")) <= 0.10 * F.col("n_supps")).alias(
+            "n_supps_ok"
+        ),
     )
 
 
@@ -46,12 +83,39 @@ def _q_x8_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_x8_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GK-sketch quantiles (rows-only check; exact twin above)."""
+def _x8_approx_percentiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw GK-sketch quantiles — private helper for the in-engine
+    rank-tolerance test; engine-specific values, never
+    catalog-registered."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+def _q_x8_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch quantiles under the tolerance-boolean oracle contract
+    (VERDICT r12 #5 — previously rows-only): emit the EXACT p50/p90
+    plus ``*_ok`` booleans asserting the sketch answer sits inside the
+    exact [q−ε, q+ε] rank band (ε=0.01 ≫ the sketch's 1/accuracy=1e-4);
+    DuckDB oracle: exact quantiles + literal TRUE. One array-percentile
+    call per algorithm (each scalar Percentile buffers and sorts the
+    group independently — the x8_approx_aggs plan-shape rule)."""
+    orders = load_table(spark, sf_dir, "orders")
+    exact_ps = F.array(*[F.lit(p) for p in (0.5, 0.9, 0.49, 0.51, 0.89, 0.91)])
+    approx_ps = F.array(F.lit(0.5), F.lit(0.9))
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", exact_ps).alias("_pct"),
+        F.percentile_approx("o_totalprice", approx_ps, 10000).alias("_pa"),
+    )
+    p = {q: F.element_at("_pct", i + 1) for i, q in enumerate((50, 90, 49, 51, 89, 91))}
+    return agg.select(
+        "o_orderpriority",
+        p[50].alias("p50"),
+        p[90].alias("p90"),
+        F.element_at("_pa", 1).between(p[49], p[51]).alias("p50_ok"),
+        F.element_at("_pa", 2).between(p[89], p[91]).alias("p90_ok"),
     )
 
 
@@ -206,6 +270,22 @@ ORACLES_EXT = {
         SELECT o_orderpriority,
                quantile_cont(o_totalprice, 0.5) AS p50,
                quantile_cont(o_totalprice, 0.9) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "x8_approx_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               TRUE AS n_parts_ok,
+               TRUE AS n_supps_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "x8_approx_percentiles": """
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok
         FROM orders GROUP BY o_orderpriority
     """,
     "x8_value_histogram": """

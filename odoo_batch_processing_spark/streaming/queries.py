@@ -616,6 +616,12 @@ RATE_ROWS_PER_SEC = 1000
 RATE_RUN_SECONDS = float(os.environ.get("SPARK_GRAFT_RATE_SECONDS", "10"))
 _RATE_KEYS = 100
 
+#: measured facts from the latest _q_s_rate_throughput run (achieved
+#: rate, lag, state rows) — the query's RESULT is deterministic for
+#: the oracle hash gate, so the nondeterministic receipt rides here
+#: for tools/rate_receipt.py to persist (VERDICT r12 #5).
+LAST_RATE_RECEIPT: dict = {}
+
 
 def _q_s_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once upsert: foreachBatch + an idempotent
@@ -726,10 +732,16 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     every key once per batch it appeared in (≈ (n_batches+1)/2 ×
     overcount), which is why the old 0.5× gate could never fire.
 
-    Rows-only check by design: wall-clock throughput is inherently
-    nondeterministic, so the returned row carries the booleans and the
-    configuration, not raw timings. ``sf_dir`` is unused (source is
-    synthetic) — present for the uniform catalog signature.
+    Oracle contract (VERDICT r12 #5 — previously rows-only): raw
+    timings are inherently nondeterministic, so the returned row
+    carries only DETERMINISTIC facts — the configuration and the
+    gate booleans (each backed by an in-query raise, so a FALSE can
+    never reach the sink) — and DuckDB hash-gates them as literals.
+    The measured values (achieved rate, lag, state rows, batch count)
+    are stashed in :data:`LAST_RATE_RECEIPT` for
+    ``tools/rate_receipt.py`` to commit as RATE_RECEIPT.json.
+    ``sf_dir`` is unused (source is synthetic) — present for the
+    uniform catalog signature.
     """
     stream = (
         spark.readStream.format("rate")
@@ -812,10 +824,32 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if state_rows > _RATE_KEYS:
         raise RuntimeError(f"state not bounded: {state_rows} rows")
+    if n_batches < 2:
+        raise RuntimeError(
+            f"only {n_batches} data micro-batches over a "
+            f"{RATE_RUN_SECONDS}s run — not a sustained-ingest sample"
+        )
+    # measured receipt for tools/rate_receipt.py (module-global: the
+    # DataFrame must stay deterministic for the hash gate)
+    LAST_RATE_RECEIPT.clear()
+    LAST_RATE_RECEIPT.update(
+        {
+            "configured_rate": RATE_ROWS_PER_SEC,
+            "run_seconds": RATE_RUN_SECONDS,
+            "rows_in": int(rows_in),
+            "n_batches": int(n_batches),
+            "achieved_rate": round(achieved, 1),
+            "keep_up_ratio": round(achieved / RATE_ROWS_PER_SEC, 4),
+            "frontier_lag_sec": round(lag, 3),
+            "lag_max_sec": lag_max,
+            "state_rows": int(state_rows),
+            "state_rows_max": _RATE_KEYS,
+        }
+    )
     row = [
         (
             RATE_ROWS_PER_SEC,
-            int(n_batches),
+            True,  # multi_batch — ≥2 data micro-batches (sustained sample)
             True,  # met_rate — achieved ≥ 1.0× over the consumed window
             True,  # caught_up — committed frontier within lag_max of stop
             True,  # state_bounded — verified above
@@ -823,7 +857,7 @@ def _q_s_rate_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         row,
-        "configured_rate bigint, n_batches int, met_rate boolean, "
+        "configured_rate bigint, multi_batch boolean, met_rate boolean, "
         "caught_up boolean, state_bounded boolean"
     )
 
@@ -1075,7 +1109,8 @@ QUERIES_EXT = {
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
     "s_stream_static_join": _with_stream_shuffle(_q_s_stream_static_join),
     "s_merge_upsert": _with_stream_shuffle(_q_s_merge_upsert),
-    # rows-only by design: wall-clock throughput is nondeterministic
+    # deterministic gate-boolean form since round 13 (VERDICT r12 #5);
+    # the measured timings land in LAST_RATE_RECEIPT / RATE_RECEIPT.json
     "s_rate_throughput": _with_stream_shuffle(_q_s_rate_throughput),
 }
 
@@ -1142,6 +1177,16 @@ ORACLES = {
 }
 
 ORACLES_EXT = {
+    # every boolean is backed by an in-query raise, so the run either
+    # throws (driver-visible err) or emits exactly this row; the
+    # nondeterministic measurements live in RATE_RECEIPT.json
+    "s_rate_throughput": """
+        SELECT CAST(1000 AS BIGINT) AS configured_rate,
+               TRUE AS multi_batch,
+               TRUE AS met_rate,
+               TRUE AS caught_up,
+               TRUE AS state_bounded
+    """,
     # final upserted state: every purchase incremented exactly ONCE
     # (+100 over its pre-merge value — target value for even ids,
     # source value for odd inserts, which are equal by construction),

@@ -11,8 +11,8 @@ from tests.conftest import SF_CORRECT
 
 def test_approx_distinct_within_rsd(spark):
     from odoo_batch_processing_spark.operators.approx import (
-        _q_x8_approx_distinct,
         _q_x8_exact_distinct,
+        _x8_approx_distinct_raw,
     )
 
     exact = {
@@ -21,7 +21,7 @@ def test_approx_distinct_within_rsd(spark):
     }
     approx = {
         r["l_returnflag"]: (r["n_parts_approx"], r["n_supps_approx"])
-        for r in _q_x8_approx_distinct(spark, SF_CORRECT).collect()
+        for r in _x8_approx_distinct_raw(spark, SF_CORRECT).collect()
     }
     assert exact.keys() == approx.keys()
     for flag, (np_e, ns_e) in exact.items():
@@ -33,12 +33,14 @@ def test_approx_distinct_within_rsd(spark):
 def test_approx_percentiles_within_rank_tolerance(spark):
     from pyspark.sql import functions as F
 
-    from odoo_batch_processing_spark.operators.approx import _q_x8_approx_percentiles
+    from odoo_batch_processing_spark.operators.approx import (
+        _x8_approx_percentiles_raw,
+    )
     from odoo_batch_processing_spark.sources.loader import load_table
 
     approx = {
         r["o_orderpriority"]: (r["p50_approx"], r["p90_approx"])
-        for r in _q_x8_approx_percentiles(spark, SF_CORRECT).collect()
+        for r in _x8_approx_percentiles_raw(spark, SF_CORRECT).collect()
     }
     orders = load_table(spark, SF_CORRECT, "orders")
     for prio, (p50a, p90a) in approx.items():
@@ -49,3 +51,23 @@ def test_approx_percentiles_within_rank_tolerance(spark):
             # quantile: |rank/n - q| <= 1/accuracy (=1e-4) + discreteness
             rank = grp.filter(F.col("o_totalprice") <= value).count()
             assert abs(rank / n - target) <= 1e-4 + 2.0 / n
+
+
+def test_tolerance_boolean_forms_all_ok(spark):
+    """The catalog forms (VERDICT r12 #5) must emit every ``*_ok``
+    boolean TRUE on the fixtures — the same invariant the DuckDB
+    oracle hash-gates at sf0.01, asserted here at value level."""
+    from odoo_batch_processing_spark.operators.approx import (
+        _q_x8_approx_distinct,
+        _q_x8_approx_percentiles,
+    )
+
+    for rows in (
+        _q_x8_approx_distinct(spark, SF_CORRECT).collect(),
+        _q_x8_approx_percentiles(spark, SF_CORRECT).collect(),
+    ):
+        assert rows
+        for r in rows:
+            d = r.asDict()
+            oks = {k: v for k, v in d.items() if k.endswith("_ok")}
+            assert oks and all(oks.values()), d

@@ -147,9 +147,15 @@ def test_s_rate_throughput_sustained(spark):
     hold bounded state (the in-query asserts raise on violation)."""
     from odoo_batch_processing_spark.streaming.queries import _q_s_rate_throughput
 
+    from odoo_batch_processing_spark.streaming.queries import LAST_RATE_RECEIPT
+
     row = _q_s_rate_throughput(spark, SF_SMOKE).collect()[0]
     assert row["met_rate"] and row["caught_up"] and row["state_bounded"]
-    assert row["n_batches"] >= 2  # genuinely multi-batch, not one gulp
+    assert row["multi_batch"]  # genuinely multi-batch, not one gulp
+    # the measured receipt rides in the module global (VERDICT r12 #5)
+    assert LAST_RATE_RECEIPT["n_batches"] >= 2
+    assert LAST_RATE_RECEIPT["keep_up_ratio"] >= 0.995
+    assert LAST_RATE_RECEIPT["state_rows"] <= LAST_RATE_RECEIPT["state_rows_max"]
 
 
 def test_s_rate_throughput_gate_fires(spark, monkeypatch):
