@@ -142,6 +142,69 @@ HEALTHY_WINDOW = {
 DEGRADED_FACTOR = 1.2
 
 
+def cpu_calibration(spark, sf_dir: str, reps: int) -> float:
+    """Min-of-reps wall of the frozen calibration workload. The
+    DataFrame is built ONCE, outside the timed region, so the
+    yardstick times only .count(). HISTORY (ADVICE r9/r10): r6–r8
+    all constructed the DataFrame per rep INSIDE the timed region
+    (git 29fb26f, c4c0f7a) — the r9 comment claiming r6/r7 timed
+    only .count() was wrong, and hoisting in r9 silently re-based
+    the scale (r8 calib 0.3175 ≙ hoisted ~0.25 on the same host).
+    The boundary is self-described in the artifact
+    (calibration_boundary) and the one sanctioned per-rep ↔ hoisted
+    conversion is the round-10 same-host bridge measurement in
+    SCALE.md (tools/calibration_bridge.py).
+
+    Module-level (round 13) so tools that need the exact bench
+    protocol (tools/x9_ab.py, tools/preflight_refs.py) share this
+    code path instead of re-implementing it."""
+    cal = calibration_df(spark, sf_dir)
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        cal.count()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
+def io_calibration(reps: int) -> float:
+    """Fixed I/O yardstick (round 11). The CPU calibration is blind
+    to I/O degradation: bench run 4 matched the prior round's CPU
+    calib ×1.01 while the headline ran ×1.16 on I/O-side stalls
+    (SCALE.md round 11). This probe times the cost class those stalls
+    live in — many small write+fsync+read cycles, the
+    checkpoint-commit / shuffle-file pattern: 64 × 256 KiB files
+    written with fsync then read back, min-of-reps. Context only,
+    like the CPU yardstick — never a verdict input."""
+    import shutil
+    import tempfile
+
+    scratch = os.path.join(REPO_ROOT, ".scratch")
+    base = tempfile.mkdtemp(
+        prefix="io-calib-", dir=scratch if os.path.isdir(scratch) else None
+    )
+    payload = b"\xa5" * (256 * 1024)
+    runs = []
+    try:
+        for r in range(reps):
+            paths = [os.path.join(base, f"f{r}_{i}") for i in range(64)]
+            t0 = time.perf_counter()
+            for p in paths:
+                with open(p, "wb") as fh:
+                    fh.write(payload)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+            for p in paths:
+                with open(p, "rb") as fh:
+                    fh.read()
+            runs.append(time.perf_counter() - t0)
+            for p in paths:
+                os.unlink(p)
+        return round(min(runs), 4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def preflight_window(
     checks: dict[str, float],
     refs: dict[str, float] | None = None,
@@ -199,23 +262,10 @@ def main() -> int:
     # Runs after warmup, before the suite (the quietest point of the
     # session); min-of-reps like every headline number.
     def _calibration(reps: int) -> float:
-        # the DataFrame is built ONCE, outside the timed region, so the
-        # yardstick times only .count(). HISTORY (ADVICE r9/r10): r6–r8
-        # all constructed the DataFrame per rep INSIDE the timed region
-        # (git 29fb26f, c4c0f7a) — the r9 comment claiming r6/r7 timed
-        # only .count() was wrong, and hoisting in r9 silently re-based
-        # the scale (r8 calib 0.3175 ≙ hoisted ~0.25 on the same host).
-        # The boundary is now self-described in the artifact
-        # (calibration_boundary below) and the one sanctioned per-rep ↔
-        # hoisted conversion is the round-10 same-host bridge
-        # measurement in SCALE.md (tools/calibration_bridge.py).
-        cal = calibration_df(spark, sf_dir)
-        runs = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            cal.count()
-            runs.append(time.perf_counter() - t0)
-        return round(min(runs), 4)
+        # module-level cpu_calibration since round 13 (shared with
+        # tools/x9_ab.py / tools/preflight_refs.py); see its docstring
+        # for the measurement-boundary history
+        return cpu_calibration(spark, sf_dir, reps)
 
     # Host timing is noisy (shared 32-core box running 50 Spark jobs
     # back-to-back; round-2 n=2 runs differed by 23% total). Run each
@@ -230,41 +280,8 @@ def main() -> int:
     # regression is attributable to a plan change vs. host noise. One
     # failing query reports -1 instead of killing the bench.
     def _io_calibration(reps: int) -> float:
-        """Fixed I/O yardstick (round 11). The CPU calibration above is
-        blind to I/O degradation: bench run 4 matched the prior round's
-        CPU calib ×1.01 while the headline ran ×1.16 on I/O-side
-        stalls (SCALE.md round 11). This probe times the cost class
-        those stalls live in — many small write+fsync+read cycles, the
-        checkpoint-commit / shuffle-file pattern: 64 × 256 KiB files
-        written with fsync then read back, min-of-reps. Context only,
-        like the CPU yardstick — never a verdict input."""
-        import shutil
-        import tempfile
-
-        scratch = os.path.join(REPO_ROOT, ".scratch")
-        base = tempfile.mkdtemp(
-            prefix="io-calib-", dir=scratch if os.path.isdir(scratch) else None
-        )
-        payload = b"\xa5" * (256 * 1024)
-        runs = []
-        try:
-            for r in range(reps):
-                paths = [os.path.join(base, f"f{r}_{i}") for i in range(64)]
-                t0 = time.perf_counter()
-                for p in paths:
-                    with open(p, "wb") as fh:
-                        fh.write(payload)
-                        fh.flush()
-                        os.fsync(fh.fileno())
-                for p in paths:
-                    with open(p, "rb") as fh:
-                        fh.read()
-                runs.append(time.perf_counter() - t0)
-                for p in paths:
-                    os.unlink(p)
-            return round(min(runs), 4)
-        finally:
-            shutil.rmtree(base, ignore_errors=True)
+        # module-level io_calibration since round 13 (shared protocol)
+        return io_calibration(reps)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     calibration_sec = _calibration(reps)

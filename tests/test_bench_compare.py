@@ -351,6 +351,57 @@ def test_mins_only_primary_seeds_its_min_as_rep(tmp_path):
     assert res["flagged"] == []  # 1.1 overlaps old spread → no separation
 
 
+def test_high_variance_ledger_widens_mins_only_threshold():
+    """VERDICT r12 #1: x9_pack_shards/x9_source_mix carry a measured
+    per-query noise factor (X9_AB.json) so their routine ~1.6x
+    mins-only swings stop reappearing in adjudications — while a
+    swing beyond the measured spread, or a true all-reps separation,
+    still flags."""
+    from tools.bench_compare import HIGH_VARIANCE
+
+    f = HIGH_VARIANCE["x9_pack_shards"]
+    # the r11→r12 committed swing (x1.62) no longer flags mins-only
+    res = compare_artifacts(
+        _mk({"x9_pack_shards": 0.478, "q": 1.0}),
+        _mk({"x9_pack_shards": 0.774, "q": 1.0}),
+    )
+    assert res["flagged"] == []
+    assert res["verdicts"]["x9_pack_shards"]["high_variance_factor"] == f
+    # beyond the measured spread still flags
+    res = compare_artifacts(
+        _mk({"x9_pack_shards": 0.478}), _mk({"x9_pack_shards": 0.478 * (f + 0.1)})
+    )
+    assert res["flagged"] == ["x9_pack_shards"]
+    # all-reps separation ignores the ledger: a real regression with
+    # fully separated reps flags even inside the scalar band
+    res = compare_artifacts(
+        _mk({"x9_pack_shards": 0.45}, {"x9_pack_shards": [0.45, 0.50]}),
+        _mk({"x9_pack_shards": 0.55}, {"x9_pack_shards": [0.55, 0.60]}),
+    )
+    assert res["flagged"] == ["x9_pack_shards"]
+    # a non-ledger query keeps the global band
+    res = compare_artifacts(_mk({"q": 1.0}), _mk({"q": 1.62}))
+    assert res["flagged"] == ["q"]
+
+
+def test_high_variance_ledger_is_receipt_backed():
+    """Every ledger entry must cite a committed A/B artifact whose
+    measured healthy-window spread the factor actually covers."""
+    from tools.bench_compare import HIGH_VARIANCE
+
+    path = os.path.join(REPO, "X9_AB.json")
+    assert os.path.exists(path), "ledger without its receipt artifact"
+    with open(path) as fh:
+        ab = json.load(fh)
+    assert ab["window"] == "healthy"
+    for q, factor in HIGH_VARIANCE.items():
+        assert ab["verdicts"][q]["noise_confirmed"], q
+        assert factor >= ab["stats"][q]["spread"], (
+            f"{q}: ledger factor {factor} below measured spread "
+            f"{ab['stats'][q]['spread']}"
+        )
+
+
 def test_pooled_sf_cpus_mismatch_refuses(tmp_path):
     """ADVICE r12: self-describing sf/cpus fields must match — reps at
     a different scale factor or core count are incomparable."""
