@@ -11,10 +11,14 @@ rows.
 Scale notes: the file source tracks seen-files in the checkpoint; for
 100 TB ingest the options that matter are `maxFilesPerTrigger` (batch
 size control — the streaming form of rate limiting) and
-`latestFirst`. The directory listing itself is driver-side; at very
-high file counts production would front this with a notification
-queue, which swaps in as a different `format()` with the same
-downstream plan.
+`latestFirst`. The directory listing itself is driver-side and
+O(total files) per full listing — MEASURED at 54.7 µs/file on this
+box (27.4 s at 512k files; SCALE_BATCHES.json listing ladder,
+tools/scale_batches.py), so beyond ~10⁵ files production fronts this
+with a notification queue. That swap is prototyped in
+sources/manifest.py (offset = byte position in an append-only
+manifest, O(new) discovery) and is plan- and value-preserving by
+test (tests/test_manifest_source.py).
 """
 
 from __future__ import annotations

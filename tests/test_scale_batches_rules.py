@@ -2,7 +2,15 @@
 
 from __future__ import annotations
 
-from tools.scale_batches import DRIFT_FACTOR, TAIL, WARM, judge
+from tools.scale_batches import (
+    DRIFT_FACTOR,
+    LISTING_GROWTH,
+    LISTING_ROWS_PER_FILE,
+    TAIL,
+    WARM,
+    judge,
+    judge_listing,
+)
 
 
 def _rung(k, durs, rows=100000):
@@ -36,6 +44,41 @@ def test_row_mismatch_flagged():
     assert "rows_differ_across_rungs" in judge(rungs)
 
 
+def _lrung(n, file_mean=0.05, man_mean=0.001, rows=LISTING_ROWS_PER_FILE):
+    return {
+        "n_files": n,
+        "file_offset_mean_sec": file_mean,
+        "manifest_offset_mean_sec": man_mean,
+        "file_trigger_rows": [rows] * 8,
+        "manifest_trigger_rows": [rows] * 8,
+    }
+
+
+def test_listing_flat_manifest_passes():
+    # the FILE source's steady cost may drift — only the manifest twin
+    # carries the O(new) claim
+    rungs = [_lrung(1000), _lrung(64000, file_mean=0.5)]
+    assert judge_listing(rungs) == []
+
+
+def test_listing_manifest_growth_flagged():
+    rungs = [_lrung(1000, man_mean=0.02), _lrung(64000, man_mean=0.2)]
+    assert judge_listing(rungs) == ["manifest_offset_growth"]
+
+
+def test_listing_growth_under_abs_floor_is_noise():
+    # 1ms -> 4ms is 4x but far below the jitter floor: not flagged
+    rungs = [_lrung(1000, man_mean=0.001), _lrung(64000, man_mean=0.004)]
+    assert judge_listing(rungs) == []
+    assert 0.004 > LISTING_GROWTH * 0.001  # the ratio alone WOULD flag
+
+
+def test_listing_receipt_mismatch_flagged():
+    bad = _lrung(64000)
+    bad["manifest_trigger_rows"] = [LISTING_ROWS_PER_FILE] * 7 + [128]
+    assert judge_listing([_lrung(1000), bad]) == ["listing_receipt_mismatch"]
+
+
 def test_committed_artifact_agrees_with_judge():
     import json
     import os
@@ -46,4 +89,9 @@ def test_committed_artifact_agrees_with_judge():
         return
     with open(path) as fh:
         d = json.load(fh)
-    assert judge(d["results"]) == d["flagged"]
+    expect = judge(d["results"])
+    if d.get("listing"):
+        expect += judge_listing(d["listing"]["results"])
+    else:
+        expect.append("missing_listing_section")
+    assert expect == d["flagged"]

@@ -31,11 +31,51 @@ Flag rules (exit 1):
 
 The recorded curve (mean per-batch sec per rung + early/late split at
 every rung) is the posture line; Spark's log compaction is the
-mechanism under test. At true 10⁵-file scale production fronts the
-listing with a notification queue (sources/sources.py docstring) —
-this axis certifies the engine-side logs, not the driver listing.
+mechanism under test.
+
+**Listing ladder (round 13)** — the OTHER history cost: the file
+source's directory listing is driver-side and O(total files). This
+second axis measures it directly: a link farm of
+N = 1k / 8k / 64k / 512k hard-linked tiny parquet files (few inodes,
+N directory entries — constant data, pure listing load), streamed
+with ``maxFilesPerTrigger=1``, reading the per-trigger
+``durationMs.latestOffset`` (the phase that contains the listing).
+Measured behavior splits in two, and the artifact records both:
+
+* ``*_first_offset_sec`` — trigger 0 performs the FULL directory
+  listing (17.5 s at N=512k on this box); this is the listing wall,
+  and its least-squares slope vs N extrapolated to 10⁵ files is the
+  recorded knee. The file source then serves subsequent triggers from
+  its unread-files cache, so the wall recurs at every re-list
+  (cache drain / restart / new-arrival discovery), not every trigger.
+* ``*_offset_mean_sec`` — steady-state offset discovery after warmup
+  (the cache-serving cost, flat by design).
+
+Alongside each rung runs the queue-fed twin — ``sources/manifest.py``
+'s ``manifest_parquet`` Python DataSource over the SAME N files,
+offset = byte position in an append-only manifest, so its offset
+discovery is an ``os.stat`` + tail-read of NEW bytes only: O(backlog)
+once at catch-up (0.45 s for a 512k-entry backlog, ~40× below the
+listing wall), O(new arrivals) forever after — it can never re-pay
+the wall, because processed entries are never re-scanned. Receipt:
+every measured trigger on BOTH twins ingests exactly
+``LISTING_ROWS_PER_FILE`` rows (same files, same batch shape), and
+the plan/value equivalence of the swap is pytest-gated
+(tests/test_manifest_source.py).
+
+Listing flag rules (exit 1):
+
+* ``manifest_offset_growth``: the manifest twin's mean offset
+  discovery at the top rung exceeds LISTING_GROWTH × the bottom
+  rung's AND exceeds an absolute jitter floor — the O(new) claim is
+  the whole point of the swap, so growth with total file count is a
+  regression.
+* ``listing_receipt_mismatch``: a measured trigger ingested a row
+  count ≠ LISTING_ROWS_PER_FILE on either twin (the probes stopped
+  measuring like-for-like batches).
 
     python tools/scale_batches.py [--sf-dir /root/testdata/sf0.1]
+                                  [--skip-history] [--skip-listing]
 
 Writes SCALE_BATCHES.json; exit 1 if flagged.
 """
@@ -56,6 +96,14 @@ RUNGS = (8, 32, 128)
 DRIFT_FACTOR = 2.0
 WARM = 3  #: warmup batches excluded from the early reference window
 TAIL = 5  #: batches in each of the early/late comparison windows
+
+LISTING_RUNGS = (1000, 8000, 64000, 512000)
+LISTING_TRIGGERS = 8  #: measured data triggers per probe
+LISTING_WARM = 2  #: initial triggers dropped from the means (JVM/plan warmup)
+LISTING_ROWS_PER_FILE = 64
+LISTING_GROWTH = 3.0  #: manifest offset top/bottom ratio flag threshold
+LISTING_ABS_FLOOR = 0.05  #: sec — jitter floor under which growth is noise
+EXTRAPOLATE_FILES = 100_000
 
 
 def run_rung(spark, sf_dir: str, k: int) -> dict:
@@ -100,6 +148,143 @@ def _mean(xs):
     return sum(xs) / len(xs) if xs else 0.0
 
 
+def _listing_farm(spark, sf_dir: str, n: int) -> tuple[str, str]:
+    """(files_dir, manifest_path): ``n`` hard links of ONE tiny
+    events parquet file (constant data, N directory entries) plus the
+    append-only manifest naming them — content-keyed so rebuilt only
+    when the corpus changes."""
+    import glob as _glob
+
+    from odoo_batch_processing_spark.sources.sinks import staged_once
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def _build(d):
+        tiny = os.path.join(d, "_tiny")
+        (
+            spark.read.parquet(src)
+            .limit(LISTING_ROWS_PER_FILE)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tiny)
+        )
+        import shutil
+
+        part = _glob.glob(os.path.join(tiny, "part-*.parquet"))[0]
+        files_dir = os.path.join(d, "files")
+        os.makedirs(files_dir)
+        # manifest entries are RELATIVE to the manifest's directory:
+        # staged_once builds in a temp dir and renames it into place,
+        # so absolute paths recorded here would dangle after commit.
+        # ext4 caps hard links at 65000 per inode — refresh the link
+        # source every 60000 files.
+        src_inode = part
+        with open(os.path.join(d, "manifest.txt"), "w") as fh:
+            for i in range(n):
+                if i and i % 60000 == 0:
+                    src_inode = part + f".c{i}"
+                    shutil.copy(part, src_inode)
+                name = f"f{i:06d}.parquet"
+                os.link(src_inode, os.path.join(files_dir, name))
+                fh.write(f"files/{name}\n")
+
+    root = staged_once(f"listing-farm-{n}", src, _build)
+    return os.path.join(root, "files"), os.path.join(root, "manifest.txt")
+
+
+def _measured_triggers(q, want: int, timeout_sec: float = 600.0) -> list[dict]:
+    """Poll until ``want`` data triggers have progress entries (or
+    timeout), then return the data-trigger progress dicts. The query
+    keeps running while we poll — the caller stops it."""
+    deadline = time.perf_counter() + timeout_sec
+    while time.perf_counter() < deadline:
+        exc = q.exception()
+        if exc is not None:
+            raise RuntimeError(f"probe stream died: {exc}")
+        prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+        if len(prog) >= want:
+            return prog[:want]
+        time.sleep(0.05)
+    raise RuntimeError(
+        f"probe produced {len([p for p in q.recentProgress if p.get('numInputRows', 0) > 0])}"
+        f"/{want} data triggers within {timeout_sec}s"
+    )
+
+
+def _offset_secs(progress: list[dict]) -> list[float]:
+    return [p["durationMs"].get("latestOffset", 0) / 1000.0 for p in progress]
+
+
+def run_listing_rung(spark, sf_dir: str, n: int) -> dict:
+    from odoo_batch_processing_spark.sources.manifest import manifest_source
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+    from odoo_batch_processing_spark.streaming.queries import _mem_name
+    from odoo_batch_processing_spark.streaming.sources import change_source
+
+    files_dir, manifest = _listing_farm(spark, sf_dir, n)
+    out = {"n_files": n}
+    for kind, df in (
+        ("file", change_source(spark, files_dir, max_files_per_trigger=1)),
+        ("manifest", manifest_source(spark, manifest, max_files_per_trigger=1)),
+    ):
+        name = _mem_name(f"lst_{kind}_{n}")
+        q = (
+            df.select("event_id", "user_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", scratch_dir(f"lst-{kind}-{n}-ckpt"))
+            .start()
+        )
+        try:
+            prog = _measured_triggers(q, LISTING_TRIGGERS)
+        finally:
+            q.stop()
+        spark.catalog.dropTempView(name)
+        secs = _offset_secs(prog)
+        out[f"{kind}_offset_secs"] = [round(s, 4) for s in secs]
+        # trigger 0's latestOffset contains the FULL directory listing
+        # (file source) / full-backlog tail-read (manifest); later
+        # triggers serve from the source's unread-files cache / are
+        # already caught up — so "first" is the listing wall and
+        # "mean" is the steady amortized cost.
+        out[f"{kind}_first_offset_sec"] = round(secs[0], 4) if secs else None
+        out[f"{kind}_offset_mean_sec"] = round(_mean(secs[LISTING_WARM:]), 4)
+        out[f"{kind}_trigger_rows"] = [int(p.get("numInputRows", 0)) for p in prog]
+    return out
+
+
+def _fit_per_file(
+    rungs: list[dict], key: str, metric: str = "offset_mean_sec"
+) -> tuple[float, float]:
+    """Least-squares (slope_per_file, intercept) of the offset metric
+    vs n_files."""
+    xs = [r["n_files"] for r in rungs]
+    ys = [r[f"{key}_{metric}"] for r in rungs]
+    n = len(xs)
+    mx, my = _mean(xs), _mean(ys)
+    denom = sum((x - mx) ** 2 for x in xs)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom if denom else 0.0
+    return slope, my - slope * mx
+
+
+def judge_listing(rungs: list[dict]) -> list[str]:
+    """Listing flag rules from the module docstring; pure."""
+    flags = []
+    bot = rungs[0]["manifest_offset_mean_sec"]
+    top = rungs[-1]["manifest_offset_mean_sec"]
+    if top > LISTING_ABS_FLOOR and bot > 0 and top > LISTING_GROWTH * bot:
+        flags.append("manifest_offset_growth")
+    for r in rungs:
+        for kind in ("file", "manifest"):
+            if any(
+                rows != LISTING_ROWS_PER_FILE for rows in r[f"{kind}_trigger_rows"]
+            ):
+                flags.append("listing_receipt_mismatch")
+                return flags
+    return flags
+
+
 def judge(rungs: list[dict]) -> list[str]:
     """Flag rules from the module docstring; pure. recentProgress
     retains ~the last 100 batches, so the top rung's early window may
@@ -129,6 +314,8 @@ def main() -> int:
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
     parser.add_argument("--reps", type=int, default=2)
+    parser.add_argument("--skip-history", action="store_true")
+    parser.add_argument("--skip-listing", action="store_true")
     args = parser.parse_args()
 
     from odoo_batch_processing_spark.session import get_spark
@@ -140,31 +327,75 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
 
-    run_rung(spark, args.sf_dir, RUNGS[0])  # warm JVM + staging path
+    artifact_path = os.path.join(REPO_ROOT, "SCALE_BATCHES.json")
+    prior = {}
+    if (args.skip_history or args.skip_listing) and os.path.exists(artifact_path):
+        with open(artifact_path) as fh:
+            prior = json.load(fh)
 
-    results = []
-    for k in RUNGS:
-        best = None
-        for _ in range(args.reps):
-            r = run_rung(spark, args.sf_dir, k)
-            if best is None or r["wall_sec"] < best["wall_sec"]:
-                best = r
-        durs = best["batch_secs"]
-        early = _mean(durs[WARM : WARM + TAIL]) if len(durs) > WARM + TAIL else None
-        late = _mean(durs[-TAIL:]) if len(durs) >= TAIL else None
-        best["early_mean_sec"] = round(early, 4) if early else None
-        best["late_mean_sec"] = round(late, 4) if late else None
-        best["mean_batch_sec"] = round(_mean(durs), 4)
-        best["batch_secs"] = [round(d, 3) for d in durs]
-        results.append(best)
-        print(
-            f"[K={k:4d}] wall={best['wall_sec']:6.2f}s rows={best['rows']} "
-            f"mean/batch={best['mean_batch_sec']:.3f}s "
-            f"early={best['early_mean_sec']} late={best['late_mean_sec']}",
-            file=sys.stderr,
-        )
+    results = prior.get("results", [])
+    if not args.skip_history:
+        run_rung(spark, args.sf_dir, RUNGS[0])  # warm JVM + staging path
+        results = []
+        for k in RUNGS:
+            best = None
+            for _ in range(args.reps):
+                r = run_rung(spark, args.sf_dir, k)
+                if best is None or r["wall_sec"] < best["wall_sec"]:
+                    best = r
+            durs = best["batch_secs"]
+            early = _mean(durs[WARM : WARM + TAIL]) if len(durs) > WARM + TAIL else None
+            late = _mean(durs[-TAIL:]) if len(durs) >= TAIL else None
+            best["early_mean_sec"] = round(early, 4) if early else None
+            best["late_mean_sec"] = round(late, 4) if late else None
+            best["mean_batch_sec"] = round(_mean(durs), 4)
+            best["batch_secs"] = [round(d, 3) for d in durs]
+            results.append(best)
+            print(
+                f"[K={k:4d}] wall={best['wall_sec']:6.2f}s rows={best['rows']} "
+                f"mean/batch={best['mean_batch_sec']:.3f}s "
+                f"early={best['early_mean_sec']} late={best['late_mean_sec']}",
+                file=sys.stderr,
+            )
 
-    flags = judge(results)
+    listing = prior.get("listing", {})
+    if not args.skip_listing:
+        run_listing_rung(spark, args.sf_dir, 100)  # warm JVM + streaming engine
+        lrungs = []
+        for n in LISTING_RUNGS:
+            r = run_listing_rung(spark, args.sf_dir, n)
+            lrungs.append(r)
+            print(
+                f"[N={n:6d}] file latestOffset first={r['file_first_offset_sec']:.3f}s "
+                f"steady={r['file_offset_mean_sec']:.4f}s | manifest "
+                f"first={r['manifest_first_offset_sec']:.3f}s "
+                f"steady={r['manifest_offset_mean_sec']:.4f}s",
+                file=sys.stderr,
+            )
+        slope, intercept = _fit_per_file(lrungs, "file", "first_offset_sec")
+        mslope, _mi = _fit_per_file(lrungs, "manifest", "first_offset_sec")
+        listing = {
+            "rungs": list(LISTING_RUNGS),
+            "triggers": LISTING_TRIGGERS,
+            "warm": LISTING_WARM,
+            "rows_per_file": LISTING_ROWS_PER_FILE,
+            "growth_threshold": LISTING_GROWTH,
+            "abs_floor_sec": LISTING_ABS_FLOOR,
+            "results": lrungs,
+            "file_full_listing_sec_per_file": round(slope, 9),
+            "manifest_full_backlog_sec_per_file": round(mslope, 9),
+            "file_full_listing_sec_at_100k": round(
+                slope * EXTRAPOLATE_FILES + intercept, 3
+            ),
+            "manifest_steady_top_rung_sec": lrungs[-1]["manifest_offset_mean_sec"],
+            "file_steady_top_rung_sec": lrungs[-1]["file_offset_mean_sec"],
+        }
+
+    flags = judge(results) if results else ["missing_history_section"]
+    if listing:
+        flags += judge_listing(listing["results"])
+    else:
+        flags.append("missing_listing_section")
     payload = {
         "metric": "scale_batches",
         "sf_dir": args.sf_dir,
@@ -174,10 +405,11 @@ def main() -> int:
         "warm": WARM,
         "tail": TAIL,
         "results": results,
+        "listing": listing,
         "flagged": flags,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    with open(os.path.join(REPO_ROOT, "SCALE_BATCHES.json"), "w") as fh:
+    with open(artifact_path, "w") as fh:
         fh.write(line + "\n")
     print(line)
     return 1 if flags else 0
