@@ -66,7 +66,7 @@ def test_ordered_digest_is_order_sensitive_and_boundary_invariant(spark):
     positional polynomial digest must (a) be identical for the same
     sorted output regardless of how many partitions the range
     partitioner used (rung-to-rung boundary placement differs), and
-    (b) CHANGE when the row order changes."""
+    (b) CHANGE when the key order changes."""
     from tools.scale_spill import _ordered_digest
 
     df = spark.range(0, 2000).selectExpr(
@@ -74,13 +74,39 @@ def test_ordered_digest_is_order_sensitive_and_boundary_invariant(spark):
     )
     asc_2 = df.repartition(2).orderBy("id")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
-    n2, d2 = _ordered_digest(asc_2)
+    n2, d2 = _ordered_digest(asc_2, ["id"])
     spark.conf.set("spark.sql.shuffle.partitions", "5")
-    n5, d5 = _ordered_digest(df.repartition(4).orderBy("id"))
+    n5, d5 = _ordered_digest(df.repartition(4).orderBy("id"), ["id"])
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert (n2, d2) == (n5, d5)  # boundary/partition-count invariant
-    n_desc, d_desc = _ordered_digest(df.orderBy("id", ascending=False))
+    n_desc, d_desc = _ordered_digest(df.orderBy("id", ascending=False), ["id"])
     assert n_desc == n2 and d_desc != d2  # wrong order → different digest
+
+
+def test_ordered_digest_tie_invariant_but_content_sensitive(spark):
+    """Round-13 scope fix: with DUPLICATE sort keys the spill-merge may
+    legitimately permute ties (the 512m rung did — orderBy promises no
+    stable tie order, and the synthetic lineitem has ~945k duplicate
+    key pairs), so the key-sequence component must be tie-invariant;
+    row corruption is still caught by the multiset component."""
+    from pyspark.sql import functions as F
+
+    from tools.scale_spill import _ordered_digest
+
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("payload")
+    )
+    # two different tie orders of the same sort: secondary order flips
+    a = _ordered_digest(df.orderBy("k", F.col("payload").asc()), ["k"])
+    b = _ordered_digest(df.orderBy("k", F.col("payload").desc()), ["k"])
+    assert a == b  # tie permutation → same receipt
+    # corrupt one row's payload: key sequence identical, multiset differs
+    corrupt = df.withColumn(
+        "payload", F.when(F.col("payload") == 7, F.lit(-1)).otherwise(F.col("payload"))
+    )
+    c = _ordered_digest(corrupt.orderBy("k", "payload"), ["k"])
+    assert c != a  # content change → different receipt
 
 
 def test_committed_artifact_agrees_with_judge():

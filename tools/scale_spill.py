@@ -35,10 +35,13 @@ Certification rules (exit 1 on violation):
   identical on every rung — spilling must never change results. The
   agg receipt is ``count + bit_xor(xxhash64(*))`` (order-insensitive,
   correct for a set-semantics result); the sort receipt is an
-  order-SENSITIVE positional polynomial digest of the sorted output
-  (``_ordered_digest`` — a transposed row pair changes it), since an
-  order-insensitive hash cannot detect a wrong sort order (ADVICE
-  r12);
+  order-SENSITIVE positional polynomial digest of the sorted
+  output's KEY SEQUENCE (unique for a correct sort even with
+  duplicate keys — a transposed pair of unequal keys changes it,
+  tie permutations don't, matching what ``orderBy`` promises) plus
+  an order-insensitive multiset hash of the full output rows (the
+  output is a permutation of the corpus) — see ``_ordered_digest``
+  (ADVICE r12; tie-scope lesson round 13);
 * **engagement**: the bottom rung records ``diskBytesSpilled > 0``
   for at least one workload — otherwise the ladder never created
   pressure and certifies nothing (``ladder_invalid``);
@@ -125,28 +128,46 @@ _POLY_A = 1_000_003
 _POLY_M = (1 << 61) - 1
 
 
-def _ordered_digest(df_sorted) -> tuple[int, int]:
+def _ordered_digest(df_sorted, key_cols: list[str]) -> tuple[int, str]:
     """Order-SENSITIVE receipt for the sort workload (ADVICE r12: the
     old receipt hashed the INPUT corpus order-insensitively — invariant
     across rungs by construction, and blind to a wrong sort order).
 
-    Rows are hashed JVM-side (projection preserves the sorted order),
-    then an Arrow-batched ``mapInPandas`` folds each partition's hash
-    sequence into a polynomial rolling hash ``d = (d·A + h) mod M`` —
-    so transposing any two unequal rows changes the digest. Per-
-    partition digests combine positionally on the driver via
-    ``digest(AB) = digest(A)·A^len(B) + digest(B)``, which makes the
-    global digest independent of WHERE the range partitioner happened
-    to place its boundaries (boundary sampling differs run to run) —
-    it depends only on the global row order. The sort keys
-    (l_orderkey, l_linenumber) are unique across the shifted replicas,
-    so a correct sort has exactly one row order and one digest.
+    Two components, together certifying exactly what ``orderBy``
+    promises and nothing it doesn't:
+
+    * **key-sequence digest** — ``xxhash64`` over the SORT KEYS only,
+      in output order (projection preserves the sorted order), folded
+      per partition by an Arrow-batched ``mapInPandas`` into a
+      polynomial rolling hash ``d = (d·A + h) mod M``; per-partition
+      digests combine positionally on the driver via
+      ``digest(AB) = digest(A)·A^len(B) + digest(B)``, so the global
+      digest is independent of WHERE the range partitioner put its
+      boundaries and depends only on the global key sequence. For a
+      correct sort the key sequence is the sorted multiset of keys —
+      UNIQUE even with duplicate keys — so any out-of-order pair of
+      UNEQUAL keys changes the digest, while tie permutations don't.
+      (Round-13 lesson, the hard way: the first version digested full
+      rows and asserted rung-identity — the 512m rung's spill-merge
+      legitimately interleaves EQUAL keys differently, and the
+      synthetic lineitem has ~945k duplicate (l_orderkey,
+      l_linenumber) pairs, so the receipt flagged a tie permutation
+      ``orderBy`` never promised to pin. Detecting it proved the
+      digest order-sensitive; scoping to the key sequence makes the
+      claim match the contract.)
+    * **row multiset hash** — order-insensitive ``bit_xor(xxhash64)``
+      over every column of the SORTED OUTPUT (not the input): the
+      output is a permutation of the corpus — no row dropped,
+      duplicated, or corrupted by the spill path.
+
     Untimed verification pass; at most ``shuffle_partitions`` rows
     reach the driver."""
     from pyspark.sql import functions as F
 
+    n_multi, multiset = _hash_drain(df_sorted)
     df = df_sorted.toDF(*[f"_c{i}" for i in range(len(df_sorted.columns))])
-    hashed = df.select(F.xxhash64(*df.columns).alias("h"))
+    keyed = [f"_c{df_sorted.columns.index(c)}" for c in key_cols]
+    hashed = df.select(F.xxhash64(*keyed).alias("h"))
 
     def fold(batches):
         import pandas as pd
@@ -169,7 +190,9 @@ def _ordered_digest(df_sorted) -> tuple[int, int]:
     for r in parts:
         g = (g * pow(_POLY_A, r["n"], _POLY_M) + int(r["d"])) % _POLY_M
         total += r["n"]
-    return total, g
+    if total != n_multi:
+        raise RuntimeError(f"digest passes disagree on rows: {total} != {n_multi}")
+    return total, f"keyseq:{g}/rows:{multiset}"
 
 
 def _workloads(spark, corpus: str):
@@ -242,10 +265,11 @@ def run_rung(mem: str, sf_dir: str, reps: int) -> dict:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         if mode == "noop-write":
             # order-SENSITIVE identity receipt, outside the timed
-            # region: digests the SORTED OUTPUT's row order (ADVICE
-            # r12 — the input-corpus hash was rung-invariant by
-            # construction and could not catch a wrong sort order)
-            n, h = _ordered_digest(build())
+            # region: key-sequence digest + output multiset hash of
+            # the SORTED OUTPUT (ADVICE r12 — the input-corpus hash
+            # was rung-invariant by construction and could not catch
+            # a wrong sort order; tie-scope note in _ordered_digest)
+            n, h = _ordered_digest(build(), ["l_orderkey", "l_linenumber"])
         spill_before = _spill_totals(spark)
         best = None
         for _ in range(reps):
