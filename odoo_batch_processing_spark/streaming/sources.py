@@ -12,8 +12,10 @@ Scale notes: the file source tracks seen-files in the checkpoint; for
 100 TB ingest the options that matter are `maxFilesPerTrigger` (batch
 size control — the streaming form of rate limiting) and
 `latestFirst`. The directory listing itself is driver-side and
-O(total files) per full listing — MEASURED at 54.7 µs/file on this
-box (27.4 s at 512k files; SCALE_BATCHES.json listing ladder,
+O(total files) per full listing — MEASURED at 14.9–54.7 µs/file
+(warm–cold fs cache) on this box, 7.6–27.4 s at 512k files,
+recurring on the ~10k-file unread-cache drain cadence
+(SCALE_BATCHES.json listing ladder + relist_probe,
 tools/scale_batches.py), so beyond ~10⁵ files production fronts this
 with a notification queue. That swap is prototyped in
 sources/manifest.py (offset = byte position in an append-only

