@@ -108,8 +108,19 @@ def test_staleness_verdicts_on_scratch_repo(tmp_path, monkeypatch):
     res = ast_tool.check(["ART.json"], registry_mods={})
     assert res["stale"] == []
 
-    # dep commit newer than the artifact → stale
-    (repo / "tools" / "mytool.py").write_text("import json  # change\n")
+    # doc/comment-only dep commit → NOT stale (round-13 refinement:
+    # measurements certify executable code, not prose)
+    (repo / "tools" / "mytool.py").write_text(
+        '"""docstring."""\nimport json  # a comment\n'
+    )
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "doc only", date="2024-01-02T12:00:00")
+    res = ast_tool.check(["ART.json"], registry_mods={})
+    assert res["stale"] == []
+    assert res["details"]["ART.json"]["doc_only_deps"] == ["tools/mytool.py"]
+
+    # dep commit with an EXECUTABLE change → stale
+    (repo / "tools" / "mytool.py").write_text("import json\nX = 1\n")
     _git(repo, "add", "-A")
     _git(repo, "commit", "-qm", "dep change", date="2024-01-03T00:00:00")
     res = ast_tool.check(["ART.json"], registry_mods={})
@@ -122,11 +133,33 @@ def test_staleness_verdicts_on_scratch_repo(tmp_path, monkeypatch):
     _git(repo, "commit", "-qm", "rerun", date="2024-01-04T00:00:00")
     assert ast_tool.check(["ART.json"], registry_mods={})["stale"] == []
 
-    # uncommitted dep modification always flags
-    (repo / "tools" / "mytool.py").write_text("import json  # dirty\n")
+    # uncommitted EXECUTABLE dep modification flags
+    (repo / "tools" / "mytool.py").write_text("import json\nX = 2\n")
     res = ast_tool.check(["ART.json"], registry_mods={})
     assert res["stale"] == ["ART.json"]
     assert res["details"]["ART.json"]["uncommitted_deps"] == ["tools/mytool.py"]
+
+    # uncommitted comment-only modification does not
+    (repo / "tools" / "mytool.py").write_text("import json\nX = 1  # note\n")
+    res = ast_tool.check(["ART.json"], registry_mods={})
+    assert res["stale"] == []
+    assert res["details"]["ART.json"]["doc_only_deps"] == ["tools/mytool.py"]
+
+
+def test_code_fingerprint_semantics():
+    fp = ast_tool.code_fingerprint
+    # docstrings and comments are invisible
+    assert fp('"""a."""\nx = 1\n') == fp("x = 1  # hi\n")
+    assert fp('def f():\n    """doc."""\n    return 1\n') == fp(
+        "def f():\n    return 1\n"
+    )
+    # a docstring-ONLY body normalizes to the same pass-body
+    assert fp('def f():\n    """doc."""\n') == fp("def f():\n    pass\n")
+    # executable changes are visible
+    assert fp("x = 1\n") != fp("x = 2\n")
+    assert fp("def f(a=1): ...\n") != fp("def f(a=2): ...\n")
+    # unparsable → None (treated as changed)
+    assert fp("def (:\n") is None
 
 
 def test_every_committed_scale_artifact_is_registered():

@@ -29,7 +29,17 @@ Staleness clock is GIT COMMIT TIME (``git log -1 --format=%ct --
 path``), not mtime: checkouts and rebases scramble mtimes, commits
 don't. An artifact not yet committed is compared by file mtime (it
 was just regenerated). A dep file with uncommitted modifications
-always flags — the artifact cannot have measured unsaved code.
+flags — the artifact cannot have measured unsaved code.
+
+Code-equivalence refinement (round 13): a newer commit (or dirty
+worktree state) on a dep does NOT stale the artifact when the dep's
+EXECUTABLE code is unchanged — the dep's source at the artifact's
+commit and at the worktree are parsed, docstrings stripped, and the
+normalized ASTs compared (comments never reach the AST). A
+docstring-only posture edit staled 13 artifacts before this;
+measurements certify code behavior, and re-running an hour of
+ladders over a comment is churn, not rigor. Any executable change —
+a constant, a default, an expression — still flags.
 
     python tools/artifact_staleness.py            # check all, exit 1 if stale
     python tools/artifact_staleness.py --list SCALE_SPILL.json  # show deps
@@ -183,6 +193,67 @@ def _git_commit_ts(path: str) -> int | None:
     return int(out) if out else None
 
 
+def _git_last_commit_hash(path: str) -> str | None:
+    r = subprocess.run(
+        ["git", "-C", REPO_ROOT, "log", "-1", "--format=%H", "--", path],
+        capture_output=True,
+        text=True,
+    )
+    out = r.stdout.strip()
+    return out or None
+
+
+def _git_show(commit: str, path: str) -> str | None:
+    r = subprocess.run(
+        ["git", "-C", REPO_ROOT, "show", f"{commit}:{path}"],
+        capture_output=True,
+        text=True,
+    )
+    return r.stdout if r.returncode == 0 else None
+
+
+def code_fingerprint(src: str) -> str | None:
+    """Normalized fingerprint of a module's EXECUTABLE code: parse,
+    strip docstrings (module/class/function leading string
+    constants), dump without attributes — comments never reach the
+    AST, so comment- and docstring-only edits fingerprint equal.
+    None when the source does not parse (always treated as changed)."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+    return ast.dump(tree, include_attributes=False)
+
+
+def _code_unchanged_since(dep: str, artifact_commit: str | None) -> bool:
+    """True iff the dep's executable code in the worktree equals its
+    code at ``artifact_commit`` (docstrings/comments ignored)."""
+    if artifact_commit is None:
+        return False
+    old = _git_show(artifact_commit, dep)
+    if old is None:
+        return False
+    try:
+        with open(os.path.join(REPO_ROOT, dep)) as fh:
+            new = fh.read()
+    except OSError:
+        return False
+    f_old, f_new = code_fingerprint(old), code_fingerprint(new)
+    return f_old is not None and f_old == f_new
+
+
 def _uncommitted(paths: set[str]) -> set[str]:
     r = subprocess.run(
         ["git", "-C", REPO_ROOT, "status", "--porcelain", "--"] + sorted(paths),
@@ -206,19 +277,31 @@ def check(
     for art in names:
         deps = deps_for(art, registry_mods)
         a_ts = _git_commit_ts(art)
+        a_commit = _git_last_commit_hash(art)
         if a_ts is None:  # regenerated but not yet committed
             a_ts = int(os.path.getmtime(os.path.join(REPO_ROOT, art)))
+            a_commit = "HEAD"
         newer = {
             d: ts
             for d in deps
             if (ts := _git_commit_ts(d)) is not None and ts > a_ts
         }
         dirty = _uncommitted(deps)
+        # code-equivalence refinement: drop deps whose executable code
+        # is unchanged since the artifact's commit (doc/comment edits)
+        doc_only = {
+            d
+            for d in set(newer) | dirty
+            if _code_unchanged_since(d, a_commit)
+        }
+        newer = {d: ts for d, ts in newer.items() if d not in doc_only}
+        dirty -= doc_only
         d = {
             "deps": sorted(deps),
             "artifact_ts": a_ts,
             "newer_deps": {k: v for k, v in sorted(newer.items())},
             "uncommitted_deps": sorted(dirty),
+            "doc_only_deps": sorted(doc_only),
             "stale": bool(newer or dirty),
         }
         details[art] = d
@@ -244,6 +327,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"        newer: {p} (committed {ts - d['artifact_ts']}s after artifact)")
         for p in d["uncommitted_deps"]:
             print(f"        uncommitted: {p}")
+        for p in d["doc_only_deps"]:
+            print(f"        doc-only (ignored): {p}")
     print(
         json.dumps(
             {
