@@ -39,12 +39,17 @@ transaction log IS the manifest). What this prototype certifies is
 the *architecture*: O(new) offset discovery with an unchanged
 downstream plan, plus the measured listing knee that motivates it.
 
-Restart note (prototype scope): the throttle cursor (``_pos``) lives
-on the driver-side reader and is rebuilt after a restart by replaying
-``latestOffset`` forward from byte 0 in ``max_files`` steps; Spark's
-committed checkpoint offsets make that replay produce no duplicate
-batches (ranges at or below the committed offset are never passed to
-``partitions``), it merely costs a few empty catch-up triggers.
+Restart note: the throttle cursor lives on the driver-side reader
+and rebuilds after a restart by replaying ``latestOffset`` forward
+from byte 0 in ``max_files`` steps. Because the engine compares
+offsets only for (in)equality, its first post-restart plan can be an
+INVERTED range (start = checkpoint-committed position, end = the
+rebuilt cursor's smaller catch-up position); the reader clamps every
+batch's start to the highest position the engine has shown it
+(``_floor``) and treats inverted ranges as empty, so the replay
+costs a few empty catch-up triggers and produces no duplicate reads
+— verified end-to-end by the stop/restart test in
+tests/test_manifest_source.py.
 """
 
 from __future__ import annotations
@@ -111,10 +116,29 @@ class ManifestTail:
             del self._pending[:n]
         return self.released
 
+    def fast_forward(self, pos: int) -> None:
+        """Jump the release cursor to ``pos`` (a line boundary the
+        stream engine has already planned/committed past — restart
+        catch-up). Pending lines below ``pos`` are dropped; if ``pos``
+        is beyond the scanned region the buffers reset and the next
+        poll resumes tail-reading from ``pos``."""
+        if pos <= self.released:
+            return
+        while self._pending and self.released < pos:
+            self.released += len(self._pending.pop(0))
+        if self.released < pos:  # beyond everything scanned so far
+            self.released = pos
+            self._pending = []
+            self._remainder = b""
+        self.scanned = max(self.scanned, self.released)
+
 
 def read_manifest_range(path: str, start: int, end: int) -> list[str]:
     """The paths in manifest bytes [start, end) — executor/planning
-    side, reads only the committed range."""
+    side, reads only the committed range. Empty on an inverted range
+    (a negative length would tail-read to EOF)."""
+    if end <= start:
+        return []
     with open(path, "rb") as fh:
         fh.seek(start)
         chunk = fh.read(end - start)
@@ -129,6 +153,14 @@ class _ManifestStreamReader(DataSourceStreamReader):
         mft = options.get("maxfilespertrigger") or options.get("maxFilesPerTrigger")
         self.max_files = int(mft) if mft else None
         self._tail = ManifestTail(path)
+        #: highest manifest position the ENGINE has shown us (batch
+        #: starts/ends). After a restart the throttle cursor rebuilds
+        #: from 0, so the engine's first planned range can be inverted
+        #: (start = checkpoint-committed pos, end = our small catch-up
+        #: pos); clamping batch starts to this floor makes the replay
+        #: produce no duplicate reads — ranges below the floor were
+        #: processed by this instance or committed before restart.
+        self._floor = 0
 
     def initialOffset(self):
         return {"pos": 0}
@@ -137,11 +169,15 @@ class _ManifestStreamReader(DataSourceStreamReader):
         return {"pos": self._tail.poll(self.max_files)}
 
     def partitions(self, start, end):
+        s, e = start["pos"], end["pos"]
+        s_eff = max(s, self._floor)  # clamp BEFORE absorbing this batch
+        self._floor = max(self._floor, s, e)
+        self._tail.fast_forward(self._floor)
         # relative manifest entries resolve against the manifest's own
         # directory (the staging pattern renames the farm into place,
         # so absolute paths recorded at build time would dangle)
         base = os.path.dirname(os.path.abspath(self._tail.path))
-        paths = read_manifest_range(self._tail.path, start["pos"], end["pos"])
+        paths = read_manifest_range(self._tail.path, s_eff, e)
         return [_PathPartition(os.path.join(base, p)) for p in paths]
 
     def read(self, partition: _PathPartition):

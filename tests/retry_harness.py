@@ -60,14 +60,11 @@ def poisoned(df, marker_dir: str):
 
 
 def value_hash(df) -> tuple[int, int]:
-    from pyspark.sql import functions as F
+    """count + order-insensitive value hash — the one cross-process
+    receipt definition, shared with the spill ladder."""
+    from tools.scale_spill import _hash_drain
 
-    d = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
-    row = d.select(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(*d.columns)).alias("h"),
-    ).collect()[0]
-    return row["n"], row["h"]
+    return _hash_drain(df)
 
 
 def main() -> int:

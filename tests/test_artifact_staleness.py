@@ -146,6 +146,35 @@ def test_staleness_verdicts_on_scratch_repo(tmp_path, monkeypatch):
     assert res["details"]["ART.json"]["doc_only_deps"] == ["tools/mytool.py"]
 
 
+def test_uncommitted_artifact_gets_no_doc_only_refinement(tmp_path, monkeypatch):
+    """Review r13: for an UNCOMMITTED artifact there is no commit to
+    diff deps against — a dep committed after generation is identical
+    to the worktree and would fingerprint 'unchanged', silently
+    passing a stale receipt. The refinement must not apply."""
+    repo = tmp_path
+    (repo / "tools").mkdir()
+    (repo / "tools" / "mytool.py").write_text("import json\n")
+    _git(repo, "init", "-q")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "dep", date="2024-01-01T00:00:00")
+
+    monkeypatch.setattr(ast_tool, "REPO_ROOT", str(repo))
+    monkeypatch.setitem(ast_tool.ARTIFACT_TOOLS, "ART.json", "tools/mytool.py")
+
+    # artifact regenerated but NOT committed (mtime clock), then the
+    # dep gets an executable change committed after generation
+    (repo / "ART.json").write_text(json.dumps({"results": []}))
+    os.utime(repo / "ART.json", (1704153600, 1704153600))  # 2024-01-02
+    (repo / "tools" / "mytool.py").write_text("import json\nX = 1\n")
+    _git(repo, "add", "tools/mytool.py")
+    _git(repo, "commit", "-qm", "code change", date="2024-01-03T00:00:00")
+
+    res = ast_tool.check(["ART.json"], registry_mods={})
+    assert res["stale"] == ["ART.json"]
+    assert "tools/mytool.py" in res["details"]["ART.json"]["newer_deps"]
+    assert res["details"]["ART.json"]["doc_only_deps"] == []
+
+
 def test_code_fingerprint_semantics():
     fp = ast_tool.code_fingerprint
     # docstrings and comments are invisible

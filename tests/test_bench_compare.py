@@ -273,6 +273,24 @@ def test_pooled_sentinel_reps_dropped(tmp_path):
     assert "r" not in art["runs"]  # all-sentinel query not introduced
 
 
+def test_pooled_rederive_ignores_sentinel_primary_min(tmp_path):
+    """Review r13: a failed-query sentinel recorded as the PRIMARY's
+    min (bench writes -1.0) must not survive min re-derivation when
+    good pooled reps exist — min(2.5, -1.0) would keep the sentinel
+    and corrupt every downstream ratio."""
+    from tools.bench_compare import merge_pool
+
+    art = {
+        "queries": {"q": -1.0},
+        "runs": {"q": [-1.0]},
+        "meta": {"drain": "forcing-v2"},
+    }
+    good = _raw(tmp_path, "good.json", {"q": [2.5, 2.7]})
+    merge_pool(art, [good], "new")
+    assert art["queries"]["q"] == 2.5
+    assert art["runs"]["q"] == [2.5, 2.7]
+
+
 def test_window_labels_surface_as_context():
     old = {
         "queries": {"q": 1.0},

@@ -66,6 +66,14 @@ def test_listing_manifest_growth_flagged():
     assert judge_listing(rungs) == ["manifest_offset_growth"]
 
 
+def test_listing_zero_bottom_rung_still_fires():
+    """Review r13: a bottom rung whose manifest mean rounds to 0.0 ms
+    makes the growth ratio effectively infinite — it must FIRE the
+    flag, not disable it via the bot > 0 guard."""
+    rungs = [_lrung(1000, man_mean=0.0), _lrung(64000, man_mean=2.0)]
+    assert judge_listing(rungs) == ["manifest_offset_growth"]
+
+
 def test_listing_growth_under_abs_floor_is_noise():
     # 1ms -> 4ms is 4x but far below the jitter floor: not flagged
     rungs = [_lrung(1000, man_mean=0.001), _lrung(64000, man_mean=0.004)]

@@ -280,7 +280,11 @@ def check(
         a_commit = _git_last_commit_hash(art)
         if a_ts is None:  # regenerated but not yet committed
             a_ts = int(os.path.getmtime(os.path.join(REPO_ROOT, art)))
-            a_commit = "HEAD"
+            # no commit to diff against: the code at generation time is
+            # unknowable, so the doc-only refinement must NOT apply (a
+            # dep committed after generation would fingerprint equal to
+            # the worktree and silently pass a stale receipt as fresh)
+            a_commit = None
         newer = {
             d: ts
             for d in deps

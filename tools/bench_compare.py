@@ -168,9 +168,12 @@ def merge_pool(art: dict, paths: list[str], side: str) -> list[str]:
     for q, reps in art["runs"].items():
         good = [r for r in reps if r > 0]
         if good:
-            art["queries"][q] = min(
-                min(good), art["queries"].get(q, float("inf"))
-            )
+            # a failed-query sentinel (<= 0) recorded as the primary's
+            # min must not survive pooling as "the min"
+            prev = art["queries"].get(q, float("inf"))
+            if prev <= 0:
+                prev = float("inf")
+            art["queries"][q] = min(min(good), prev)
     return used
 
 

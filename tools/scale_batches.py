@@ -317,7 +317,9 @@ def judge_listing(rungs: list[dict]) -> list[str]:
     flags = []
     bot = rungs[0]["manifest_offset_mean_sec"]
     top = rungs[-1]["manifest_offset_mean_sec"]
-    if top > LISTING_ABS_FLOOR and bot > 0 and top > LISTING_GROWTH * bot:
+    # a bottom rung that rounds to 0 ms means the growth ratio is
+    # effectively infinite — it must FIRE the flag, not disable it
+    if top > LISTING_ABS_FLOOR and (bot <= 0 or top > LISTING_GROWTH * bot):
         flags.append("manifest_offset_growth")
     for r in rungs:
         for kind in ("file", "manifest"):
