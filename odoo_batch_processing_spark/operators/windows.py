@@ -216,6 +216,12 @@ def sessionize_chunked(
 #: key 2× off the threshold.
 SESSION_TASK_CAPACITY_ROWS = 2_000_000
 SESSION_SKEW_SAMPLE = 0.001
+#: chunk width sessionize_auto dispatches with — and therefore the
+#: width the skew profiler MUST time (review r13: certifying the
+#: dispatcher against a different chunk width than it executes is a
+#: receipt for the wrong plan). 1h chunks: a hot key parallelizes
+#: over span_hours tasks rather than span_days.
+SESSION_AUTO_CHUNK_MINUTES = 60
 
 
 def estimate_max_key_rows(
@@ -268,9 +274,11 @@ def sessionize_auto(
     sessionize_chunked's docstring), so the dispatch can never change
     results, only the physical plan. Receipt that it picks the FASTER
     form at every measured rung: SKEW_SESSION.json ``auto_choice``
-    (tools/profile_session_skew.py)."""
+    (tools/profile_session_skew.py, which times the chunked form at
+    exactly ``SESSION_AUTO_CHUNK_MINUTES`` — the width dispatched
+    here — so the receipt certifies the executed plan)."""
     if choose_sessionize_form(ev, task_capacity_rows) == "chunked":
-        return sessionize_chunked(ev, gap_min)
+        return sessionize_chunked(ev, gap_min, chunk_minutes=SESSION_AUTO_CHUNK_MINUTES)
     return sessionize_window(ev, gap_min)
 
 

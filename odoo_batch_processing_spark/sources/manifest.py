@@ -46,10 +46,20 @@ offsets only for (in)equality, its first post-restart plan can be an
 INVERTED range (start = checkpoint-committed position, end = the
 rebuilt cursor's smaller catch-up position); the reader clamps every
 batch's start to the highest position the engine has shown it
-(``_floor``) and treats inverted ranges as empty, so the replay
+(``_floor``) and treats inverted ranges as empty, so a clean restart
 costs a few empty catch-up triggers and produces no duplicate reads
 — verified end-to-end by the stop/restart test in
-tests/test_manifest_source.py.
+tests/test_manifest_source.py. The in-memory floor alone does NOT
+survive a SECOND crash during that catch-up window (the empty
+catch-up batches commit regressed end offsets to the engine's offset
+log, and a third incarnation starting at floor 0 would re-read bytes
+delivered before the first restart): pass the ``cursor`` option (a
+sidecar file, naturally placed inside the query's checkpoint dir) and
+the floor becomes durable — written atomically and monotonically at
+every ``commit``, seeded at construction, and ``latestOffset`` never
+reports below it, which removes the offset inversion entirely. The
+crash-mid-catch-up protocol is unit-tested engine-side
+(tests/test_manifest_source.py::test_cursor_survives_repeated_crash).
 """
 
 from __future__ import annotations
@@ -119,13 +129,22 @@ class ManifestTail:
     def fast_forward(self, pos: int) -> None:
         """Jump the release cursor to ``pos`` (a line boundary the
         stream engine has already planned/committed past — restart
-        catch-up). Pending lines below ``pos`` are dropped; if ``pos``
-        is beyond the scanned region the buffers reset and the next
-        poll resumes tail-reading from ``pos``."""
+        catch-up). Pending lines below ``pos`` are dropped in one
+        slice (a pop(0) loop here is O(n²) over a large committed
+        backlog — exactly the restart case this method serves); if
+        ``pos`` is beyond the scanned region the buffers reset and
+        the next poll resumes tail-reading from ``pos``."""
         if pos <= self.released:
             return
-        while self._pending and self.released < pos:
-            self.released += len(self._pending.pop(0))
+        n, acc = 0, self.released
+        for ln in self._pending:
+            if acc >= pos:
+                break
+            acc += len(ln)
+            n += 1
+        if n:
+            self.released = acc
+            del self._pending[:n]
         if self.released < pos:  # beyond everything scanned so far
             self.released = pos
             self._pending = []
@@ -145,6 +164,27 @@ def read_manifest_range(path: str, start: int, end: int) -> list[str]:
     return [ln.decode("utf-8").strip() for ln in chunk.splitlines() if ln.strip()]
 
 
+def _read_cursor(path: str | None) -> int:
+    if not path or not os.path.exists(path):
+        return 0
+    try:
+        with open(path) as fh:
+            return int(fh.read().strip() or 0)
+    except (OSError, ValueError):
+        return 0
+
+
+def _write_cursor(path: str, pos: int) -> None:
+    """Atomic, monotone: the cursor only ever grows (a crashed write
+    leaves the previous value; a regressed engine offset never lands)."""
+    if pos <= _read_cursor(path):
+        return
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(str(pos))
+    os.replace(tmp, path)
+
+
 class _ManifestStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         path = options.get("manifest") or options.get("path")
@@ -153,20 +193,33 @@ class _ManifestStreamReader(DataSourceStreamReader):
         mft = options.get("maxfilespertrigger") or options.get("maxFilesPerTrigger")
         self.max_files = int(mft) if mft else None
         self._tail = ManifestTail(path)
+        #: optional DURABLE floor: a sidecar file (pass the query's
+        #: checkpoint dir + a name) written atomically at every
+        #: commit(). Without it, the in-memory floor dies with the
+        #: process, and a SECOND crash during restart catch-up can
+        #: re-ingest: the first restart's empty catch-up batches
+        #: commit regressed end offsets to the engine's offset log,
+        #: so a fresh reader + the regressed committed offset re-read
+        #: bytes the pre-restart run already delivered.
+        self._cursor = options.get("cursor")
         #: highest manifest position the ENGINE has shown us (batch
-        #: starts/ends). After a restart the throttle cursor rebuilds
-        #: from 0, so the engine's first planned range can be inverted
-        #: (start = checkpoint-committed pos, end = our small catch-up
-        #: pos); clamping batch starts to this floor makes the replay
+        #: starts/ends), seeded from the durable cursor when present.
+        #: After a restart the throttle cursor rebuilds from 0, so
+        #: the engine's first planned range can be inverted (start =
+        #: checkpoint-committed pos, end = our small catch-up pos);
+        #: clamping batch starts to this floor makes the replay
         #: produce no duplicate reads — ranges below the floor were
         #: processed by this instance or committed before restart.
-        self._floor = 0
+        self._floor = _read_cursor(self._cursor)
+        self._tail.fast_forward(self._floor)
 
     def initialOffset(self):
         return {"pos": 0}
 
     def latestOffset(self):
-        return {"pos": self._tail.poll(self.max_files)}
+        # never report below the floor: with a durable cursor this
+        # prevents the post-restart offset inversion entirely
+        return {"pos": max(self._tail.poll(self.max_files), self._floor)}
 
     def partitions(self, start, end):
         s, e = start["pos"], end["pos"]
@@ -186,7 +239,8 @@ class _ManifestStreamReader(DataSourceStreamReader):
         yield from pq.read_table(partition.path).to_batches()
 
     def commit(self, end):
-        pass
+        if self._cursor is not None:
+            _write_cursor(self._cursor, max(end["pos"], self._floor))
 
 
 class ManifestParquetDataSource(DataSource):
@@ -210,11 +264,22 @@ def register(spark) -> None:
     spark.dataSource.register(ManifestParquetDataSource)
 
 
-def manifest_source(spark, manifest_path: str, max_files_per_trigger: int | None = None):
+def manifest_source(
+    spark,
+    manifest_path: str,
+    max_files_per_trigger: int | None = None,
+    cursor: str | None = None,
+):
     """The queue-fed twin of :func:`streaming.sources.change_source`:
-    same schema, same downstream plan, offset discovery O(new)."""
+    same schema, same downstream plan, offset discovery O(new).
+    Pass ``cursor`` (a file path inside the query's checkpoint dir)
+    to make the restart floor durable — exactly-once across repeated
+    crashes, not just a single clean restart; see the module
+    docstring's restart note."""
     register(spark)
     reader = spark.readStream.format("manifest_parquet").option("manifest", manifest_path)
     if max_files_per_trigger is not None:
         reader = reader.option("maxfilespertrigger", str(max_files_per_trigger))
+    if cursor is not None:
+        reader = reader.option("cursor", cursor)
     return reader.load()

@@ -87,6 +87,81 @@ def test_tail_fast_forward(tmp_path):
     assert t2.released == 15
 
 
+def test_cursor_survives_repeated_crash(tmp_path):
+    """Review r13 (second pass): without a durable floor, a crash
+    DURING restart catch-up re-ingests — the catch-up's empty batches
+    commit regressed end offsets, and a third reader incarnation
+    starting at floor 0 re-reads bytes delivered before the first
+    restart. With the ``cursor`` option the floor is persisted at
+    every commit and latestOffset never reports below it. This drives
+    the reader exactly like MicroBatchExecution (equality-compared
+    offsets, plan (committed, latest), commit end) across two crashes,
+    the second mid-catch-up."""
+    from odoo_batch_processing_spark.sources.manifest import _ManifestStreamReader
+
+    man = tmp_path / "m.txt"
+    man.write_bytes(b"".join(f"f{i}.pq\n".encode() for i in range(6)))
+    opts = {
+        "manifest": str(man),
+        "maxfilespertrigger": "1",
+        "cursor": str(tmp_path / "cursor"),
+    }
+    delivered = []
+
+    def drive(reader, committed, n_triggers):
+        for _ in range(n_triggers):
+            latest = reader.latestOffset()
+            if latest != committed:  # the engine's equality-only check
+                delivered.extend(
+                    os.path.basename(p.path)
+                    for p in reader.partitions(committed, latest)
+                )
+                reader.commit(latest)
+                committed = latest
+        return committed
+
+    committed = {"pos": 0}
+    committed = drive(_ManifestStreamReader(opts), committed, 3)
+    assert len(delivered) == 3
+    # crash #1: fresh reader, engine restores its committed offset
+    committed = drive(_ManifestStreamReader(opts), committed, 1)
+    # crash #2 immediately — mid-catch-up is the dangerous window
+    committed = drive(_ManifestStreamReader(opts), committed, 12)
+    assert delivered == [f"f{i}.pq" for i in range(6)]  # exactly once, in order
+
+
+def test_no_cursor_double_crash_documents_the_gap(tmp_path):
+    """The inverse receipt: WITHOUT the cursor, the same double-crash
+    protocol re-ingests (the in-memory floor dies with the process and
+    the catch-up batches regress the engine's committed offset) —
+    pinning exactly why the durable cursor exists. If this test ever
+    fails, the in-memory design became crash-safe and the cursor
+    documentation should be revisited."""
+    from odoo_batch_processing_spark.sources.manifest import _ManifestStreamReader
+
+    man = tmp_path / "m.txt"
+    man.write_bytes(b"".join(f"f{i}.pq\n".encode() for i in range(6)))
+    opts = {"manifest": str(man), "maxfilespertrigger": "1"}
+    delivered = []
+
+    def drive(reader, committed, n_triggers):
+        for _ in range(n_triggers):
+            latest = reader.latestOffset()
+            if latest != committed:
+                delivered.extend(
+                    os.path.basename(p.path)
+                    for p in reader.partitions(committed, latest)
+                )
+                reader.commit(latest)
+                committed = latest
+        return committed
+
+    committed = drive(_ManifestStreamReader(opts), {"pos": 0}, 3)
+    committed = drive(_ManifestStreamReader(opts), committed, 1)  # crash #1
+    drive(_ManifestStreamReader(opts), committed, 12)  # crash #2 mid-catch-up
+    assert len(delivered) > len(set(delivered))  # duplicates: the gap is real
+
+
 def test_read_manifest_range_inverted_is_empty(tmp_path):
     man = tmp_path / "m.txt"
     man.write_bytes(b"a.pq\nb.pq\n")

@@ -71,10 +71,16 @@ def single_window_sessions(spark, path):
 
 
 def chunked_sessions(spark, path):
-    from odoo_batch_processing_spark.operators.windows import sessionize_chunked
+    # time the EXACT form sessionize_auto dispatches (review r13: a
+    # receipt measured at a different chunk width certifies a plan
+    # the dispatcher never executes)
+    from odoo_batch_processing_spark.operators.windows import (
+        SESSION_AUTO_CHUNK_MINUTES,
+        sessionize_chunked,
+    )
 
     ev = spark.read.parquet(path)
-    return sessionize_chunked(ev, chunk_minutes=60).select(
+    return sessionize_chunked(ev, chunk_minutes=SESSION_AUTO_CHUNK_MINUTES).select(
         "user_id", "session_id", "n_events"
     )
 
