@@ -65,6 +65,7 @@ crash-mid-catch-up protocol is unit-tested engine-side
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -175,14 +176,47 @@ def _read_cursor(path: str | None) -> int:
 
 
 def _write_cursor(path: str, pos: int) -> None:
-    """Atomic, monotone: the cursor only ever grows (a crashed write
-    leaves the previous value; a regressed engine offset never lands)."""
-    if pos <= _read_cursor(path):
-        return
+    """Atomic write (a crashed write leaves the previous value).
+    Monotonicity is the CALLER's contract: the reader is the cursor's
+    single writer and guards with its in-memory ``_persisted`` floor
+    (seeded from :func:`_read_cursor` at construction), so no per-batch
+    stat+read of the file is needed to keep the value monotone
+    (review r13: the old in-function read re-enforced an invariant the
+    in-memory floor already tracks, one extra read per micro-batch)."""
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write(str(pos))
     os.replace(tmp, path)
+
+
+def _normalize_ts_unit(batch):
+    """Cast a ``ts`` column that arrived as timestamp[ns] or as the
+    raw-int64-nanos staging contract down to the declared timestamp[µs]
+    — the same ns→µs floor conversion :func:`streaming.sources.
+    change_source` applies for ns-unit corpora (ADVICE r13: without
+    this, an ns-unit parquet corpus breaks the 'same schema,
+    value-preserving twin' claim — the yielded Arrow batches would not
+    match the declared ``ts timestamp`` schema). µs-unit batches (all
+    Spark-written staged files) pass through untouched beyond one type
+    check. Epochs are non-negative in every fixture generation, so
+    integer truncation equals the batch loader's floor division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        i = batch.schema.get_field_index("ts")
+    except KeyError:
+        return batch
+    if i < 0:
+        return batch
+    t = batch.schema.field(i).type
+    if pa.types.is_timestamp(t) and t.unit == "us":
+        return batch
+    if not (pa.types.is_timestamp(t) or pa.types.is_integer(t)):
+        return batch  # let the engine surface the mismatch loudly
+    nanos = batch.column(i).cast(pa.int64())
+    micros = pc.divide(nanos, 1000).cast(pa.timestamp("us"))
+    return batch.set_column(i, pa.field("ts", pa.timestamp("us")), micros)
 
 
 class _ManifestStreamReader(DataSourceStreamReader):
@@ -211,9 +245,29 @@ class _ManifestStreamReader(DataSourceStreamReader):
         #: produce no duplicate reads — ranges below the floor were
         #: processed by this instance or committed before restart.
         self._floor = _read_cursor(self._cursor)
+        #: highest position already persisted to the cursor file —
+        #: commit() writes only when the floor actually grew past it,
+        #: so the common path never re-stats the sidecar.
+        self._persisted = self._floor
         self._tail.fast_forward(self._floor)
 
     def initialOffset(self):
+        # The engine asks for initialOffset only on a FRESH checkpoint.
+        # A nonzero durable floor here means a leftover cursor sidecar
+        # is paired with a new query: seed the offset from the cursor
+        # (so the skip is recorded in the engine's offset log, not
+        # applied silently by the floor clamp) and warn — a user who
+        # deleted the checkpoint to reprocess must delete the cursor
+        # sidecar too (ADVICE r13).
+        if self._floor > 0:
+            warnings.warn(
+                f"manifest_parquet: fresh checkpoint but cursor sidecar "
+                f"{self._cursor!r} holds position {self._floor}; starting "
+                f"there (entries below it were already delivered). Delete "
+                f"the cursor file as well to reprocess from the beginning.",
+                stacklevel=2,
+            )
+            return {"pos": self._floor}
         return {"pos": 0}
 
     def latestOffset(self):
@@ -222,10 +276,19 @@ class _ManifestStreamReader(DataSourceStreamReader):
         return {"pos": max(self._tail.poll(self.max_files), self._floor)}
 
     def partitions(self, start, end):
+        """Plan manifest bytes ``[start, end)``. Engine-call-pattern
+        contract: this method is IDEMPOTENT for a given range within
+        one reader incarnation — the floor absorbs only ``start``
+        (a position the engine has already committed/planned past)
+        here, and absorbs ``end`` at :meth:`commit`, so a same-batch
+        replan (WAL replay, retry) returns the same partitions rather
+        than an empty set (review r13: the old end-absorption at plan
+        time made a second ``partitions(s, e)`` call see
+        ``s_eff = floor = e``)."""
         s, e = start["pos"], end["pos"]
-        s_eff = max(s, self._floor)  # clamp BEFORE absorbing this batch
-        self._floor = max(self._floor, s, e)
+        self._floor = max(self._floor, s)
         self._tail.fast_forward(self._floor)
+        s_eff = max(s, self._floor)
         # relative manifest entries resolve against the manifest's own
         # directory (the staging pattern renames the farm into place,
         # so absolute paths recorded at build time would dangle)
@@ -236,11 +299,17 @@ class _ManifestStreamReader(DataSourceStreamReader):
     def read(self, partition: _PathPartition):
         import pyarrow.parquet as pq
 
-        yield from pq.read_table(partition.path).to_batches()
+        for batch in pq.read_table(partition.path).to_batches():
+            yield _normalize_ts_unit(batch)
 
     def commit(self, end):
-        if self._cursor is not None:
-            _write_cursor(self._cursor, max(end["pos"], self._floor))
+        # the floor absorbs the batch END here, not at plan time —
+        # see the partitions() idempotence contract above
+        self._floor = max(self._floor, end["pos"])
+        self._tail.fast_forward(self._floor)
+        if self._cursor is not None and self._floor > self._persisted:
+            _write_cursor(self._cursor, self._floor)
+            self._persisted = self._floor
 
 
 class ManifestParquetDataSource(DataSource):

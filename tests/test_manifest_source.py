@@ -162,6 +162,87 @@ def test_no_cursor_double_crash_documents_the_gap(tmp_path):
     assert len(delivered) > len(set(delivered))  # duplicates: the gap is real
 
 
+def test_partitions_replan_is_idempotent(tmp_path):
+    """VERDICT r13 #3: the engine owns the partitions() call pattern —
+    a same-batch replan within ONE incarnation (WAL replay, retry)
+    must return the same partitions, not an empty set. The floor now
+    absorbs the batch end only at commit(); this pins both halves:
+    identical double-plan, then post-commit plans of the old range are
+    empty (the exactly-once clamp still holds)."""
+    from odoo_batch_processing_spark.sources.manifest import _ManifestStreamReader
+
+    man = tmp_path / "m.txt"
+    man.write_bytes(b"a.pq\nb.pq\nc.pq\n")
+    r = _ManifestStreamReader({"manifest": str(man), "maxfilespertrigger": "2"})
+    latest = r.latestOffset()
+    first = [os.path.basename(p.path) for p in r.partitions({"pos": 0}, latest)]
+    again = [os.path.basename(p.path) for p in r.partitions({"pos": 0}, latest)]
+    assert first == again == ["a.pq", "b.pq"]
+    r.commit(latest)
+    # committed range replans empty: floor absorbed end at commit
+    assert r.partitions({"pos": 0}, latest) == []
+
+
+def test_stale_cursor_fresh_checkpoint_is_visible(tmp_path):
+    """ADVICE r13: a leftover cursor sidecar paired with a FRESH
+    checkpoint must not silently clamp away the skipped range —
+    initialOffset seeds from the cursor (so the skip lands in the
+    engine's offset log) and a warning names the sidecar."""
+    import warnings as _w
+
+    from odoo_batch_processing_spark.sources.manifest import _ManifestStreamReader
+
+    man = tmp_path / "m.txt"
+    man.write_bytes(b"a.pq\nb.pq\n")
+    cur = tmp_path / "cursor"
+    cur.write_text("5")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        r = _ManifestStreamReader({"manifest": str(man), "cursor": str(cur)})
+        assert r.initialOffset() == {"pos": 5}
+    assert any("cursor sidecar" in str(w.message) for w in rec)
+    # no cursor → silent zero start, no warning
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        r2 = _ManifestStreamReader({"manifest": str(man)})
+        assert r2.initialOffset() == {"pos": 0}
+    assert not rec2
+
+
+def test_read_normalizes_ns_corpora(tmp_path):
+    """ADVICE r13: ``read`` must apply the same ns→µs floor conversion
+    change_source applies (streaming/sources.py) — a timestamp[ns] or
+    raw-int64-nanos corpus otherwise yields Arrow batches that
+    contradict the declared µs ``ts timestamp`` schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from odoo_batch_processing_spark.sources.manifest import (
+        _ManifestStreamReader,
+        _PathPartition,
+    )
+
+    ns_val = 1_700_000_000_123_456_789
+    for name, arr in (
+        ("ns.parquet", pa.array([ns_val], pa.timestamp("ns"))),
+        ("raw.parquet", pa.array([ns_val], pa.int64())),
+        ("us.parquet", pa.array([ns_val // 1000], pa.timestamp("us"))),
+    ):
+        tbl = pa.table({"event_id": pa.array([1], pa.int64()), "ts": arr})
+        pq.write_table(tbl, str(tmp_path / name))
+    man = tmp_path / "m.txt"
+    man.write_bytes(b"ns.parquet\nraw.parquet\nus.parquet\n")
+    r = _ManifestStreamReader({"manifest": str(man)})
+    for name in ("ns.parquet", "raw.parquet", "us.parquet"):
+        batches = list(r.read(_PathPartition(str(tmp_path / name))))
+        for b in batches:
+            t = b.schema.field("ts").type
+            assert pa.types.is_timestamp(t) and t.unit == "us", (name, t)
+            assert b.column(b.schema.get_field_index("ts")).cast(
+                pa.int64()
+            ).to_pylist() == [ns_val // 1000]
+
+
 def test_read_manifest_range_inverted_is_empty(tmp_path):
     man = tmp_path / "m.txt"
     man.write_bytes(b"a.pq\nb.pq\n")

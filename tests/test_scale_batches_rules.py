@@ -87,6 +87,20 @@ def test_listing_receipt_mismatch_flagged():
     assert judge_listing([_lrung(1000), bad]) == ["listing_receipt_mismatch"]
 
 
+def test_relist_spike_threshold_has_floor():
+    """ADVICE r13: a single 0.0-rounded cache-served trigger must not
+    zero the spike threshold — sub-floor jitter is not a re-list."""
+    from tools.scale_batches import relist_spikes
+
+    # min rounds to 0.0: only genuinely large triggers count
+    assert relist_spikes([0.0, 0.003, 0.004, 1.2, 0.002, 1.5]) == [1.2, 1.5]
+    # all-noise trace: no spikes, not "everything nonzero"
+    assert relist_spikes([0.0, 0.01, 0.02, 0.04]) == []
+    # normal trace (nonzero min): relative rule still governs
+    assert relist_spikes([0.06, 0.06, 1.3, 0.06]) == [1.3]
+    assert relist_spikes([]) == []
+
+
 def test_committed_artifact_agrees_with_judge():
     import json
     import os

@@ -243,8 +243,11 @@ def run_listing_rung(spark, sf_dir: str, n: int) -> dict:
         try:
             prog = _measured_triggers(q, LISTING_TRIGGERS)
         finally:
+            # inside finally (ADVICE r13): a _measured_triggers timeout
+            # must not leak the memory-sink view + its buffered rows
+            # into the rest of the ladder run
             q.stop()
-        spark.catalog.dropTempView(name)
+            spark.catalog.dropTempView(name)
         secs = _offset_secs(prog)
         out[f"{kind}_offset_secs"] = [round(s, 4) for s in secs]
         # trigger 0's latestOffset contains the FULL directory listing
@@ -256,6 +259,19 @@ def run_listing_rung(spark, sf_dir: str, n: int) -> dict:
         out[f"{kind}_offset_mean_sec"] = round(_mean(secs[LISTING_WARM:]), 4)
         out[f"{kind}_trigger_rows"] = [int(p.get("numInputRows", 0)) for p in prog]
     return out
+
+
+def relist_spikes(secs: list[float]) -> list[float]:
+    """Triggers whose latestOffset is a re-list spike; pure. The
+    cadence is cache_cap/mfpt triggers. The threshold carries an
+    absolute floor (ADVICE r13): a cache-served trigger whose
+    latestOffset rounds to 0.0 would otherwise zero the relative
+    threshold and count EVERY nonzero trigger as a spike, inflating
+    the ``n_relists_observed`` receipt into noise."""
+    if not secs:
+        return []
+    thr = max(5 * min(secs), 0.05)
+    return [round(s, 3) for s in secs if s > thr]
 
 
 def run_relist_probe(spark, sf_dir: str, n: int = 64000, mfpt: int = 3000) -> dict:
@@ -285,10 +301,9 @@ def run_relist_probe(spark, sf_dir: str, n: int = 64000, mfpt: int = 3000) -> di
         prog = _measured_triggers(q, 12)
     finally:
         q.stop()
-    spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(name)
     secs = _offset_secs(prog)
-    # spikes = re-lists; the cadence is cache_cap/mfpt triggers
-    spikes = [round(s, 3) for s in secs if s > 5 * min(secs)]
+    spikes = relist_spikes(secs)
     return {
         "n_files": n,
         "max_files_per_trigger": mfpt,
