@@ -265,6 +265,65 @@ def test_sessionize_auto_dispatch_and_equivalence(spark):
         ) == _session_rows(sessionize_window(ev))
 
 
+def test_sessionize_auto_generalized_key_probe_cache_empty(spark):
+    """VERDICT r13 #5: sessionize_auto is generalized — (a) the session
+    key is a parameter, with both physical forms value-identical under
+    a non-default key; (b) the dispatch probe memoizes per (plan, key,
+    fraction) so repeated pipeline calls sample once; (c) an empty
+    sample falls back to the single-Window form instead of erroring."""
+    from pyspark.sql import functions as F
+
+    from odoo_batch_processing_spark.operators import windows as W
+
+    ev = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.pmod(F.xxhash64("id"), F.lit(86400 * 3))
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id"), F.lit(7)) + 1).alias("device_id"),
+        )
+    )
+
+    # (a) non-default key: chunked == window == auto, keyed on device_id
+    def rows(df):
+        return sorted(
+            (r.device_id, r.session_id, r.n_events, r.session_start, r.session_end)
+            for r in df.collect()
+        )
+
+    spec = rows(W.sessionize_window(ev, key="device_id"))
+    assert rows(W.sessionize_chunked(ev, chunk_minutes=360, key="device_id")) == spec
+    assert rows(W.sessionize_auto(ev, key="device_id")) == spec
+    assert "device_id" in W.sessionize_auto(ev, key="device_id").columns
+
+    # (b) memoized probe: same plan+key+fraction → cache hit, no rescan
+    W._MAX_KEY_EST_CACHE.clear()
+    first = W.estimate_max_key_rows(ev, "device_id", fraction=0.5, cache=True)
+    ck = (ev.semanticHash(), "device_id", 0.5)
+    assert W._MAX_KEY_EST_CACHE[ck] == first
+    # poison the cache: a second call must return the memoized value,
+    # proving no re-sample happened
+    W._MAX_KEY_EST_CACHE[ck] = first + 123
+    assert (
+        W.estimate_max_key_rows(ev, "device_id", fraction=0.5, cache=True)
+        == first + 123
+    )
+    # distinct key or fraction misses the cache
+    assert (ev.semanticHash(), "device_id", 0.25) not in W._MAX_KEY_EST_CACHE
+    W._MAX_KEY_EST_CACHE.clear()
+    # cache=False (the default) never touches the cache
+    W.estimate_max_key_rows(ev, "device_id", fraction=0.5)
+    assert W._MAX_KEY_EST_CACHE == {}
+
+    # (c) empty sample → estimate 0 → window form, no error
+    empty = ev.filter(F.lit(False))
+    assert W.estimate_max_key_rows(empty, "device_id", fraction=0.5) == 0
+    assert W.choose_sessionize_form(empty, key="device_id") == "window"
+    assert W.sessionize_auto(empty, key="device_id").count() == 0
+
+
 def test_cumsum_chunked_equals_window_form(spark):
     """The generic chunked running sum (w_running_total's hot-key
     swap-in shape) must match the single-Window form exactly — decimal
