@@ -455,3 +455,15 @@ ORACLES_EXT["x8_hll_merge"] = """
            n_global_exact, TRUE AS global_est_ok
     FROM per CROSS JOIN tot CROSS JOIN ex
 """
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES_EXT["x8_approx_aggs"] = QUERIES.pop("x8_approx_aggs")
+ORACLES_EXT["x8_approx_aggs"] = ORACLES.pop("x8_approx_aggs")
+QUERIES["x8_hll_merge"] = QUERIES_EXT.pop("x8_hll_merge")
+ORACLES["x8_hll_merge"] = ORACLES_EXT.pop("x8_hll_merge")

@@ -926,3 +926,15 @@ ORACLES_EXT["x9_difficulty_deciles"] = f"""
            ) AS INTEGER) AS difficulty_decile
     FROM {_SURPRISAL} s JOIN documents d ON d.doc_id = s.doc_id
 """
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES_EXT["x9_source_mix"] = QUERIES.pop("x9_source_mix")
+ORACLES_EXT["x9_source_mix"] = ORACLES.pop("x9_source_mix")
+QUERIES["x9_weighted_sample"] = QUERIES_EXT.pop("x9_weighted_sample")
+ORACLES["x9_weighted_sample"] = ORACLES_EXT.pop("x9_weighted_sample")

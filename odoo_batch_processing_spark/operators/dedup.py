@@ -1631,3 +1631,15 @@ ORACLES_EXT["x3_containment"] = f"""
     WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= {CONTAINMENT_MIN}
        OR CAST(n_inter AS DOUBLE) / sb.n_sh >= {CONTAINMENT_MIN}
 """
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES_EXT["x3_ngram_jaccard"] = QUERIES.pop("x3_ngram_jaccard")
+ORACLES_EXT["x3_ngram_jaccard"] = ORACLES.pop("x3_ngram_jaccard")
+QUERIES["x3_containment"] = QUERIES_EXT.pop("x3_containment")
+ORACLES["x3_containment"] = ORACLES_EXT.pop("x3_containment")

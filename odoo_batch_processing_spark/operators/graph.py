@@ -586,3 +586,13 @@ ORACLES_EXT = {
     FROM r3 JOIN deg ON deg.id = r3.id
     """,
 }
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES["g_pagerank_simgraph"] = QUERIES_EXT.pop("g_pagerank_simgraph")
+ORACLES["g_pagerank_simgraph"] = ORACLES_EXT.pop("g_pagerank_simgraph")

@@ -571,3 +571,13 @@ ORACLES_EXT["profile_robust_outliers"] = f"""
     SELECT event_id, dev.event_type, dev.dev > {ROBUST_K} * mad.mad AS is_outlier
     FROM dev JOIN mad USING (event_type)
 """
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES["profile_checksum"] = QUERIES_EXT.pop("profile_checksum")
+ORACLES["profile_checksum"] = ORACLES_EXT.pop("profile_checksum")

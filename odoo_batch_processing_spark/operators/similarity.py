@@ -978,3 +978,15 @@ QUERIES["x4_ivf_trained_recall"] = QUERIES_EXT.pop("x4_ivf_trained_recall")
 ORACLES["x4_ivf_trained_recall"] = ORACLES_EXT.pop("x4_ivf_trained_recall")
 QUERIES_EXT["x4_ivf_multiprobe"] = QUERIES.pop("x4_ivf_multiprobe")
 ORACLES_EXT["x4_ivf_multiprobe"] = ORACLES.pop("x4_ivf_multiprobe")
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES_EXT["x4_ivf_topk"] = QUERIES.pop("x4_ivf_topk")
+ORACLES_EXT["x4_ivf_topk"] = ORACLES.pop("x4_ivf_topk")
+QUERIES["x4_ivf_trained_topk"] = QUERIES_EXT.pop("x4_ivf_trained_topk")
+ORACLES["x4_ivf_trained_topk"] = ORACLES_EXT.pop("x4_ivf_trained_topk")

@@ -1125,3 +1125,15 @@ ORACLES_EXT["x5_reassemble_chunks"] = f"""
     SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS reassembled
     FROM chunks GROUP BY doc_id
 """
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES_EXT["x5_tfidf_top_terms"] = QUERIES.pop("x5_tfidf_top_terms")
+ORACLES_EXT["x5_tfidf_top_terms"] = ORACLES.pop("x5_tfidf_top_terms")
+QUERIES["x5_bm25_topk"] = QUERIES_EXT.pop("x5_bm25_topk")
+ORACLES["x5_bm25_topk"] = ORACLES_EXT.pop("x5_bm25_topk")

@@ -976,3 +976,15 @@ QUERIES_EXT["x7_sessionize_chunked"] = _q_x7_sessionize_chunked
 # deliberately the SAME SQL string as the Window form — one oracle, two
 # physical strategies (the kmeans_lloyd_cells promotion pattern)
 ORACLES_EXT["x7_sessionize_chunked"] = ORACLES["x7_sessionize"]
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES_EXT["x7_sliding_windows"] = QUERIES.pop("x7_sliding_windows")
+ORACLES_EXT["x7_sliding_windows"] = ORACLES.pop("x7_sliding_windows")
+QUERIES["w_interval_sweep"] = QUERIES_EXT.pop("w_interval_sweep")
+ORACLES["w_interval_sweep"] = ORACLES_EXT.pop("w_interval_sweep")

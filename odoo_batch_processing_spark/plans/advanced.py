@@ -720,3 +720,10 @@ ORACLES_EXT["sql_pipe_syntax"] = """
     WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
     GROUP BY n_name
 """
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# See registry.py ROTATION_R14: q22 moves to the locally-oracle-checked
+# extended tier; its X1 family stays driver-covered by q01/q03/q09.
+QUERIES_EXT["q22_inactive_customers"] = QUERIES.pop("q22_inactive_customers")
+ORACLES_EXT["q22_inactive_customers"] = ORACLES.pop("q22_inactive_customers")

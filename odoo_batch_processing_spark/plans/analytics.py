@@ -294,3 +294,13 @@ ORACLES_EXT = {
     "q06_forecast_revenue": ORACLE_Q06,
     "q14_promo_effect": ORACLE_Q14,
 }
+
+
+# --- core-window rotation (round 14, VERDICT r13 #1) -------------------
+# The driver's independent DuckDB harness had audited the same core
+# window for several rounds; rotate long-stable representatives out to
+# the extended tier (still oracle-checked locally every round) and
+# promote their strongest extended-tier siblings into the driver-facing
+# core. Family coverage is preserved — see registry.py ROTATION_R14.
+QUERIES_EXT["q05_revenue_by_nation"] = QUERIES.pop("q05_revenue_by_nation")
+ORACLES_EXT["q05_revenue_by_nation"] = ORACLES.pop("q05_revenue_by_nation")

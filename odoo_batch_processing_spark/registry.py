@@ -67,6 +67,30 @@ _MODULES = (
 #: entries; the core tier must fit inside that window.
 CORE_CAP = 50
 
+#: Round-14 core-window rotation (VERDICT r13 #1): the driver's DuckDB
+#: harness is the only verification not built by this repo, and it had
+#: audited the same 50 queries for several rounds. Eight long-stable
+#: core representatives moved to the extended tier (still DuckDB-
+#: oracle-checked locally every round via tools/oracle_check.py
+#: --extended) and their strongest extended-tier siblings took their
+#: core slots, so the independent harness now audits queries previously
+#: verified only by the repo's own tooling. Every SURVEY §2 family
+#: keeps at least one core row (X1: q01/q03/q09/expr_breadth; X3:
+#: five others + the promoted containment; X4: cosine/trained_recall/
+#: trained_topk; X5: text_features + bm25; X7: sessionize +
+#: interval_sweep; X8: hll_merge; X9: curation/pack_shards/
+#: weighted_sample), and graph + profiling gain first-ever driver rows.
+ROTATION_R14 = {
+    "q05_revenue_by_nation": "g_pagerank_simgraph",
+    "q22_inactive_customers": "profile_checksum",
+    "x3_ngram_jaccard": "x3_containment",
+    "x4_ivf_topk": "x4_ivf_trained_topk",
+    "x5_tfidf_top_terms": "x5_bm25_topk",
+    "x9_source_mix": "x9_weighted_sample",
+    "x7_sliding_windows": "w_interval_sweep",
+    "x8_approx_aggs": "x8_hll_merge",
+}
+
 
 def _collect(extended: bool = False) -> tuple[dict[str, QueryFn], dict[str, str]]:
     import importlib
