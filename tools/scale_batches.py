@@ -109,6 +109,20 @@ LISTING_GROWTH = 3.0  #: manifest offset top/bottom ratio flag threshold
 LISTING_ABS_FLOOR = 0.05  #: sec — jitter floor under which growth is noise
 EXTRAPOLATE_FILES = 100_000
 
+#: Data-plane ladder (round 14, VERDICT r13 #4): the listing axis
+#: certifies the manifest twin's CONTROL plane (O(new) offset
+#: discovery); this axis measures its DATA plane — the Python
+#: DataSource executes ``read`` in Python workers (Arrow-batched, no
+#: JVM scan codegen), so per-trigger processing cost vs the file
+#: source's native scan is the honest price of the prototype. Fixed
+#: file count, rows/file swept 64 → 64k; per-trigger ``addBatch``
+#: (the processing phase) recorded for both twins and the overhead
+#: ratio per rung is the posture curve.
+DATAPLANE_RUNGS = (64, 1024, 8192, 65536)
+DATAPLANE_FILES = 8
+DATAPLANE_BIND_RATIO = 1.5  #: manifest/file addBatch ratio called "bound"
+DATAPLANE_ABS_FLOOR = 0.05  #: sec — ignore ratios within trigger jitter
+
 
 def run_rung(spark, sf_dir: str, k: int) -> dict:
     from pyspark.sql import functions as F  # noqa: F401
@@ -313,6 +327,126 @@ def run_relist_probe(spark, sf_dir: str, n: int = 64000, mfpt: int = 3000) -> di
     }
 
 
+def _dataplane_farm(spark, sf_dir: str, rows_per_file: int) -> tuple[str, str]:
+    """(files_dir, manifest_path): DATAPLANE_FILES parquet files of
+    EXACTLY ``rows_per_file`` events rows each (row_number slicing; the
+    events corpus is replicated with re-keyed event_ids when the rung
+    needs more rows than the fixture holds — content is irrelevant to a
+    throughput probe, only bytes/rows). Content-keyed via staged_once."""
+    import glob as _glob
+
+    from pyspark.sql import Window, functions as F
+
+    from odoo_batch_processing_spark.sources.loader import load_table
+    from odoo_batch_processing_spark.sources.sinks import staged_once
+
+    src = os.path.join(sf_dir, "events.parquet")
+    total = rows_per_file * DATAPLANE_FILES
+
+    def _build(d):
+        ev = load_table(spark, sf_dir, "events")
+        n_have = ev.count()
+        k = -(-total // n_have)  # ceil replication factor
+        if k > 1:
+            reps = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__r")
+            ev = (
+                ev.select("*", reps)
+                .withColumn("event_id", F.col("event_id") * k + F.col("__r"))
+                .drop("__r")
+            )
+        # single-partition window is fine HERE: build-time only, ≤512k
+        # rows, cached by staged_once across runs
+        sliced = ev.withColumn(
+            "__rn", F.row_number().over(Window.orderBy("event_id"))
+        ).filter(F.col("__rn") <= total)
+        files_dir = os.path.join(d, "files")
+        os.makedirs(files_dir)
+        with open(os.path.join(d, "manifest.txt"), "w") as fh:
+            for i in range(DATAPLANE_FILES):
+                sub = os.path.join(d, f"_b{i}")
+                (
+                    sliced.filter(
+                        (F.col("__rn") > i * rows_per_file)
+                        & (F.col("__rn") <= (i + 1) * rows_per_file)
+                    )
+                    .drop("__rn")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(sub)
+                )
+                (part,) = _glob.glob(os.path.join(sub, "part-*.parquet"))
+                name = f"f{i:02d}.parquet"
+                os.link(part, os.path.join(files_dir, name))
+                fh.write(f"files/{name}\n")
+
+    root = staged_once(f"dataplane-farm-{rows_per_file}", src, _build)
+    return os.path.join(root, "files"), os.path.join(root, "manifest.txt")
+
+
+def run_dataplane_rung(spark, sf_dir: str, rows_per_file: int) -> dict:
+    """Per-trigger processing cost of both twins over identical files
+    of ``rows_per_file`` rows; ``addBatch`` is the data-plane phase."""
+    from odoo_batch_processing_spark.sources.manifest import manifest_source
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+    from odoo_batch_processing_spark.streaming.queries import _mem_name
+    from odoo_batch_processing_spark.streaming.sources import change_source
+
+    files_dir, manifest = _dataplane_farm(spark, sf_dir, rows_per_file)
+    out = {"rows_per_file": rows_per_file}
+    for kind, df in (
+        ("file", change_source(spark, files_dir, max_files_per_trigger=1)),
+        ("manifest", manifest_source(spark, manifest, max_files_per_trigger=1)),
+    ):
+        name = _mem_name(f"dpl_{kind}_{rows_per_file}")
+        q = (
+            df.select("event_id", "user_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", scratch_dir(f"dpl-{kind}-{rows_per_file}-ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
+        add = [p["durationMs"].get("addBatch", 0) / 1000.0 for p in prog]
+        trig = [p["durationMs"].get("triggerExecution", 0) / 1000.0 for p in prog]
+        out[f"{kind}_addbatch_secs"] = [round(s, 4) for s in add]
+        out[f"{kind}_addbatch_mean_sec"] = round(_mean(add[LISTING_WARM:]), 4)
+        out[f"{kind}_trigger_mean_sec"] = round(_mean(trig[LISTING_WARM:]), 4)
+        out[f"{kind}_trigger_rows"] = [int(p.get("numInputRows", 0)) for p in prog]
+    f_mean, m_mean = out["file_addbatch_mean_sec"], out["manifest_addbatch_mean_sec"]
+    out["overhead_ratio"] = round(m_mean / f_mean, 3) if f_mean > 0 else None
+    return out
+
+
+def judge_dataplane(rungs: list[dict]) -> list[str]:
+    """Receipt rule: every measured trigger on both twins must carry
+    exactly the rung's rows_per_file — otherwise the twins stopped
+    measuring like-for-like batches; pure."""
+    for r in rungs:
+        for kind in ("file", "manifest"):
+            if any(rows != r["rows_per_file"] for rows in r[f"{kind}_trigger_rows"]):
+                return ["dataplane_receipt_mismatch"]
+    return []
+
+
+def dataplane_bind_point(rungs: list[dict]) -> int | None:
+    """Smallest rows/trigger where the manifest twin's data plane is
+    BOUND: addBatch mean ≥ BIND_RATIO × the file twin's AND past the
+    jitter floor. None = unbound at every measured rung; pure."""
+    for r in rungs:
+        f, m = r["file_addbatch_mean_sec"], r["manifest_addbatch_mean_sec"]
+        if m > DATAPLANE_ABS_FLOOR and f > 0 and m >= DATAPLANE_BIND_RATIO * f:
+            return r["rows_per_file"]
+    return None
+
+
 def _fit_per_file(
     rungs: list[dict], key: str, metric: str = "offset_mean_sec"
 ) -> tuple[float, float]:
@@ -377,6 +511,7 @@ def main() -> int:
     parser.add_argument("--reps", type=int, default=2)
     parser.add_argument("--skip-history", action="store_true")
     parser.add_argument("--skip-listing", action="store_true")
+    parser.add_argument("--skip-dataplane", action="store_true")
     args = parser.parse_args()
 
     from odoo_batch_processing_spark.session import get_spark
@@ -390,7 +525,9 @@ def main() -> int:
 
     artifact_path = os.path.join(REPO_ROOT, "SCALE_BATCHES.json")
     prior = {}
-    if (args.skip_history or args.skip_listing) and os.path.exists(artifact_path):
+    if (
+        args.skip_history or args.skip_listing or args.skip_dataplane
+    ) and os.path.exists(artifact_path):
         with open(artifact_path) as fh:
             prior = json.load(fh)
 
@@ -453,11 +590,49 @@ def main() -> int:
             "relist_probe": run_relist_probe(spark, args.sf_dir),
         }
 
+    dataplane = prior.get("dataplane", {})
+    if not args.skip_dataplane:
+        run_dataplane_rung(spark, args.sf_dir, 64)  # warm the probe path
+        drungs = []
+        for rpf in DATAPLANE_RUNGS:
+            r = run_dataplane_rung(spark, args.sf_dir, rpf)
+            drungs.append(r)
+            print(
+                f"[R={rpf:6d}/file] addBatch file={r['file_addbatch_mean_sec']:.4f}s "
+                f"manifest={r['manifest_addbatch_mean_sec']:.4f}s "
+                f"ratio={r['overhead_ratio']}",
+                file=sys.stderr,
+            )
+        top = drungs[-1]
+        dataplane = {
+            "rungs": list(DATAPLANE_RUNGS),
+            "n_files": DATAPLANE_FILES,
+            "warm": LISTING_WARM,
+            "bind_ratio": DATAPLANE_BIND_RATIO,
+            "abs_floor_sec": DATAPLANE_ABS_FLOOR,
+            "results": drungs,
+            "file_rows_per_sec_top": (
+                round(top["rows_per_file"] / top["file_addbatch_mean_sec"])
+                if top["file_addbatch_mean_sec"] > 0
+                else None
+            ),
+            "manifest_rows_per_sec_top": (
+                round(top["rows_per_file"] / top["manifest_addbatch_mean_sec"])
+                if top["manifest_addbatch_mean_sec"] > 0
+                else None
+            ),
+            "binds_at_rows_per_trigger": dataplane_bind_point(drungs),
+        }
+
     flags = judge(results) if results else ["missing_history_section"]
     if listing:
         flags += judge_listing(listing["results"])
     else:
         flags.append("missing_listing_section")
+    if dataplane:
+        flags += judge_dataplane(dataplane["results"])
+    else:
+        flags.append("missing_dataplane_section")
     payload = {
         "metric": "scale_batches",
         "sf_dir": args.sf_dir,
@@ -468,6 +643,7 @@ def main() -> int:
         "tail": TAIL,
         "results": results,
         "listing": listing,
+        "dataplane": dataplane,
         "flagged": flags,
     }
     line = json.dumps(payload, separators=(",", ":"))
