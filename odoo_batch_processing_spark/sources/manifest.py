@@ -49,17 +49,30 @@ batch's start to the highest position the engine has shown it
 (``_floor``) and treats inverted ranges as empty, so a clean restart
 costs a few empty catch-up triggers and produces no duplicate reads
 — verified end-to-end by the stop/restart test in
-tests/test_manifest_source.py. The in-memory floor alone does NOT
-survive a SECOND crash during that catch-up window (the empty
-catch-up batches commit regressed end offsets to the engine's offset
-log, and a third incarnation starting at floor 0 would re-read bytes
-delivered before the first restart): pass the ``cursor`` option (a
-sidecar file, naturally placed inside the query's checkpoint dir) and
-the floor becomes durable — written atomically and monotonically at
-every ``commit``, seeded at construction, and ``latestOffset`` never
-reports below it, which removes the offset inversion entirely. The
-crash-mid-catch-up protocol is unit-tested engine-side
-(tests/test_manifest_source.py::test_cursor_survives_repeated_crash).
+tests/test_manifest_source.py. The floor absorbs a batch's START at
+plan time and its END only at ``commit`` (round 14): ``partitions``
+is therefore idempotent for a given range within one incarnation, so
+the engine's WAL replay of an uncommitted tail batch re-reads the
+same partitions instead of an empty set. The in-memory floor alone
+does NOT survive a SECOND crash during the catch-up window (the
+empty catch-up batches commit regressed end offsets to the engine's
+offset log, and a third incarnation starting at floor 0 would
+re-read bytes delivered before the first restart): pass the
+``cursor`` option (a sidecar file, naturally placed inside the
+query's checkpoint dir) and the floor becomes durable — written
+atomically whenever a ``commit`` grows it, seeded at construction,
+and ``latestOffset`` never reports below it, which removes the
+offset inversion entirely. Because MicroBatchExecution calls
+``commit(N)`` when batch N+1 starts, the persisted cursor can lag
+the engine-committed offset by one batch at shutdown — it is a
+durable FLOOR, never claimed ahead of delivery, and the tail batch's
+exactly-once rides the engine's own offset log + the idempotent
+replan. The crash protocols are tested engine-side
+(tests/test_manifest_source.py::test_cursor_survives_repeated_crash,
+test_partitions_replan_is_idempotent) and composed end-to-end with
+state-store recovery under both providers
+(tests/test_streaming_recovery.py::
+test_manifest_source_composes_with_stateful_recovery).
 """
 
 from __future__ import annotations
