@@ -404,10 +404,11 @@ def test_core_positional_queries_have_no_global_data_sort(spark):
 
 
 def test_star_joins_broadcast(spark):
+    # extended lookup: q05 rotated to the ext tier (registry.ROTATION_R14)
     from odoo_batch_processing_spark.registry import all_queries
 
     plan = (
-        all_queries()["q05_revenue_by_nation"](spark, SF_SMOKE)
+        all_queries(extended=True)["q05_revenue_by_nation"](spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
