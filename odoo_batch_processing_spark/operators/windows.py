@@ -230,9 +230,9 @@ SESSION_AUTO_CHUNK_MINUTES = 60
 
 
 #: memoized skew-probe estimates, keyed on (semantic plan hash, key,
-#: fraction) — see :func:`estimate_max_key_rows`. Bounded: one entry
-#: per distinct probed (plan, key) pair per session.
-_MAX_KEY_EST_CACHE: dict[tuple[int, str, float], int] = {}
+#: fraction, seed) — see :func:`estimate_max_key_rows`. Bounded: one
+#: entry per distinct probed signature per session.
+_MAX_KEY_EST_CACHE: dict[tuple[int, str, float, int], int] = {}
 
 
 def estimate_max_key_rows(
@@ -261,7 +261,9 @@ def estimate_max_key_rows(
     only speed — so callers needing a fresh estimate after a rewrite
     pass ``cache=False`` (the default)."""
     if cache:
-        ck = (df.semanticHash(), key, fraction)
+        # seed is part of the signature: a different seed computes a
+        # different estimate, so it must not hit another seed's entry
+        ck = (df.semanticHash(), key, fraction, seed)
         hit = _MAX_KEY_EST_CACHE.get(ck)
         if hit is not None:
             return hit
@@ -285,6 +287,7 @@ def choose_sessionize_form(
     task_capacity_rows: int = SESSION_TASK_CAPACITY_ROWS,
     fraction: float = SESSION_SKEW_SAMPLE,
     key: str = "user_id",
+    cache: bool = True,
 ) -> str:
     """``"window"`` or ``"chunked"`` — the dispatch decision, factored
     out so tests and the skew profiler can assert the choice itself.
@@ -292,9 +295,12 @@ def choose_sessionize_form(
     estimates 0 rows for the heaviest key and therefore falls back to
     the single-Window form — the cheaper plan for anything small
     enough to produce an empty sample. The probe memoizes per
-    (plan, key, fraction), so repeated calls within one pipeline cost
-    one sample scan total."""
-    est = estimate_max_key_rows(ev, key, fraction, cache=True)
+    (plan, key, fraction, seed), so repeated calls within one pipeline
+    cost one sample scan total; pass ``cache=False`` to force a fresh
+    probe when the corpus BENEATH an identical plan has grown (a
+    same-path parquet directory appended to in-session — the one case
+    the plan-keyed cache cannot see; review r14)."""
+    est = estimate_max_key_rows(ev, key, fraction, cache=cache)
     return "chunked" if est > task_capacity_rows else "window"
 
 
@@ -303,6 +309,7 @@ def sessionize_auto(
     gap_min: float = SESSION_GAP_MIN,
     task_capacity_rows: int = SESSION_TASK_CAPACITY_ROWS,
     key: str = "user_id",
+    cache: bool = True,
 ) -> DataFrame:
     """Skew-adaptive sessionization — the production entrypoint.
 
@@ -322,8 +329,9 @@ def sessionize_auto(
     SKEW_SESSION.json ``auto_choice`` (tools/profile_session_skew.py,
     which times the chunked form at exactly
     ``SESSION_AUTO_CHUNK_MINUTES`` — the width dispatched here — so
-    the receipt certifies the executed plan)."""
-    if choose_sessionize_form(ev, task_capacity_rows, key=key) == "chunked":
+    the receipt certifies the executed plan). ``cache=False`` forces a
+    fresh skew probe — see :func:`choose_sessionize_form`."""
+    if choose_sessionize_form(ev, task_capacity_rows, key=key, cache=cache) == "chunked":
         return sessionize_chunked(
             ev, gap_min, chunk_minutes=SESSION_AUTO_CHUNK_MINUTES, key=key
         )

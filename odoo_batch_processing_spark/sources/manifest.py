@@ -189,13 +189,19 @@ def _read_cursor(path: str | None) -> int:
 
 
 def _write_cursor(path: str, pos: int) -> None:
-    """Atomic write (a crashed write leaves the previous value).
-    Monotonicity is the CALLER's contract: the reader is the cursor's
-    single writer and guards with its in-memory ``_persisted`` floor
-    (seeded from :func:`_read_cursor` at construction), so no per-batch
-    stat+read of the file is needed to keep the value monotone
-    (review r13: the old in-function read re-enforced an invariant the
-    in-memory floor already tracks, one extra read per micro-batch)."""
+    """Atomic, monotone write (a crashed write leaves the previous
+    value; a smaller position never lands). The COMMON path's
+    monotonicity lives in the caller's in-memory ``_persisted`` floor
+    (seeded from :func:`_read_cursor` at construction), so ordinary
+    micro-batches never stat the sidecar (review r13); the read-back
+    here runs only when a write is actually due and is the
+    defense-in-depth for a SECOND writer of the same path (a zombie
+    incarnation delivering a late commit after its replacement
+    advanced the file, or two queries misconfigured onto one cursor —
+    review r14: without it, such a write would regress the durable
+    floor and a later restart would re-ingest the regressed range)."""
+    if pos <= _read_cursor(path):
+        return
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write(str(pos))
@@ -203,32 +209,39 @@ def _write_cursor(path: str, pos: int) -> None:
 
 
 def _normalize_ts_unit(batch):
-    """Cast a ``ts`` column that arrived as timestamp[ns] or as the
-    raw-int64-nanos staging contract down to the declared timestamp[µs]
-    — the same ns→µs floor conversion :func:`streaming.sources.
-    change_source` applies for ns-unit corpora (ADVICE r13: without
-    this, an ns-unit parquet corpus breaks the 'same schema,
-    value-preserving twin' claim — the yielded Arrow batches would not
-    match the declared ``ts timestamp`` schema). µs-unit batches (all
+    """Cast a ``ts`` column that arrived in any non-µs unit down to the
+    declared timestamp[µs] — the ns branch is the same ns→µs floor
+    conversion :func:`streaming.sources.change_source` applies for
+    ns-unit corpora (ADVICE r13: without this, an ns-unit parquet
+    corpus breaks the 'same schema, value-preserving twin' claim — the
+    yielded Arrow batches would not match the declared ``ts timestamp``
+    schema). Every timestamp unit scales by ITS OWN factor (review
+    r14: treating all non-µs units as nanos would silently divide a
+    timestamp[ms] corpus by 1000 and collapse the timeline near the
+    epoch); a raw int64 ``ts`` is the nanos staging contract
+    (loader.events_ts_unit's same rule). µs-unit batches (all
     Spark-written staged files) pass through untouched beyond one type
     check. Epochs are non-negative in every fixture generation, so
     integer truncation equals the batch loader's floor division."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    try:
-        i = batch.schema.get_field_index("ts")
-    except KeyError:
-        return batch
+    i = batch.schema.get_field_index("ts")
     if i < 0:
         return batch
     t = batch.schema.field(i).type
     if pa.types.is_timestamp(t) and t.unit == "us":
         return batch
-    if not (pa.types.is_timestamp(t) or pa.types.is_integer(t)):
+    if pa.types.is_timestamp(t):
+        to_us = {"ns": ("divide", 1000), "ms": ("multiply", 1000), "s": ("multiply", 1_000_000)}
+        op, k = to_us[t.unit]
+        raw = batch.column(i).cast(pa.int64())
+    elif pa.types.is_integer(t):
+        op, k = "divide", 1000  # raw-int64 ts IS the nanos contract
+        raw = batch.column(i).cast(pa.int64())
+    else:
         return batch  # let the engine surface the mismatch loudly
-    nanos = batch.column(i).cast(pa.int64())
-    micros = pc.divide(nanos, 1000).cast(pa.timestamp("us"))
+    micros = getattr(pc, op)(raw, k).cast(pa.timestamp("us"))
     return batch.set_column(i, pa.field("ts", pa.timestamp("us")), micros)
 
 
@@ -301,12 +314,13 @@ class _ManifestStreamReader(DataSourceStreamReader):
         s, e = start["pos"], end["pos"]
         self._floor = max(self._floor, s)
         self._tail.fast_forward(self._floor)
-        s_eff = max(s, self._floor)
+        # plan [floor, e): the floor just absorbed s, so it IS the
+        # clamped start (below-floor ranges were delivered already)
         # relative manifest entries resolve against the manifest's own
         # directory (the staging pattern renames the farm into place,
         # so absolute paths recorded at build time would dangle)
         base = os.path.dirname(os.path.abspath(self._tail.path))
-        paths = read_manifest_range(self._tail.path, s_eff, e)
+        paths = read_manifest_range(self._tail.path, self._floor, e)
         return [_PathPartition(os.path.join(base, p)) for p in paths]
 
     def read(self, partition: _PathPartition):

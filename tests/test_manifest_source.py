@@ -223,24 +223,38 @@ def test_read_normalizes_ns_corpora(tmp_path):
     )
 
     ns_val = 1_700_000_000_123_456_789
-    for name, arr in (
+    us_val = ns_val // 1000
+    # every unit scales by ITS OWN factor (review r14: an all-units-
+    # are-nanos rule would divide a timestamp[ms] corpus by 1000 and
+    # collapse the timeline near the epoch)
+    cases = (
         ("ns.parquet", pa.array([ns_val], pa.timestamp("ns"))),
-        ("raw.parquet", pa.array([ns_val], pa.int64())),
-        ("us.parquet", pa.array([ns_val // 1000], pa.timestamp("us"))),
-    ):
+        ("raw.parquet", pa.array([ns_val], pa.int64())),  # nanos contract
+        ("us.parquet", pa.array([us_val], pa.timestamp("us"))),
+        ("ms.parquet", pa.array([ns_val // 1_000_000], pa.timestamp("ms"))),
+        ("s.parquet", pa.array([ns_val // 1_000_000_000], pa.timestamp("s"))),
+    )
+    expected = {
+        "ns.parquet": us_val,
+        "raw.parquet": us_val,
+        "us.parquet": us_val,
+        "ms.parquet": (ns_val // 1_000_000) * 1000,
+        "s.parquet": (ns_val // 1_000_000_000) * 1_000_000,
+    }
+    for name, arr in cases:
         tbl = pa.table({"event_id": pa.array([1], pa.int64()), "ts": arr})
         pq.write_table(tbl, str(tmp_path / name))
     man = tmp_path / "m.txt"
-    man.write_bytes(b"ns.parquet\nraw.parquet\nus.parquet\n")
+    man.write_bytes("".join(f"{n}\n" for n, _ in cases).encode())
     r = _ManifestStreamReader({"manifest": str(man)})
-    for name in ("ns.parquet", "raw.parquet", "us.parquet"):
+    for name, _ in cases:
         batches = list(r.read(_PathPartition(str(tmp_path / name))))
         for b in batches:
             t = b.schema.field("ts").type
             assert pa.types.is_timestamp(t) and t.unit == "us", (name, t)
             assert b.column(b.schema.get_field_index("ts")).cast(
                 pa.int64()
-            ).to_pylist() == [ns_val // 1000]
+            ).to_pylist() == [expected[name]], name
 
 
 def test_read_manifest_range_inverted_is_empty(tmp_path):

@@ -284,7 +284,7 @@ def relist_spikes(secs: list[float]) -> list[float]:
     the ``n_relists_observed`` receipt into noise."""
     if not secs:
         return []
-    thr = max(5 * min(secs), 0.05)
+    thr = max(5 * min(secs), LISTING_ABS_FLOOR)
     return [round(s, 3) for s in secs if s > thr]
 
 
