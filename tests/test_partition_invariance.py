@@ -32,6 +32,18 @@ INVARIANCE_QUERIES = (
     "x9_pack_shards",  # prefix-sum shard packing
     "x7_sessionize",  # window lag/cumsum session ids
     "x8_approx_aggs",  # sketch aggregates under the hash gate
+    # round-14 core rotation (registry.ROTATION_R14): the 8 promoted
+    # queries face the external harness — and its session/partition
+    # layout — for the first time, so each gets a direct invariance
+    # row rather than riding a mechanism cousin
+    "g_pagerank_simgraph",  # fixed-point iterative rank over capped graph
+    "x4_ivf_trained_topk",  # seeded k-means train + IVF probe top-k
+    "x5_bm25_topk",  # float-scored top-k with boundary ties
+    "x9_weighted_sample",  # weighted deterministic sampling
+    "x8_hll_merge",  # partial-sketch merge under tolerance booleans
+    "x3_containment",  # capped shingle self-join containment pairs
+    "w_interval_sweep",  # interval boundary-event cumsum
+    "profile_checksum",  # order/partition-invariant table checksum
 )
 
 
