@@ -25,10 +25,11 @@ Near-dup (X3) — four complementary detectors, all pure DataFrame ops:
 * **MinHash-LSH** — 12 md5-derived min-hashes, 4 bands × 3 rows;
   documents sharing a band key become candidate pairs. md5 (not
   xxhash64) because the DuckDB oracle reproduces it bit-for-bit.
-* **SimHash** — 16-bit fingerprint from per-token md5 bits, then
-  *banded* pairing (4 bands × 4 bits): a pair at Hamming distance ≤ 3
-  must agree on ≥ 1 band (pigeonhole), so banding loses NO recall
-  while cutting the pair space from O(n²) to bucket-local.
+* **SimHash** — 32-bit fingerprint from per-token md5 bits (16 bits
+  was rejected: ~28k chance-pairs at 500 docs — see SIMHASH_BITS),
+  then *banded* pairing (4 bands × 8 bits): a pair at Hamming
+  distance ≤ 3 must agree on ≥ 1 band (pigeonhole), so banding loses
+  NO recall while cutting the pair space from O(n²) to bucket-local.
 * **embedding cosine** — nearest neighbor within an IVF-style coarse
   partition (the label column stands in for a centroid id).
 
