@@ -342,14 +342,25 @@ def lsh_candidate_pairs(band_keys: DataFrame, cap: int = HOT_BUCKET_CAP) -> Data
     empty/boilerplate shingle set) would otherwise pair up its whole
     bucket quadratically on one shuffle key.
 
-    The band-key relation is materialized once before use: this
-    function reads it four times (bucket count + semi-join + both
-    self-join sides), and without the barrier each branch would re-run
-    the whole signature pipeline (scan → shingle → k min-hashes). The
-    relation is |docs|×bands short rows — at corpus scale this is the
-    signature index you'd write to a table and reuse."""
-    band_keys = band_keys.transform(materialize_once)
-    band_keys = cap_hot_buckets(band_keys, ["band", "band_key"], cap)
+    Two input shapes (review r14 #5): a relation carrying a write-time
+    ``bucket_n`` column (the v3 standing index) is capped by a
+    SCAN-LOCAL filter — zero extra shuffles, no persist, the parquet
+    read-back is cheap to scan twice for the self-join. A computed
+    relation without it is materialized once (this function reads it
+    four times: bucket count + semi-join + both self-join sides, and
+    without the barrier each branch would re-run the whole signature
+    pipeline scan → shingle → k min-hashes) and capped by
+    :func:`cap_hot_buckets`' count + semi-join. Same drop semantics
+    either way; the relation is |docs|×bands short rows — at corpus
+    scale this is the signature index you'd write to a table and
+    reuse."""
+    if "bucket_n" in band_keys.columns:
+        band_keys = band_keys.filter(F.col("bucket_n") <= cap).select(
+            "doc_id", "band", "band_key"
+        )
+    else:
+        band_keys = band_keys.transform(materialize_once)
+        band_keys = cap_hot_buckets(band_keys, ["band", "band_key"], cap)
     a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -542,30 +553,45 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs once per document ever, and everything downstream — full-corpus
     pair generation, re-runs with different caps, and the daily
     incremental probe of a new batch — is an index READ, O(index) or
-    O(batch), never a corpus re-shingle. Keyed on
-    :func:`corpus_fingerprint`, so a rewritten corpus rebuilds and a
-    repeated run reuses (the ``_SUCCESS`` marker gates torn writes).
+    O(batch), never a corpus re-shingle. Built through
+    :func:`sinks.staged_once` (review r14 #3): keyed on
+    :func:`corpus_fingerprint` so a rewritten corpus rebuilds and a
+    repeated run reuses, and the build lands in a private temp dir
+    committed by one atomic rename — two racing builders (two
+    processes probing the same fresh corpus) can no longer interleave
+    overwrite jobs into the shared keyed dir, and a torn build never
+    leaves a half-written index behind a green marker.
 
     The index also carries ``bucket_n`` — the (band, band_key) bucket
     population, computed once at write time — so the hot-bucket skew
     guard at probe time is a scan-local ``filter(bucket_n <= cap)``
     instead of :func:`cap_hot_buckets`' count + semi-join pair of
     shuffles. Same drop semantics, zero probe-side shuffle."""
-    from odoo_batch_processing_spark.sources.sinks import keyed_scratch_dir
+    from odoo_batch_processing_spark.session import materialized_scope
+    from odoo_batch_processing_spark.sources.sinks import staged_once
 
     src = os.path.join(sf_dir, "documents.parquet")
-    # v2: bucket_n added to the stored schema (key prefix versions the
-    # layout so pre-upgrade index dirs are never misread)
-    path = keyed_scratch_dir("minhash-index-v2", corpus_fingerprint(src))
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
-        bk = minhash_band_keys(sets).transform(materialize_once)
-        sizes = bk.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).cast("bigint").alias("bucket_n")
-        )
-        bk.join(sizes, ["band", "band_key"]).write.mode("overwrite").partitionBy(
-            "band"
-        ).parquet(path)
+
+    # v2: bucket_n added to the stored schema; v3: same layout, but the
+    # commit protocol moved to staged_once (atomic rename + _STAGED
+    # marker) — the name bump keeps pre-upgrade _SUCCESS-gated dirs
+    # from ever being misread as committed v3 indexes
+    def _build(d: str) -> None:
+        # scope the build's two pins: the index is built at most once
+        # per corpus, but a long-lived caller (the streaming probe's
+        # first micro-batch) must not keep corpus-scale shingle blocks
+        # pinned after the parquet write committed
+        with materialized_scope():
+            sets = _doc_shingle_sets(spark, sf_dir).transform(materialize_once)
+            bk = minhash_band_keys(sets).transform(materialize_once)
+            sizes = bk.groupBy("band", "band_key").agg(
+                F.count(F.lit(1)).cast("bigint").alias("bucket_n")
+            )
+            bk.join(sizes, ["band", "band_key"]).write.mode("overwrite").partitionBy(
+                "band"
+            ).parquet(d)
+
+    path = staged_once("minhash-index-v3", src, _build)
     # explicit schema: an EMPTY corpus writes a partitioned dir with
     # zero data files, and schema inference on it would throw — the
     # index contract (including "probe an empty standing corpus")
@@ -600,7 +626,11 @@ def _q_x3_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs (band-partition pruning applies when probing single bands).
     Since round 4 the index is the content-keyed standing one
     (:func:`ensure_minhash_index`): built at most once per corpus,
-    shared with the incremental probe.
+    shared with the incremental probe. The index carries the
+    write-time ``bucket_n`` column, so :func:`lsh_candidate_pairs`
+    caps hot buckets with a scan-local filter here — zero probe-side
+    shuffles and no re-persist of the read-back (review r14 #5),
+    the same form :func:`probe_standing_index` uses.
     """
     return lsh_candidate_pairs(ensure_minhash_index(spark, sf_dir))
 
@@ -1041,6 +1071,22 @@ def connected_components(
                 vertices, edges, id_col=id_col, max_iters=max_iters
             )
             return out
+    else:
+        # fail-loud on exhaustion (review r14 #1, the edge_budget
+        # discipline of graph.pagerank): a component deeper than
+        # max_iters hops would otherwise get PARTIAL labels — two
+        # vertices of one component reported as two clusters — with a
+        # green return. Silently-wrong dedup labels at 100 TB are the
+        # exact failure class this engine fail-louds everywhere else.
+        last = f"{history[-1]:,}" if history else "≥1"
+        raise RuntimeError(
+            "connected_components: min-label propagation did not "
+            f"converge in max_iters={max_iters} rounds (last round "
+            f"still changed {last} labels) — the graph is "
+            "deeper than the iteration budget; raise max_iters, or "
+            "use connected_components_star / connected_components_auto "
+            "(O(log n) rounds on long chains)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
 
 
@@ -1138,6 +1184,17 @@ def connected_components_star(
         e = small
         if changed == 0:
             break
+    else:
+        # same exhaustion contract as connected_components (review
+        # r14 #1): a non-fixed-point edge set means labels derived
+        # from it are not component minima — refuse to return them.
+        last = f"{changed:,}" if rounds else "≥1"
+        raise RuntimeError(
+            "connected_components_star: star contraction did not reach "
+            f"a fixed point in max_iters={max_iters} rounds ({last} "
+            "edge changes in the last round) — raise max_iters (rounds "
+            "needed grow O(log component size))"
+        )
     labels = e.groupBy("u").agg(F.min("v").alias("comp"))
     out = (
         vertices.select(F.col(id_col).alias("id"))

@@ -195,7 +195,7 @@ def sessionize_chunked(
         .select(key, "__chunk", "__merged", "__offset")
     )
     # plain equi-join: the flagged side is already hash-partitioned on
-    # (user_id, __chunk) by the local Window, so the exchange is
+    # (key, __chunk) by the local Window, so the exchange is
     # reusable; AQE converts to broadcast at runtime when the summary
     # side is actually small (a driver-side F.broadcast would be wrong
     # at scale — users × active-chunks can be billions of rows)
@@ -229,10 +229,16 @@ SESSION_SKEW_SAMPLE = 0.001
 SESSION_AUTO_CHUNK_MINUTES = 60
 
 
-#: memoized skew-probe estimates, keyed on (semantic plan hash, key,
-#: fraction, seed) — see :func:`estimate_max_key_rows`. Bounded: one
-#: entry per distinct probed signature per session.
-_MAX_KEY_EST_CACHE: dict[tuple[int, str, float, int], int] = {}
+#: memoized skew-probe estimates, keyed on (semantic plan hash, column
+#: set, key, fraction, seed) — see :func:`estimate_max_key_rows`.
+#: semanticHash is 32-bit, so two distinct plans CAN collide; the
+#: column-set discriminator (ADVICE r14) cheaply splits most real
+#: collisions, and a residual collision is value-safe by construction
+#: (the estimate only picks between two result-identical physical
+#: forms). FIFO-bounded at _MAX_KEY_EST_CAP entries so a long-lived
+#: session probing many distinct plans cannot grow it without bound.
+_MAX_KEY_EST_CACHE: dict[tuple, int] = {}
+_MAX_KEY_EST_CAP = 256
 
 
 def estimate_max_key_rows(
@@ -262,8 +268,11 @@ def estimate_max_key_rows(
     pass ``cache=False`` (the default)."""
     if cache:
         # seed is part of the signature: a different seed computes a
-        # different estimate, so it must not hit another seed's entry
-        ck = (df.semanticHash(), key, fraction, seed)
+        # different estimate, so it must not hit another seed's entry.
+        # The column tuple discriminates 32-bit semanticHash collisions
+        # between structurally different plans (ADVICE r14); a collision
+        # that survives both is value-safe — see _MAX_KEY_EST_CACHE.
+        ck = (df.semanticHash(), tuple(df.columns), key, fraction, seed)
         hit = _MAX_KEY_EST_CACHE.get(ck)
         if hit is not None:
             return hit
@@ -278,6 +287,10 @@ def estimate_max_key_rows(
     m = row["m"] or 0
     est = int(m / fraction)
     if cache:
+        while len(_MAX_KEY_EST_CACHE) >= _MAX_KEY_EST_CAP:
+            # FIFO eviction (dicts iterate in insertion order): the
+            # oldest probed plan is the least likely to be re-probed
+            _MAX_KEY_EST_CACHE.pop(next(iter(_MAX_KEY_EST_CACHE)))
         _MAX_KEY_EST_CACHE[ck] = est
     return est
 

@@ -29,6 +29,7 @@ Settings rationale (100 TB posture, tested on local mode):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -176,6 +177,32 @@ def release_materialized(blocking: bool = False) -> int:
         except Exception:
             pass  # session already stopped — nothing left to unpin
     return released
+
+
+@contextmanager
+def materialized_scope(blocking: bool = False):
+    """Scope the pins :func:`materialize_once` takes inside the body:
+    on exit, unpersist exactly the DataFrames pinned since entry,
+    leaving earlier (caller-owned) pins alone.
+
+    This is the per-micro-batch release for long-running foreachBatch
+    loops (review r14 #4): a probe that pins N intermediates per batch
+    would otherwise grow the block store by N blocks per trigger for
+    the stream's lifetime — the blanket :func:`release_materialized`
+    is wrong there because it would also unpin relations the ENCLOSING
+    query materialized and still reads. Unpersist-after-consume is
+    safe by construction: the pinned plans are pure recomputable
+    intermediates, so a late reader merely recomputes."""
+    mark = len(_MATERIALIZED)
+    try:
+        yield
+    finally:
+        scoped, _MATERIALIZED[mark:] = _MATERIALIZED[mark:], []
+        for df in scoped:
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass  # session already stopped — nothing left to unpin
 
 
 def get_spark(

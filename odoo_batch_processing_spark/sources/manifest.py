@@ -219,9 +219,13 @@ def _normalize_ts_unit(batch):
     r14: treating all non-µs units as nanos would silently divide a
     timestamp[ms] corpus by 1000 and collapse the timeline near the
     epoch); a raw int64 ``ts`` is the nanos staging contract
-    (loader.events_ts_unit's same rule). µs-unit batches (all
+    (loader.events_ts_unit's same rule). tz-NAIVE µs batches (all
     Spark-written staged files) pass through untouched beyond one type
-    check. Epochs are non-negative in every fixture generation, so
+    check; tz-aware columns of any unit — µs included (ADVICE r14) —
+    are re-fielded to naive timestamp[µs] via the raw UTC epoch, which
+    preserves instants because both Arrow's tz-aware storage and
+    Spark's TimestampType are UTC-epoch-based. Epochs are non-negative
+    in every fixture generation, so
     integer truncation equals the batch loader's floor division."""
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -230,10 +234,22 @@ def _normalize_ts_unit(batch):
     if i < 0:
         return batch
     t = batch.schema.field(i).type
-    if pa.types.is_timestamp(t) and t.unit == "us":
+    if pa.types.is_timestamp(t) and t.unit == "us" and t.tz is None:
         return batch
     if pa.types.is_timestamp(t):
-        to_us = {"ns": ("divide", 1000), "ms": ("multiply", 1000), "s": ("multiply", 1_000_000)}
+        # tz-aware columns of ANY unit (including µs — ADVICE r14: the
+        # old unit-only check passed tz-aware µs through with a schema
+        # that contradicts the declared tz-naive 'ts timestamp') go
+        # through the same raw-epoch path: Arrow stores tz-aware
+        # timestamps as UTC epoch, and Spark's TimestampType is also
+        # UTC-epoch-based (session tz is display-only), so re-fielding
+        # to naive timestamp[us] preserves every instant.
+        to_us = {
+            "ns": ("divide", 1000),
+            "us": ("multiply", 1),
+            "ms": ("multiply", 1000),
+            "s": ("multiply", 1_000_000),
+        }
         op, k = to_us[t.unit]
         raw = batch.column(i).cast(pa.int64())
     elif pa.types.is_integer(t):

@@ -30,6 +30,12 @@ class ProgressTracker(StreamingQueryListener):
     writes, caller reads)."""
 
     expected_total: int | None = None
+    #: the owned query's name (``writeStream.queryName``). The listener
+    #: bus is SESSION-WIDE: without this filter a second concurrent
+    #: stream's batches would be folded into this run's cumulative
+    #: count and percentage (review r14 #6). ``None`` keeps the old
+    #: accept-everything behavior for single-stream callers.
+    query_name: str | None = None
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
     batches: list[BatchProgress] = field(default_factory=list)
 
@@ -37,6 +43,8 @@ class ProgressTracker(StreamingQueryListener):
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
+        if self.query_name is not None and event.progress.name != self.query_name:
+            return
         rows = int(event.progress.numInputRows)
         with self._lock:
             cum = (self.batches[-1].cumulative_rows if self.batches else 0) + rows

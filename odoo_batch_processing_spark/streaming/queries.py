@@ -164,7 +164,13 @@ def _q_s_r18_throttled_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = run.start(change_source(spark, _events_dir(sf_dir)), available_now=True)
     q.awaitTermination()
-    assert run.success_count + run.skipped_count > 0
+    # explicit raise, not assert: this accounting gate is part of the
+    # query's R15 contract and must survive `python -O` (review r14 #3)
+    if run.success_count + run.skipped_count <= 0:
+        raise RuntimeError(
+            "r18: the availableNow run committed zero rows — the R15 "
+            "accounting never observed a micro-batch"
+        )
     return spark.read.parquet(out_dir).select("event_id", "event_type")
 
 
@@ -179,11 +185,14 @@ def _q_s_r17_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     round((i+1)/n*100) contract (user.js:464-473) at batch granularity."""
     src = _events_multi_dir(spark, sf_dir, _N_BATCH_FILES)
     total = spark.read.parquet(src).count()
-    tracker = ProgressTracker(expected_total=total)
+    name = _mem_name("s_r17")
+    # the tracker is bound to THIS query by name — the listener bus is
+    # session-wide, and a concurrent stream (e.g. a parallel test)
+    # would otherwise corrupt the accounting (review r14 #6)
+    tracker = ProgressTracker(expected_total=total, query_name=name)
     spark.streams.addListener(tracker)
     try:
         stream = change_source(spark, src, max_files_per_trigger=1)
-        name = _mem_name("s_r17")
         q = (
             stream.select("event_id")
             .writeStream.outputMode("append")
@@ -232,13 +241,22 @@ def _q_s_r19_cancel(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=_scratch_dir("r19-ckpt"),
         trigger_ms=30_000,
     )
-    q = run.start(change_source(spark, src, max_files_per_trigger=1))
+    stream = change_source(spark, src, max_files_per_trigger=1)
+    q = run.start(stream)
     deadline = time.time() + 120
     while time.time() < deadline and run.success_count == 0:
         time.sleep(0.02)
     run.cancel()
     q.awaitTermination(60)
-    committed = spark.read.parquet(out_dir).count()
+    # explicit schema (review r14 #7): a cancel that somehow landed
+    # before ANY micro-batch committed (monitor deadline expiry on a
+    # wedged stream) leaves out_dir with zero part files, and schema
+    # INFERENCE on it would throw AnalysisException — masking the
+    # interesting answer (committed=0, partial_commit=False, i.e.
+    # cancelled-before-start) behind a read error. The sink's schema
+    # is the stream's own, so the read is value-identical when files
+    # do exist.
+    committed = spark.read.schema(stream.schema).parquet(out_dir).count()
     return spark.createDataFrame(
         [
             (
@@ -288,8 +306,8 @@ def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
     — and the same DuckDB oracle certifies it."""
     from odoo_batch_processing_spark.operators.dedup import probe_standing_index
     from odoo_batch_processing_spark.schemas import SCHEMAS
+    from odoo_batch_processing_spark.session import materialized_scope
     from odoo_batch_processing_spark.sources.loader import fan_out
-
     from odoo_batch_processing_spark.sources.sinks import staged_once
 
     docs = load_table(spark, sf_dir, "documents")
@@ -315,17 +333,23 @@ def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
     empty.write.mode("overwrite").parquet(os.path.join(out_dir, "epoch=-1"))
 
     def _probe(batch_df, epoch_id):
-        pairs = probe_standing_index(
-            spark, sf_dir, fan_out(batch_df, spark, "doc_id")
-        )
-        # foreachBatch is at-least-once: a crash between a blind
-        # append and the checkpoint commit would replay the epoch and
-        # duplicate its pairs. Overwriting a PER-EPOCH directory makes
-        # the replay idempotent — the exact-multiset oracle depends
-        # on it.
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={int(epoch_id)}")
-        )
+        # the probe pins three intermediates (batch shingle sets,
+        # candidates, verify sets) via materialize_once; scope them to
+        # THIS micro-batch (review r14 #2/#4) — without the release, a
+        # long-running stream grows the executor block store by three
+        # pinned relations per trigger for the query's lifetime
+        with materialized_scope():
+            pairs = probe_standing_index(
+                spark, sf_dir, fan_out(batch_df, spark, "doc_id")
+            )
+            # foreachBatch is at-least-once: a crash between a blind
+            # append and the checkpoint commit would replay the epoch
+            # and duplicate its pairs. Overwriting a PER-EPOCH
+            # directory makes the replay idempotent — the
+            # exact-multiset oracle depends on it.
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={int(epoch_id)}")
+            )
 
     stream = (
         spark.readStream.schema(SCHEMAS["documents"])
@@ -570,10 +594,14 @@ def _q_s_x2_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     state_rows = progress["stateOperators"][0]["numRowsTotal"]
-    assert state_rows < 0.2 * n_rows, (
-        f"dedup state not bounded by the watermark: {state_rows} rows "
-        f"retained of {n_rows} ingested"
-    )
+    # explicit raise, not assert: the watermark bound IS this query's
+    # claim — an `-O` run must not skip it (review r14 #3; same form
+    # as the rate query's throughput gate below)
+    if not state_rows < 0.2 * n_rows:
+        raise RuntimeError(
+            f"dedup state not bounded by the watermark: {state_rows} rows "
+            f"retained of {n_rows} ingested"
+        )
     return spark.table(name)
 
 
@@ -586,8 +614,6 @@ def _q_s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reads). Aggregated per segment in complete mode; the money sum
     accumulates in DECIMAL so the result is order-independent and
     hash-comparable (functions/exprs policy)."""
-    from odoo_batch_processing_spark.sources.loader import load_table
-
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     stream = change_source(spark, _events_dir(sf_dir))
     enriched = stream.join(cust, stream["user_id"] == cust["c_custkey"])

@@ -233,6 +233,13 @@ def test_read_normalizes_ns_corpora(tmp_path):
         ("us.parquet", pa.array([us_val], pa.timestamp("us"))),
         ("ms.parquet", pa.array([ns_val // 1_000_000], pa.timestamp("ms"))),
         ("s.parquet", pa.array([ns_val // 1_000_000_000], pa.timestamp("s"))),
+        # tz-AWARE columns (ADVICE r14): µs included — the unit-only
+        # check used to pass tz-aware µs through with a schema that
+        # contradicts the declared tz-naive 'ts timestamp'. Arrow
+        # stores tz-aware as UTC epoch, so stripping tz preserves the
+        # instant.
+        ("us_tz.parquet", pa.array([us_val], pa.timestamp("us", tz="UTC"))),
+        ("ns_tz.parquet", pa.array([ns_val], pa.timestamp("ns", tz="+05:30"))),
     )
     expected = {
         "ns.parquet": us_val,
@@ -240,6 +247,8 @@ def test_read_normalizes_ns_corpora(tmp_path):
         "us.parquet": us_val,
         "ms.parquet": (ns_val // 1_000_000) * 1000,
         "s.parquet": (ns_val // 1_000_000_000) * 1_000_000,
+        "us_tz.parquet": us_val,
+        "ns_tz.parquet": us_val,
     }
     for name, arr in cases:
         tbl = pa.table({"event_id": pa.array([1], pa.int64()), "ts": arr})
@@ -251,7 +260,10 @@ def test_read_normalizes_ns_corpora(tmp_path):
         batches = list(r.read(_PathPartition(str(tmp_path / name))))
         for b in batches:
             t = b.schema.field("ts").type
-            assert pa.types.is_timestamp(t) and t.unit == "us", (name, t)
+            assert pa.types.is_timestamp(t) and t.unit == "us" and t.tz is None, (
+                name,
+                t,
+            )
             assert b.column(b.schema.get_field_index("ts")).cast(
                 pa.int64()
             ).to_pylist() == [expected[name]], name

@@ -115,8 +115,13 @@ def test_r17_progress_multi_batch(spark, tmp_path):
         _write_events_file(
             spark, src, [(i * 10 + j, _ns(i), 1, "view", 1.0, "{}") for j in range(25)]
         )
-    tracker = ProgressTracker(expected_total=100)
+    # name-bound (review r14 #6): the filter must pass the owned
+    # query's events through untouched...
+    tracker = ProgressTracker(expected_total=100, query_name="prog_test_sink")
+    # ...while a tracker bound to a DIFFERENT name sees nothing
+    other = ProgressTracker(expected_total=100, query_name="some_other_query")
     spark.streams.addListener(tracker)
+    spark.streams.addListener(other)
     try:
         q = (
             change_source(spark, src, max_files_per_trigger=1)
@@ -134,10 +139,13 @@ def test_r17_progress_multi_batch(spark, tmp_path):
             time.sleep(0.1)
     finally:
         spark.streams.removeListener(tracker)
+        spark.streams.removeListener(other)
 
     assert tracker.rows_seen == 100
     pcts = tracker.percentages
     assert pcts and pcts[-1] == 100
+    # the foreign-name tracker must have filtered every event out
+    assert other.rows_seen == 0 and other.batches == []
     assert pcts == sorted(pcts)  # monotone like the reference's bar (user.js:469)
     assert len([p for p in pcts if p > 0]) >= 2  # genuinely multi-batch
 

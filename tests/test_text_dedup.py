@@ -3,6 +3,7 @@ plus dedup survivor semantics."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -276,10 +277,11 @@ def test_star_cc_log_rounds_on_long_chain(spark):
 
     # the one-hop loop capped at the same 25 rounds does NOT finish
     # (local_cap=0: the point is the DISTRIBUTED loop's round bound —
-    # the union-find fast path would trivially solve it)
-    simple = connected_components(verts, edges, max_iters=25, local_cap=0)
-    unconverged = {r["cluster_id"] for r in simple.collect()}
-    assert unconverged != {0}, "min-label should not converge a 64-chain in 25 rounds"
+    # the union-find fast path would trivially solve it) — and since
+    # round 15 that exhaustion FAILS LOUD instead of returning partial
+    # labels (review r14 #1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iters=25, local_cap=0)
 
 
 def test_cc_auto_picks_engine_by_structure(spark, monkeypatch):
@@ -505,3 +507,94 @@ def test_deterministic_dedup_hostile_column_names(spark):
     assert len(out) == 1
     row = out[0].asDict()
     assert row["id"] == 1 and row["a.b"] == "y" and row["_survivor"] == "s2"
+
+
+def test_cc_exhaustion_fails_loud(spark):
+    """Review r14 #1: a component DEEPER than the iteration budget must
+    raise, never return partial labels with a green exit. Planted
+    16-vertex chain + max_iters far below its diameter, on both
+    distributed engines (local_cap=0 keeps the union-find fast path —
+    which has no iteration cap — out of the way); the same graph under
+    a sufficient budget still converges to the exact clustering."""
+    from odoo_batch_processing_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 16
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iters=3, local_cap=0)
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components_star(verts, edges, max_iters=1)
+
+    # sufficiency control: the raise is about the BUDGET, not the graph
+    ok = connected_components(verts, edges, max_iters=n + 1, local_cap=0)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}
+    star, _rounds = connected_components_star(verts, edges, max_iters=25)
+    assert {r["cluster_id"] for r in star.collect()} == {0}
+
+
+def test_probe_scope_releases_micro_batch_pins(spark):
+    """Review r14 #4: materialized_scope must unpersist exactly the
+    DataFrames materialize_once pinned inside it (the per-micro-batch
+    release for foreachBatch probes), leaving the caller's earlier
+    pins cached — so a long stream's pinned-block count stays flat
+    instead of growing three relations per trigger."""
+    from odoo_batch_processing_spark.session import (
+        _MATERIALIZED,
+        materialize_once,
+        materialized_scope,
+    )
+
+    outer = materialize_once(spark.range(10))
+    outer.count()
+    mark = len(_MATERIALIZED)
+    try:
+        inner_refs = []
+        for _ in range(3):  # three "micro-batches"
+            with materialized_scope():
+                inner = materialize_once(spark.range(5))
+                inner.count()
+                assert inner.storageLevel.useMemory  # pinned inside
+                inner_refs.append(inner)
+            # released on scope exit: nothing new left in the registry
+            assert len(_MATERIALIZED) == mark
+        for inner in inner_refs:
+            assert not inner.storageLevel.useMemory
+        # the caller-owned pin outside the scopes stays cached
+        assert outer.storageLevel.useMemory
+    finally:
+        outer.unpersist()
+        del _MATERIALIZED[mark - 1 : mark]
+
+
+def test_indexed_lsh_cap_is_scan_local(spark):
+    """Review r14 #5: a band-key relation carrying the write-time
+    ``bucket_n`` column must be capped by a scan-local filter — same
+    survivors as cap_hot_buckets' count + semi-join form, with no
+    aggregate exchange in the plan."""
+    from odoo_batch_processing_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [
+        # bucket (0, "hot") holds 3 docs, (0, "cold") holds 2
+        (1, 0, "hot", 3), (2, 0, "hot", 3), (3, 0, "hot", 3),
+        (4, 0, "cold", 2), (5, 0, "cold", 2),
+    ]
+    bk = spark.createDataFrame(
+        rows, "doc_id bigint, band int, band_key string, bucket_n bigint"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(bk, cap=2).collect()
+    )
+    assert got == [(4, 5)]  # hot bucket dropped wholesale
+    # plan shape: the indexed path must not re-aggregate bucket counts
+    # (cap_hot_buckets' count + semi-join) — the only aggregate left is
+    # the final pair distinct, which computes no count at all
+    plan = lsh_candidate_pairs(bk, cap=2)._jdf.queryExecution().optimizedPlan().toString()
+    assert "count(" not in plan.lower()
+    assert "LeftSemi" not in plan
