@@ -938,3 +938,11 @@ QUERIES_EXT["x9_source_mix"] = QUERIES.pop("x9_source_mix")
 ORACLES_EXT["x9_source_mix"] = ORACLES.pop("x9_source_mix")
 QUERIES["x9_weighted_sample"] = QUERIES_EXT.pop("x9_weighted_sample")
 ORACLES["x9_weighted_sample"] = ORACLES_EXT.pop("x9_weighted_sample")
+
+# ROTATION_R15 (registry.py): per-group stratified sampling takes the
+# curation slot held by x9_pack_shards; the packer rotates to extended
+# (still under tools/x9_ab.py's dedicated A/B watch).
+QUERIES["x9_group_sample"] = QUERIES_EXT.pop("x9_group_sample")
+ORACLES["x9_group_sample"] = ORACLES_EXT.pop("x9_group_sample")
+QUERIES_EXT["x9_pack_shards"] = QUERIES.pop("x9_pack_shards")
+ORACLES_EXT["x9_pack_shards"] = ORACLES.pop("x9_pack_shards")

@@ -1701,3 +1701,16 @@ QUERIES_EXT["x3_ngram_jaccard"] = QUERIES.pop("x3_ngram_jaccard")
 ORACLES_EXT["x3_ngram_jaccard"] = ORACLES.pop("x3_ngram_jaccard")
 QUERIES["x3_containment"] = QUERIES_EXT.pop("x3_containment")
 ORACLES["x3_containment"] = ORACLES_EXT.pop("x3_containment")
+
+# ROTATION_R15 (registry.py): the standing-index candidate path —
+# whose hot-bucket cap is now the scan-local write-time bucket_n
+# filter — takes the LSH family's core slot so the external harness
+# audits the index build + read-back; the recompute form and simhash
+# (14 rounds driver-stable) rotate to the extended tier, still
+# oracle-checked locally every round.
+QUERIES["x3_minhash_indexed"] = QUERIES_EXT.pop("x3_minhash_indexed")
+ORACLES["x3_minhash_indexed"] = ORACLES_EXT.pop("x3_minhash_indexed")
+QUERIES_EXT["x3_minhash_lsh"] = QUERIES.pop("x3_minhash_lsh")
+ORACLES_EXT["x3_minhash_lsh"] = ORACLES.pop("x3_minhash_lsh")
+QUERIES_EXT["x3_simhash"] = QUERIES.pop("x3_simhash")
+ORACLES_EXT["x3_simhash"] = ORACLES.pop("x3_simhash")

@@ -596,3 +596,10 @@ ORACLES_EXT = {
 # core. Family coverage is preserved — see registry.py ROTATION_R14.
 QUERIES["g_pagerank_simgraph"] = QUERIES_EXT.pop("g_pagerank_simgraph")
 ORACLES["g_pagerank_simgraph"] = ORACLES_EXT.pop("g_pagerank_simgraph")
+
+# ROTATION_R15 (registry.py): the exact triangle counter joins pagerank
+# in the core window (x3_simhash vacated a dedup-family slot), giving
+# the graph family a second externally-audited shape — a join-heavy
+# counting query next to the iterative fixpoint.
+QUERIES["g_triangle_counts"] = QUERIES_EXT.pop("g_triangle_counts")
+ORACLES["g_triangle_counts"] = ORACLES_EXT.pop("g_triangle_counts")

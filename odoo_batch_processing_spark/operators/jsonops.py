@@ -175,3 +175,12 @@ ORACLES = {
 
 ORACLES_EXT = {k: v for k, v in ORACLES.items() if k in QUERIES_EXT}
 ORACLES = {k: v for k, v in ORACLES.items() if k not in QUERIES_EXT}
+
+# ROTATION_R15 (registry.py): the VARIANT shred (semi-structured
+# columnarization, Spark 4's open-format variant type) takes the
+# json-family core slot; the from_json grouped form rotates to
+# extended.
+QUERIES["x6_variant_shred"] = QUERIES_EXT.pop("x6_variant_shred")
+ORACLES["x6_variant_shred"] = ORACLES_EXT.pop("x6_variant_shred")
+QUERIES_EXT["x6_json_grouped"] = QUERIES.pop("x6_json_grouped")
+ORACLES_EXT["x6_json_grouped"] = ORACLES.pop("x6_json_grouped")

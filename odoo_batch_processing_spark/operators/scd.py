@@ -241,3 +241,10 @@ ORACLES_EXT = {
           ON e.user_id = h.user_id AND e.ts >= h.valid_from
     """,
 }
+
+# ROTATION_R15 (registry.py): the SCD2 history build enters the core
+# window (first driver row for the slowly-changing-dimension family;
+# q03_top_orders vacated the slot). The point-in-time probe stays
+# extended.
+QUERIES = {"scd2_user_tiers": QUERIES_EXT.pop("scd2_user_tiers")}
+ORACLES = {"scd2_user_tiers": ORACLES_EXT.pop("scd2_user_tiers")}

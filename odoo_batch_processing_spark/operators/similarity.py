@@ -990,3 +990,11 @@ QUERIES_EXT["x4_ivf_topk"] = QUERIES.pop("x4_ivf_topk")
 ORACLES_EXT["x4_ivf_topk"] = ORACLES.pop("x4_ivf_topk")
 QUERIES["x4_ivf_trained_topk"] = QUERIES_EXT.pop("x4_ivf_trained_topk")
 ORACLES["x4_ivf_trained_topk"] = ORACLES_EXT.pop("x4_ivf_trained_topk")
+
+# ROTATION_R15 (registry.py): the int8-quantized top-k (recall twin of
+# the float path, scan half the bytes) takes the brute-force slot;
+# x4_cosine_topk (driver-stable since round 1) rotates to extended.
+QUERIES["x4_int8_topk"] = QUERIES_EXT.pop("x4_int8_topk")
+ORACLES["x4_int8_topk"] = ORACLES_EXT.pop("x4_int8_topk")
+QUERIES_EXT["x4_cosine_topk"] = QUERIES.pop("x4_cosine_topk")
+ORACLES_EXT["x4_cosine_topk"] = ORACLES.pop("x4_cosine_topk")

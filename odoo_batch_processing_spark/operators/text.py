@@ -1137,3 +1137,11 @@ QUERIES_EXT["x5_tfidf_top_terms"] = QUERIES.pop("x5_tfidf_top_terms")
 ORACLES_EXT["x5_tfidf_top_terms"] = ORACLES.pop("x5_tfidf_top_terms")
 QUERIES["x5_bm25_topk"] = QUERIES_EXT.pop("x5_bm25_topk")
 ORACLES["x5_bm25_topk"] = ORACLES_EXT.pop("x5_bm25_topk")
+
+# ROTATION_R15 (registry.py): unigram surprisal (corpus LM + per-doc
+# mean -log p) takes the text-family slot held by x5_text_features
+# since round 2; the feature query rotates to extended.
+QUERIES["x5_unigram_surprisal"] = QUERIES_EXT.pop("x5_unigram_surprisal")
+ORACLES["x5_unigram_surprisal"] = ORACLES_EXT.pop("x5_unigram_surprisal")
+QUERIES_EXT["x5_text_features"] = QUERIES.pop("x5_text_features")
+ORACLES_EXT["x5_text_features"] = ORACLES.pop("x5_text_features")

@@ -1009,3 +1009,12 @@ QUERIES_EXT["x7_sliding_windows"] = QUERIES.pop("x7_sliding_windows")
 ORACLES_EXT["x7_sliding_windows"] = ORACLES.pop("x7_sliding_windows")
 QUERIES["w_interval_sweep"] = QUERIES_EXT.pop("w_interval_sweep")
 ORACLES["w_interval_sweep"] = ORACLES_EXT.pop("w_interval_sweep")
+
+# ROTATION_R15 (registry.py): calendar gap-fill + forward-fill takes a
+# windows-family core slot (w_interval_sweep keeps the other);
+# x7_sessionize — driver-stable since round 1 and twinned by the
+# chunked + streaming session forms — rotates to extended.
+QUERIES["w_gap_fill_ffill"] = QUERIES_EXT.pop("w_gap_fill_ffill")
+ORACLES["w_gap_fill_ffill"] = ORACLES_EXT.pop("w_gap_fill_ffill")
+QUERIES_EXT["x7_sessionize"] = QUERIES.pop("x7_sessionize")
+ORACLES_EXT["x7_sessionize"] = ORACLES.pop("x7_sessionize")

@@ -304,3 +304,10 @@ ORACLES_EXT = {
 # core. Family coverage is preserved — see registry.py ROTATION_R14.
 QUERIES_EXT["q05_revenue_by_nation"] = QUERIES.pop("q05_revenue_by_nation")
 ORACLES_EXT["q05_revenue_by_nation"] = ORACLES.pop("q05_revenue_by_nation")
+
+# ROTATION_R15 (registry.py): q03 (driver-stable since round 1)
+# rotates to extended; its vacated slot goes to the SCD2 history build
+# (operators/scd.py) so type-2 dimension maintenance gets its first
+# external audit. X1 keeps q01/q09/expr_breadth in core.
+QUERIES_EXT["q03_top_orders"] = QUERIES.pop("q03_top_orders")
+ORACLES_EXT["q03_top_orders"] = ORACLES.pop("q03_top_orders")

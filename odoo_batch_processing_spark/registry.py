@@ -91,6 +91,31 @@ ROTATION_R14 = {
     "x8_approx_aggs": "x8_hll_merge",
 }
 
+#: Round-15 rotation (VERDICT r14 #4/#5), second tranche of the same
+#: discipline: nine more long-stable core representatives trade places
+#: with extended-tier siblings the external harness has never audited.
+#: Notable slots: the standing MinHash INDEX path (its hot-bucket cap
+#: is now the scan-local bucket_n filter landed this round) replaces
+#: the recompute LSH; the SCD2 history build and the exact triangle
+#: counter give the slowly-changing-dimension and graph families new
+#: external coverage; and ``s_r22_manifest_counts`` — the manifest-fed
+#: Python DataSource twin of the R22 counts — is the round's one NEW
+#: catalog entry (187 total), giving the newest subsystem (manifest
+#: ingest, zero prior driver coverage) a driver-window row. Everything
+#: rotated out stays DuckDB-checked locally per round via
+#: tools/oracle_check.py --extended.
+ROTATION_R15 = {
+    "x3_minhash_lsh": "x3_minhash_indexed",
+    "x3_simhash": "g_triangle_counts",
+    "x4_cosine_topk": "x4_int8_topk",
+    "x5_text_features": "x5_unigram_surprisal",
+    "x9_pack_shards": "x9_group_sample",
+    "x6_json_grouped": "x6_variant_shred",
+    "x7_sessionize": "w_gap_fill_ffill",
+    "q03_top_orders": "scd2_user_tiers",
+    "s_r22_change_counts": "s_r22_manifest_counts",
+}
+
 
 def _collect(extended: bool = False) -> tuple[dict[str, QueryFn], dict[str, str]]:
     import importlib

@@ -129,6 +129,62 @@ def _q_s_r22_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_s_r22_manifest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R22 on the MANIFEST-fed Python DataSource (VERDICT r14 #5 —
+    the newest subsystem's first driver-window row): the same
+    counts-by-type shape and the same oracle as the file-arrival form
+    (`s_r22_change_counts`, now extended tier), but file discovery is
+    sources/manifest.py's O(new) tail-read of an append-only manifest
+    instead of a directory listing — the 100 TB ingest shape where
+    listing walls (measured 7.6–27 s at 512k files, SCALE_FILES) are
+    replaced by a ~1 ms cursor advance. The full events corpus is
+    staged once into 4 parquet files + a manifest naming them;
+    maxFilesPerTrigger=1 forces 4 genuine micro-batches through the
+    offset/cursor protocol (partitions() replan, per-unit ts
+    normalization) before the complete-mode counts land."""
+    import glob as _glob
+
+    from odoo_batch_processing_spark.sources.manifest import manifest_source
+    from odoo_batch_processing_spark.sources.sinks import staged_once
+
+    # route one load through the loader so session confs (nanosAsLong)
+    # are applied before the raw staging read below
+    load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def _build(d):
+        files_dir = os.path.join(d, "files")
+        (
+            spark.read.parquet(src)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(files_dir)
+        )
+        parts = sorted(_glob.glob(os.path.join(files_dir, "part-*.parquet")))
+        with open(os.path.join(d, "manifest.txt"), "w") as fh:
+            for p in parts:
+                fh.write(f"files/{os.path.basename(p)}\n")
+
+    root = staged_once("r22-manifest-src", src, _build)
+    stream = manifest_source(
+        spark, os.path.join(root, "manifest.txt"), max_files_per_trigger=1
+    )
+    name = _mem_name("s_r22m")
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def _q_s_x7_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 streaming: watermarked hourly windows (complete mode so every
     window emits and the batch oracle matches; the append-mode
@@ -1322,3 +1378,13 @@ ORACLES_EXT["s_x3_stream_incremental_neardup"] = _DEDUP_ORACLES[
 from odoo_batch_processing_spark.operators.windows import ORACLES_EXT as _WIN_ORACLES  # noqa: E402
 
 ORACLES_EXT["s_x7_transitions"] = _WIN_ORACLES["x7_event_transitions"]
+
+# ROTATION_R15 (registry.py): the manifest-fed R22 twin takes the core
+# slot so the external DuckDB harness audits the newest subsystem (the
+# manifest Python DataSource had zero driver-window coverage); the
+# directory-listing form it twins stays oracle-checked in the extended
+# tier. Same SQL: both streams must reproduce the full events counts.
+QUERIES["s_r22_manifest_counts"] = _with_stream_shuffle(_q_s_r22_manifest_counts)
+ORACLES["s_r22_manifest_counts"] = ORACLES["s_r22_change_counts"]
+QUERIES_EXT["s_r22_change_counts"] = QUERIES.pop("s_r22_change_counts")
+ORACLES_EXT["s_r22_change_counts"] = ORACLES.pop("s_r22_change_counts")

@@ -33,7 +33,7 @@ def test_operator_families_all_in_core():
         "similarity": {"x4_cosine_topk", "x4_ivf_topk", "x4_ivf_trained_topk"},
         "text": {"x5_text_features", "x5_bm25_topk"},
         "curation": {"x9_curation_pipeline", "x9_weighted_sample"},
-        "jsonops": {"x6_json_grouped"},
+        "jsonops": {"x6_json_grouped", "x6_variant_shred"},
         "windows": {"x7_sessionize", "w_interval_sweep"},
         "approx": {"x8_approx_aggs", "x8_hll_merge"},
         "setops": {"set_ops_chain"},

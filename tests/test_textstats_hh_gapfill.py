@@ -301,7 +301,7 @@ def test_sessionize_auto_generalized_key_probe_cache_empty(spark):
     # (b) memoized probe: same plan+key+fraction → cache hit, no rescan
     W._MAX_KEY_EST_CACHE.clear()
     first = W.estimate_max_key_rows(ev, "device_id", fraction=0.5, cache=True)
-    ck = (ev.semanticHash(), "device_id", 0.5, 42)
+    ck = (ev.semanticHash(), tuple(ev.columns), "device_id", 0.5, 42)
     assert W._MAX_KEY_EST_CACHE[ck] == first
     # poison the cache: a second call must return the memoized value,
     # proving no re-sample happened
@@ -311,8 +311,8 @@ def test_sessionize_auto_generalized_key_probe_cache_empty(spark):
         == first + 123
     )
     # distinct key, fraction, or seed misses the cache
-    assert (ev.semanticHash(), "device_id", 0.25, 42) not in W._MAX_KEY_EST_CACHE
-    assert (ev.semanticHash(), "device_id", 0.5, 7) not in W._MAX_KEY_EST_CACHE
+    assert (ev.semanticHash(), tuple(ev.columns), "device_id", 0.25, 42) not in W._MAX_KEY_EST_CACHE
+    assert (ev.semanticHash(), tuple(ev.columns), "device_id", 0.5, 7) not in W._MAX_KEY_EST_CACHE
     # a different seed computes fresh instead of hitting seed-42's entry
     assert (
         W.estimate_max_key_rows(ev, "device_id", fraction=0.5, seed=7, cache=True)

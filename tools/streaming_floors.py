@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
 
 #: which floor twin decomposes which core streaming query
 MAPPING = {
-    "s_r22_change_counts": "floor_single_complete",
+    # ROTATION_R15: the manifest-fed R22 twin replaced the directory-
+    # listing form in core; its cadence floor is the 4-trigger one
+    # (4 manifest entries at maxFilesPerTrigger=1), the closest twin —
+    # the complete-mode re-emit adds a few ms on 5 output rows.
+    "s_r22_manifest_counts": "floor_multi4_append",
     "s_x7_stream_hourly": "floor_single_complete",
     "s_stateful_totals": "floor_single_append",
     "s_r18_throttled_update": "floor_foreach_availnow",
