@@ -44,6 +44,20 @@ INVARIANCE_QUERIES = (
     "x3_containment",  # capped shingle self-join containment pairs
     "w_interval_sweep",  # interval boundary-event cumsum
     "profile_checksum",  # order/partition-invariant table checksum
+    # round-15 core rotation (registry.ROTATION_R15): same de-risking
+    # for the 8 batch promotions. s_r22_manifest_counts is the ninth
+    # promoted query but is EXCLUDED here by design: its
+    # _with_stream_shuffle wrapper pins the stream's shuffle count
+    # internally, so an outer conf change never reaches it — its
+    # determinism receipt is the exact-count oracle at three SFs.
+    "x3_minhash_indexed",  # capped band pairs via the v3 standing index
+    "g_triangle_counts",  # capped postings self-join triangle counts
+    "x4_int8_topk",  # int8-quantized scores + tie-broken top-k
+    "x5_unigram_surprisal",  # corpus LM probs + float mean per doc
+    "x9_group_sample",  # per-group deterministic stratified sample
+    "x6_variant_shred",  # variant extraction + grouped aggregates
+    "w_gap_fill_ffill",  # calendar scaffold + last-value forward fill
+    "scd2_user_tiers",  # window-versioned type-2 history build
 )
 
 
