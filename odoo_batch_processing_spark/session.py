@@ -192,7 +192,17 @@ def materialized_scope(blocking: bool = False):
     is wrong there because it would also unpin relations the ENCLOSING
     query materialized and still reads. Unpersist-after-consume is
     safe by construction: the pinned plans are pure recomputable
-    intermediates, so a late reader merely recomputes."""
+    intermediates, so a late reader merely recomputes.
+
+    Concurrency caveat: the registry is a plain module-level list, so
+    scopes are for the engine's actual usage — one foreachBatch loop
+    per streaming query, each scope entered and exited on the same
+    thread, scopes nested or sequential but never interleaved across
+    threads. Two OVERLAPPING scopes on different threads could release
+    each other's pins early; that is value-safe (pure recomputable
+    intermediates — worst case a recompute) but defeats the pin, so
+    concurrent streams should each use their own SparkSession-cloned
+    engine or accept the recompute."""
     mark = len(_MATERIALIZED)
     try:
         yield

@@ -52,6 +52,15 @@ _KEYED_PREFIX = "keyed-"
 _RESCUE_PREFIX = _KEYED_PREFIX + "rescue-"
 _RESCUE_TTL_SECONDS = 7 * 24 * 3600
 
+#: RETIRED keyed layouts (review r15): when a standing index bumps its
+#: layout/commit version (minhash-index-v2 → v3), dirs of the OLD
+#: version are never opened again by any code at this version — the
+#: content-key exemption's premise ("a lazy reader may still hold the
+#: path") decays with the sessions that created them, so they get the
+#: bounded rescue TTL instead of living forever. Append, never reuse,
+#: version names here on every future bump.
+_RETIRED_KEYED_PREFIXES = (_KEYED_PREFIX + "minhash-index-v2-",)
+
 
 def _sweep_stale(root: str) -> None:
     """Best-effort removal of scratch dirs older than the TTL so
@@ -72,6 +81,8 @@ def _sweep_stale(root: str) -> None:
                 continue
             if entry.name.startswith(_RESCUE_PREFIX):
                 ttl = _RESCUE_TTL_SECONDS  # bounded, not exempt (ADVICE r10)
+            elif entry.name.startswith(_RETIRED_KEYED_PREFIXES):
+                ttl = _RESCUE_TTL_SECONDS  # retired layout: bounded leak
             elif entry.name.startswith(_KEYED_PREFIX):
                 continue  # content-keyed standing index: key governs staleness
             else:

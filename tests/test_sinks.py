@@ -516,3 +516,33 @@ def test_rescue_dirs_swept_by_dedicated_ttl(tmp_path, monkeypatch):
     assert os.path.exists(keep_rescue)
     assert not os.path.exists(drop_rescue)
     assert not os.path.exists(drop_plain)
+
+
+def test_retired_keyed_layouts_swept_by_bounded_ttl(tmp_path):
+    """Review r15: a version-bumped standing index (minhash-index-v2 →
+    v3) strands its old-version dirs under the sweep-exempt keyed-
+    prefix with no reader ever opening them again — they must age out
+    on the bounded rescue TTL instead of leaking forever, while the
+    CURRENT version stays exempt at any age."""
+    import os
+    import time
+
+    from odoo_batch_processing_spark.sources import sinks
+
+    root = str(tmp_path)
+    old = time.time() - sinks._RESCUE_TTL_SECONDS - 60
+
+    def mk(name, mtime):
+        p = os.path.join(root, name)
+        os.makedirs(p)
+        os.utime(p, (mtime, mtime))
+        return p
+
+    keep_current = mk("keyed-minhash-index-v3-aaaa", old)   # exempt forever
+    keep_young = mk("keyed-minhash-index-v2-bbbb", time.time() - 60)
+    drop_retired = mk("keyed-minhash-index-v2-cccc", old)   # past bounded TTL
+
+    sinks._sweep_stale(root)
+    assert os.path.exists(keep_current)
+    assert os.path.exists(keep_young)
+    assert not os.path.exists(drop_retired)
