@@ -107,8 +107,16 @@ def pagerank(
     ).transform(truncate_lineage)
     base = F.lit(0.15) / F.lit(float(n))  # literal 0.15, NOT 1-damping:
     # Python's (1-0.85) is 0.15000000000000002 — one ulp off the 0.15
-    # the SQL oracle parses, which would leak into every rank
-    assert damping == 0.85, "oracle is unrolled for the standard d=0.85"
+    # the SQL oracle parses, which would leak into every rank.
+    # Explicit raise, not assert (review r15, same class as the r14
+    # queue's streaming gates): under `python -O` a non-0.85 damping
+    # would silently keep the unrolled 0.15 base term — every rank
+    # wrong with a green return.
+    if damping != 0.85:
+        raise ValueError(
+            f"pagerank: damping={damping} unsupported — the base term "
+            "(and the DuckDB oracle) are unrolled for the standard 0.85"
+        )
     for _ in range(iters):
         contrib = out_edges.join(ranks, out_edges[src] == ranks["id"]).select(
             F.col(dst).alias("id"),
