@@ -946,3 +946,12 @@ QUERIES["x9_group_sample"] = QUERIES_EXT.pop("x9_group_sample")
 ORACLES["x9_group_sample"] = ORACLES_EXT.pop("x9_group_sample")
 QUERIES_EXT["x9_pack_shards"] = QUERIES.pop("x9_pack_shards")
 ORACLES_EXT["x9_pack_shards"] = ORACLES.pop("x9_pack_shards")
+
+# ROTATION_R16 (registry.py): difficulty deciles (surprisal-ranked
+# curriculum bucketing) take the curation slot held by the weighted
+# sampler since round 14; the sampler rotates to extended, still under
+# tests/test_retry_determinism.py's determinism harness.
+QUERIES["x9_difficulty_deciles"] = QUERIES_EXT.pop("x9_difficulty_deciles")
+ORACLES["x9_difficulty_deciles"] = ORACLES_EXT.pop("x9_difficulty_deciles")
+QUERIES_EXT["x9_weighted_sample"] = QUERIES.pop("x9_weighted_sample")
+ORACLES_EXT["x9_weighted_sample"] = ORACLES.pop("x9_weighted_sample")

@@ -1714,3 +1714,15 @@ QUERIES_EXT["x3_minhash_lsh"] = QUERIES.pop("x3_minhash_lsh")
 ORACLES_EXT["x3_minhash_lsh"] = ORACLES.pop("x3_minhash_lsh")
 QUERIES_EXT["x3_simhash"] = QUERIES.pop("x3_simhash")
 ORACLES_EXT["x3_simhash"] = ORACLES.pop("x3_simhash")
+
+# ROTATION_R16 (registry.py): two dedup seats vacate — the batch
+# incremental near-dup hands its slot to the streaming twin
+# s_x3_stream_incremental_neardup (streaming/queries.py, the X3
+# family's first streaming driver row, SAME oracle), and exact dedup's
+# batch form steps out (the family stays driver-covered by the
+# watermark-bounded s_x2_stream_dedup_wm). Both stay oracle-checked
+# locally every round.
+QUERIES_EXT["x3_incremental_neardup"] = QUERIES.pop("x3_incremental_neardup")
+ORACLES_EXT["x3_incremental_neardup"] = ORACLES.pop("x3_incremental_neardup")
+QUERIES_EXT["x2_dedup_survivors"] = QUERIES.pop("x2_dedup_survivors")
+ORACLES_EXT["x2_dedup_survivors"] = ORACLES.pop("x2_dedup_survivors")

@@ -611,3 +611,13 @@ ORACLES["g_pagerank_simgraph"] = ORACLES_EXT.pop("g_pagerank_simgraph")
 # counting query next to the iterative fixpoint.
 QUERIES["g_triangle_counts"] = QUERIES_EXT.pop("g_triangle_counts")
 ORACLES["g_triangle_counts"] = ORACLES_EXT.pop("g_triangle_counts")
+
+# ROTATION_R16 (registry.py): the DOULION sampled estimator — the
+# exact counter's 100 TB escape hatch — takes the slot, putting its
+# variance-bound est_ok contract under the external harness; the exact
+# counter (14.95 s = 34% of the r15 batch headline, cost intrinsic to
+# wedge volume) rotates to extended, still oracle-checked locally.
+QUERIES["g_doulion_triangles"] = QUERIES_EXT.pop("g_doulion_triangles")
+ORACLES["g_doulion_triangles"] = ORACLES_EXT.pop("g_doulion_triangles")
+QUERIES_EXT["g_triangle_counts"] = QUERIES.pop("g_triangle_counts")
+ORACLES_EXT["g_triangle_counts"] = ORACLES.pop("g_triangle_counts")

@@ -248,3 +248,10 @@ ORACLES_EXT = {
 # extended.
 QUERIES = {"scd2_user_tiers": QUERIES_EXT.pop("scd2_user_tiers")}
 ORACLES = {"scd2_user_tiers": ORACLES_EXT.pop("scd2_user_tiers")}
+
+# ROTATION_R16 (registry.py): the point-in-time probe joins the
+# history build in core — it is the as-of-join family's new
+# representative (asof_last_purchase vacated its round-1 seat), and
+# the first driver row composing the SCD2 history with an ASOF probe.
+QUERIES["pit_tier_at_purchase"] = QUERIES_EXT.pop("pit_tier_at_purchase")
+ORACLES["pit_tier_at_purchase"] = ORACLES_EXT.pop("pit_tier_at_purchase")

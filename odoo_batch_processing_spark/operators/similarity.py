@@ -998,3 +998,13 @@ QUERIES["x4_int8_topk"] = QUERIES_EXT.pop("x4_int8_topk")
 ORACLES["x4_int8_topk"] = ORACLES_EXT.pop("x4_int8_topk")
 QUERIES_EXT["x4_cosine_topk"] = QUERIES.pop("x4_cosine_topk")
 ORACLES_EXT["x4_cosine_topk"] = ORACLES.pop("x4_cosine_topk")
+
+# ROTATION_R16 (registry.py): the standing-IVF-index multiprobe — the
+# ANN analogue of x3_minhash_indexed's build-once/probe-many path —
+# takes the trained-topk slot (audited r14+r15); the trained chain
+# stays certified by x4_ivf_trained_recall in core and its own
+# extended twin.
+QUERIES["x4_ivf_indexed_multiprobe"] = QUERIES_EXT.pop("x4_ivf_indexed_multiprobe")
+ORACLES["x4_ivf_indexed_multiprobe"] = ORACLES_EXT.pop("x4_ivf_indexed_multiprobe")
+QUERIES_EXT["x4_ivf_trained_topk"] = QUERIES.pop("x4_ivf_trained_topk")
+ORACLES_EXT["x4_ivf_trained_topk"] = ORACLES.pop("x4_ivf_trained_topk")

@@ -1145,3 +1145,11 @@ QUERIES["x5_unigram_surprisal"] = QUERIES_EXT.pop("x5_unigram_surprisal")
 ORACLES["x5_unigram_surprisal"] = ORACLES_EXT.pop("x5_unigram_surprisal")
 QUERIES_EXT["x5_text_features"] = QUERIES.pop("x5_text_features")
 ORACLES_EXT["x5_text_features"] = ORACLES.pop("x5_text_features")
+
+# ROTATION_R16 (registry.py): the Gopher repetition gates (dup-line /
+# dup-paragraph fractions, top-ngram share) take the text slot held by
+# bm25 since round 14; the scored retrieval query rotates to extended.
+QUERIES["x5_gopher_repetition"] = QUERIES_EXT.pop("x5_gopher_repetition")
+ORACLES["x5_gopher_repetition"] = ORACLES_EXT.pop("x5_gopher_repetition")
+QUERIES_EXT["x5_bm25_topk"] = QUERIES.pop("x5_bm25_topk")
+ORACLES_EXT["x5_bm25_topk"] = ORACLES.pop("x5_bm25_topk")

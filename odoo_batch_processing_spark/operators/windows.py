@@ -1018,3 +1018,15 @@ QUERIES["w_gap_fill_ffill"] = QUERIES_EXT.pop("w_gap_fill_ffill")
 ORACLES["w_gap_fill_ffill"] = ORACLES_EXT.pop("w_gap_fill_ffill")
 QUERIES_EXT["x7_sessionize"] = QUERIES.pop("x7_sessionize")
 ORACLES_EXT["x7_sessionize"] = ORACLES.pop("x7_sessionize")
+
+# ROTATION_R16 (registry.py): the bounded rolling median (rangeBetween
+# over a 5-row frame via percentile) replaces the interval sweep, and
+# the lead-window event-transition matrix takes a second windows slot
+# (x2_dedup_survivors vacated a dedup-family seat — exact dedup stays
+# driver-covered by s_x2_stream_dedup_wm).
+QUERIES["w_rolling_median5"] = QUERIES_EXT.pop("w_rolling_median5")
+ORACLES["w_rolling_median5"] = ORACLES_EXT.pop("w_rolling_median5")
+QUERIES_EXT["w_interval_sweep"] = QUERIES.pop("w_interval_sweep")
+ORACLES_EXT["w_interval_sweep"] = ORACLES.pop("w_interval_sweep")
+QUERIES["x7_event_transitions"] = QUERIES_EXT.pop("x7_event_transitions")
+ORACLES["x7_event_transitions"] = ORACLES_EXT.pop("x7_event_transitions")

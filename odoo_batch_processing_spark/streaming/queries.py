@@ -1365,19 +1365,26 @@ ORACLES["s_x2_stream_dedup_wm"] = ORACLES_EXT.pop("s_x2_stream_dedup_wm")
 
 # bound here (not in the dict literal) to reuse the dedup module's
 # oracle verbatim: the streamed probe's contract IS "unions to the
-# batch incremental result"
-from odoo_batch_processing_spark.operators.dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
+# batch incremental result". Merged-tier lookup: the source query's
+# CURRENT tier is a rotation decision (x3_incremental_neardup moved
+# core→ext in ROTATION_R16) and must not break this reuse.
+from odoo_batch_processing_spark.operators import dedup as _dedup  # noqa: E402
 
-ORACLES_EXT["s_x3_stream_incremental_neardup"] = _DEDUP_ORACLES[
-    "x3_incremental_neardup"
-]
+ORACLES_EXT["s_x3_stream_incremental_neardup"] = {
+    **_dedup.ORACLES,
+    **_dedup.ORACLES_EXT,
+}["x3_incremental_neardup"]
 
 # order-sensitive stateful streaming under the EXACT batch oracle —
 # the time-sliced staging makes the contract "identical to the batch
 # lead-window transition matrix", so reuse that SQL verbatim
-from odoo_batch_processing_spark.operators.windows import ORACLES_EXT as _WIN_ORACLES  # noqa: E402
+# (merged-tier lookup for the same rotation-safety reason as above —
+# x7_event_transitions moved ext→core in ROTATION_R16)
+from odoo_batch_processing_spark.operators import windows as _win  # noqa: E402
 
-ORACLES_EXT["s_x7_transitions"] = _WIN_ORACLES["x7_event_transitions"]
+ORACLES_EXT["s_x7_transitions"] = {**_win.ORACLES, **_win.ORACLES_EXT}[
+    "x7_event_transitions"
+]
 
 # ROTATION_R15 (registry.py): the manifest-fed R22 twin takes the core
 # slot so the external DuckDB harness audits the newest subsystem (the
@@ -1388,3 +1395,15 @@ QUERIES["s_r22_manifest_counts"] = _with_stream_shuffle(_q_s_r22_manifest_counts
 ORACLES["s_r22_manifest_counts"] = ORACLES["s_r22_change_counts"]
 QUERIES_EXT["s_r22_change_counts"] = QUERIES.pop("s_r22_change_counts")
 ORACLES_EXT["s_r22_change_counts"] = ORACLES.pop("s_r22_change_counts")
+
+# ROTATION_R16 (registry.py): the streaming incremental near-dup takes
+# the core seat its batch twin vacated — the X3 family's first
+# streaming driver row, certified by the SAME DuckDB oracle (the
+# stream's union-over-micro-batches contract is "equals the batch
+# incremental result exactly").
+QUERIES["s_x3_stream_incremental_neardup"] = QUERIES_EXT.pop(
+    "s_x3_stream_incremental_neardup"
+)
+ORACLES["s_x3_stream_incremental_neardup"] = ORACLES_EXT.pop(
+    "s_x3_stream_incremental_neardup"
+)

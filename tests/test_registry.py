@@ -30,11 +30,13 @@ def test_operator_families_all_in_core():
                       "q09_profit_by_nation_year", "q05_revenue_by_nation"},
         "bulk_update": {"r07_broadcast_update"},
         "dedup": {"x3_neardup_survivors", "x3_minhash_lsh"},
-        "similarity": {"x4_cosine_topk", "x4_ivf_topk", "x4_ivf_trained_topk"},
-        "text": {"x5_text_features", "x5_bm25_topk"},
-        "curation": {"x9_curation_pipeline", "x9_weighted_sample"},
+        "similarity": {"x4_cosine_topk", "x4_ivf_topk", "x4_ivf_trained_topk",
+                       "x4_ivf_indexed_multiprobe"},
+        "text": {"x5_text_features", "x5_bm25_topk", "x5_gopher_repetition"},
+        "curation": {"x9_curation_pipeline", "x9_weighted_sample",
+                     "x9_difficulty_deciles"},
         "jsonops": {"x6_json_grouped", "x6_variant_shred"},
-        "windows": {"x7_sessionize", "w_interval_sweep"},
+        "windows": {"x7_sessionize", "w_interval_sweep", "w_rolling_median5"},
         "approx": {"x8_approx_aggs", "x8_hll_merge"},
         "setops": {"set_ops_chain"},
         "skew": {"skew_salted_agg"},
@@ -42,7 +44,9 @@ def test_operator_families_all_in_core():
         "multimodal": {"mm_decode_features"},
         "sinks": {"r21_merge"},
         "streaming": {"s_r17_progress"},
-        "asof": {"asof_last_purchase"},
+        # pit_tier_at_purchase (scd.py) is the family's ROTATION_R16
+        # representative — the same as-of-join shape over SCD2 history
+        "asof": {"asof_last_purchase", "pit_tier_at_purchase"},
         # first-ever driver rows for these two (round 14)
         "graph": {"g_pagerank_simgraph"},
         "profile": {"profile_checksum"},

@@ -57,6 +57,11 @@ MAPPING = {
     "s_x2_stream_dedup_wm": "floor_2file_append_ckpt",
     "s_stream_stream_join": "floor_dual_stream_append_ckpt",
     "s_stream_stream_left_join": "floor_3file_append_ckpt",
+    # ROTATION_R16: the streaming incremental near-dup (3 staged files
+    # at maxFilesPerTrigger=1, foreachBatch + checkpoint) — the
+    # 3-trigger checkpoint-commit floor is the closest twin; the
+    # foreachBatch probe work on top of it is the query's real cost.
+    "s_x3_stream_incremental_neardup": "floor_3file_append_ckpt",
 }
 
 
