@@ -36,6 +36,7 @@ from __future__ import annotations
 import logging
 import os
 import re
+import threading
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -49,9 +50,13 @@ ORD_COL = "row_ord"
 #: plan), bucket_cols, n_parts) → collected boundary sample.
 #: Staleness is harmless (boundaries affect balance only); size is
 #: hard-capped FIFO so a long-lived service generating many distinct
-#: plans cannot grow it without bound.
+#: plans cannot grow it without bound. Dict access is lock-guarded
+#: (VERDICT r15 #6): concurrent sessions on one driver may MISS and
+#: recompute concurrently (value-safe — boundaries only affect
+#: balance), but the cache structure itself can never corrupt.
 _BOUNDARY_CACHE: dict = {}
 _BOUNDARY_CACHE_MAX = 256
+_BOUNDARY_CACHE_LOCK = threading.Lock()
 
 _log = logging.getLogger(__name__)
 
@@ -261,9 +266,9 @@ def distributed_ordinal(
             )
         except Exception:  # pragma: no cover - Connect/remote plans
             cache_key = None
-        if cache_key is not None and cache_key in _BOUNDARY_CACHE:
-            sk = _BOUNDARY_CACHE[cache_key]
-        else:
+        with _BOUNDARY_CACHE_LOCK:
+            sk = _BOUNDARY_CACHE.get(cache_key) if cache_key is not None else None
+        if sk is None:
             sk = (
                 df.select(
                     *bucket_cols,
@@ -275,9 +280,10 @@ def distributed_ordinal(
                 .collect()
             )
             if cache_key is not None:
-                if len(_BOUNDARY_CACHE) >= _BOUNDARY_CACHE_MAX:
-                    _BOUNDARY_CACHE.pop(next(iter(_BOUNDARY_CACHE)))
-                _BOUNDARY_CACHE[cache_key] = sk
+                with _BOUNDARY_CACHE_LOCK:
+                    if len(_BOUNDARY_CACHE) >= _BOUNDARY_CACHE_MAX:
+                        _BOUNDARY_CACHE.pop(next(iter(_BOUNDARY_CACHE)))
+                    _BOUNDARY_CACHE[cache_key] = sk
     # boundary rows with NULL fields are dropped (a NULL inside a
     # struct comparison yields NULL → bucket contribution 0, which
     # would disagree with NULLS FIRST sort order at that boundary;

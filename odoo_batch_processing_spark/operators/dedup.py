@@ -334,7 +334,9 @@ def minhash_band_keys(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def lsh_candidate_pairs(band_keys: DataFrame, cap: int = HOT_BUCKET_CAP) -> DataFrame:
+def lsh_candidate_pairs(
+    band_keys: DataFrame, cap: int = HOT_BUCKET_CAP, precounted: bool = False
+) -> DataFrame:
     """Docs sharing any band key → distinct candidate pairs.
 
     Band buckets larger than ``cap`` are dropped before the pair join
@@ -342,24 +344,41 @@ def lsh_candidate_pairs(band_keys: DataFrame, cap: int = HOT_BUCKET_CAP) -> Data
     empty/boilerplate shingle set) would otherwise pair up its whole
     bucket quadratically on one shuffle key.
 
-    Two input shapes (review r14 #5): a relation carrying a write-time
-    ``bucket_n`` column (the v3 standing index) is capped by a
-    SCAN-LOCAL filter — zero extra shuffles, no persist, the parquet
-    read-back is cheap to scan twice for the self-join. A computed
-    relation without it is materialized once (this function reads it
-    four times: bucket count + semi-join + both self-join sides, and
-    without the barrier each branch would re-run the whole signature
-    pipeline scan → shingle → k min-hashes) and capped by
-    :func:`cap_hot_buckets`' count + semi-join. Same drop semantics
-    either way; the relation is |docs|×bands short rows — at corpus
-    scale this is the signature index you'd write to a table and
-    reuse."""
-    if "bucket_n" in band_keys.columns:
+    Two input shapes (review r14 #5), selected by the EXPLICIT
+    ``precounted`` flag (ADVICE r15 #2 — previously inferred from the
+    presence of a ``bucket_n`` column, which a computed relation could
+    coincidentally carry, silently substituting stale counts for
+    :func:`cap_hot_buckets`' fresh ones):
+
+    * ``precounted=True`` — the relation carries a write-time
+      ``bucket_n`` column (the v3 standing index; raises if absent)
+      and is capped by a SCAN-LOCAL filter — zero extra shuffles, no
+      persist, the parquet read-back is cheap to scan twice for the
+      self-join.
+    * ``precounted=False`` (default) — the relation is materialized
+      once (this function reads it four times: bucket count +
+      semi-join + both self-join sides, and without the barrier each
+      branch would re-run the whole signature pipeline scan → shingle
+      → k min-hashes) and capped by :func:`cap_hot_buckets`'s count +
+      semi-join; any coincidental ``bucket_n`` column is ignored.
+
+    Same drop semantics either way; the relation is |docs|×bands short
+    rows — at corpus scale this is the signature index you'd write to
+    a table and reuse."""
+    if precounted:
+        if "bucket_n" not in band_keys.columns:
+            raise ValueError(
+                "lsh_candidate_pairs(precounted=True) requires a write-time "
+                "'bucket_n' column (the standing-index layout); got columns "
+                f"{band_keys.columns}"
+            )
         band_keys = band_keys.filter(F.col("bucket_n") <= cap).select(
             "doc_id", "band", "band_key"
         )
     else:
-        band_keys = band_keys.transform(materialize_once)
+        band_keys = band_keys.select("doc_id", "band", "band_key").transform(
+            materialize_once
+        )
         band_keys = cap_hot_buckets(band_keys, ["band", "band_key"], cap)
     a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -632,7 +651,7 @@ def _q_x3_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles and no re-persist of the read-back (review r14 #5),
     the same form :func:`probe_standing_index` uses.
     """
-    return lsh_candidate_pairs(ensure_minhash_index(spark, sf_dir))
+    return lsh_candidate_pairs(ensure_minhash_index(spark, sf_dir), precounted=True)
 
 
 def _q_x3_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,21 +1057,25 @@ def connected_components(
     )
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     labels = labels.transform(truncate_lineage)
-    history: list[int] = []
-    for _ in range(max_iters):
-        nbr = sym.join(labels, sym["src"] == labels["id"]).select(
+
+    def _propagate(cur: DataFrame) -> tuple[DataFrame, int]:
+        nbr = sym.join(cur, sym["src"] == cur["id"]).select(
             F.col("dst").alias("id"), F.col("comp")
         )
         new_labels = (
-            labels.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+            cur.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
         ).transform(truncate_lineage)
-        changed = (
+        n_changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(cur.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels = new_labels
+        return new_labels, n_changed
+
+    history: list[int] = []
+    for _ in range(max_iters):
+        labels, changed = _propagate(labels)
         if changed == 0:
             break
         history.append(changed)
@@ -1072,21 +1095,29 @@ def connected_components(
             )
             return out
     else:
-        # fail-loud on exhaustion (review r14 #1, the edge_budget
-        # discipline of graph.pagerank): a component deeper than
-        # max_iters hops would otherwise get PARTIAL labels — two
-        # vertices of one component reported as two clusters — with a
-        # green return. Silently-wrong dedup labels at 100 TB are the
-        # exact failure class this engine fail-louds everywhere else.
-        last = f"{history[-1]:,}" if history else "≥1"
-        raise RuntimeError(
-            "connected_components: min-label propagation did not "
-            f"converge in max_iters={max_iters} rounds (last round "
-            f"still changed {last} labels) — the graph is "
-            "deeper than the iteration budget; raise max_iters, or "
-            "use connected_components_star / connected_components_auto "
-            "(O(log n) rounds on long chains)"
-        )
+        # one unbudgeted CONFIRMING round first (ADVICE r15 #1):
+        # convergence is only ever observed via a zero-change round,
+        # so a graph whose propagation finishes in EXACTLY max_iters
+        # rounds holds final, correct labels the loop never got to
+        # confirm — probe once more and return them if nothing moves.
+        labels, changed = _propagate(labels)
+        if changed:
+            # fail-loud on exhaustion (review r14 #1, the edge_budget
+            # discipline of graph.pagerank): a component deeper than
+            # max_iters hops would otherwise get PARTIAL labels — two
+            # vertices of one component reported as two clusters —
+            # with a green return. Silently-wrong dedup labels at
+            # 100 TB are the exact failure class this engine
+            # fail-louds everywhere else.
+            raise RuntimeError(
+                "connected_components: min-label propagation did not "
+                f"converge in max_iters={max_iters} rounds (the "
+                f"confirming round still changed {changed:,} labels) "
+                "— the graph is deeper than the iteration budget; "
+                "raise max_iters, or use connected_components_star / "
+                "connected_components_auto (O(log n) rounds on long "
+                "chains)"
+            )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
 
 
@@ -1148,11 +1179,9 @@ def connected_components_star(
         .distinct()
         .transform(truncate_lineage)
     )
-    rounds = 0
-    for _ in range(max_iters):
-        rounds += 1
+    def _star_round(cur: DataFrame) -> tuple[DataFrame, int]:
         # large-star over the symmetric neighborhood
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
@@ -1178,23 +1207,32 @@ def connected_components_star(
         )
         # converged when the edge set is a fixed point (set equality —
         # both relations are distinct, so two anti-join counts suffice)
-        changed = (
-            small.exceptAll(e).count() + e.exceptAll(small).count()
-        )
-        e = small
+        n_changed = small.exceptAll(cur).count() + cur.exceptAll(small).count()
+        return small, n_changed
+
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        e, changed = _star_round(e)
         if changed == 0:
             break
     else:
-        # same exhaustion contract as connected_components (review
-        # r14 #1): a non-fixed-point edge set means labels derived
-        # from it are not component minima — refuse to return them.
-        last = f"{changed:,}" if rounds else "≥1"
-        raise RuntimeError(
-            "connected_components_star: star contraction did not reach "
-            f"a fixed point in max_iters={max_iters} rounds ({last} "
-            "edge changes in the last round) — raise max_iters (rounds "
-            "needed grow O(log component size))"
-        )
+        # one unbudgeted CONFIRMING round (ADVICE r15 #1, same as
+        # connected_components): a contraction that reaches the fixed
+        # point on EXACTLY round max_iters is final but unconfirmed —
+        # probe once more before refusing.
+        e, changed = _star_round(e)
+        if changed:
+            # same exhaustion contract as connected_components (review
+            # r14 #1): a non-fixed-point edge set means labels derived
+            # from it are not component minima — refuse to return them.
+            raise RuntimeError(
+                "connected_components_star: star contraction did not "
+                f"reach a fixed point in max_iters={max_iters} rounds "
+                f"({changed:,} edge changes in the confirming round) — "
+                "raise max_iters (rounds needed grow O(log component "
+                "size))"
+            )
     labels = e.groupBy("u").agg(F.min("v").alias("comp"))
     out = (
         vertices.select(F.col(id_col).alias("id"))

@@ -16,6 +16,8 @@ order-independent; see functions/exprs.py).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from odoo_batch_processing_spark.sources.loader import load_table
@@ -237,8 +239,13 @@ SESSION_AUTO_CHUNK_MINUTES = 60
 #: (the estimate only picks between two result-identical physical
 #: forms). FIFO-bounded at _MAX_KEY_EST_CAP entries so a long-lived
 #: session probing many distinct plans cannot grow it without bound.
+#: lock-guarded (VERDICT r15 #6): concurrent drivers may both miss and
+#: recompute the same estimate (value-safe — it only selects between
+#: two value-identical physical forms), but the dict itself can never
+#: corrupt mid-eviction.
 _MAX_KEY_EST_CACHE: dict[tuple, int] = {}
 _MAX_KEY_EST_CAP = 256
+_MAX_KEY_EST_LOCK = threading.Lock()
 
 
 def estimate_max_key_rows(
@@ -273,7 +280,8 @@ def estimate_max_key_rows(
         # between structurally different plans (ADVICE r14); a collision
         # that survives both is value-safe — see _MAX_KEY_EST_CACHE.
         ck = (df.semanticHash(), tuple(df.columns), key, fraction, seed)
-        hit = _MAX_KEY_EST_CACHE.get(ck)
+        with _MAX_KEY_EST_LOCK:
+            hit = _MAX_KEY_EST_CACHE.get(ck)
         if hit is not None:
             return hit
     row = (
@@ -287,11 +295,12 @@ def estimate_max_key_rows(
     m = row["m"] or 0
     est = int(m / fraction)
     if cache:
-        while len(_MAX_KEY_EST_CACHE) >= _MAX_KEY_EST_CAP:
-            # FIFO eviction (dicts iterate in insertion order): the
-            # oldest probed plan is the least likely to be re-probed
-            _MAX_KEY_EST_CACHE.pop(next(iter(_MAX_KEY_EST_CACHE)))
-        _MAX_KEY_EST_CACHE[ck] = est
+        with _MAX_KEY_EST_LOCK:
+            while len(_MAX_KEY_EST_CACHE) >= _MAX_KEY_EST_CAP:
+                # FIFO eviction (dicts iterate in insertion order): the
+                # oldest probed plan is the least likely to be re-probed
+                _MAX_KEY_EST_CACHE.pop(next(iter(_MAX_KEY_EST_CACHE)))
+            _MAX_KEY_EST_CACHE[ck] = est
     return est
 
 

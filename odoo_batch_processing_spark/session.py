@@ -29,6 +29,7 @@ Settings rationale (100 TB posture, tested on local mode):
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -125,8 +126,18 @@ def truncate_lineage(df):
 
 
 #: every DataFrame pinned by :func:`materialize_once`, so callers can
-#: release them without knowing which queries persisted what
+#: release them without knowing which queries persisted what.
+#: ENGINE CONTRACT (VERDICT r15 #6, decided): this is a single-driver-
+#: thread registry — scopes (:func:`materialized_scope`) must be
+#: entered and exited on one thread, nested or sequential but never
+#: interleaved across threads. Registry MUTATIONS are nonetheless
+#: lock-guarded below, so a violation of the contract degrades to a
+#: value-safe early release (the pinned plans are pure recomputable
+#: intermediates — a late reader recomputes), never to a corrupted
+#: list or a double-unpersist crash. Concurrent multi-stream engines
+#: should clone sessions per stream (see materialized_scope docstring).
 _MATERIALIZED: list = []
+_MATERIALIZED_LOCK = threading.Lock()
 
 
 def materialize_once(df):
@@ -158,7 +169,8 @@ def materialize_once(df):
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    _MATERIALIZED.append(df)
+    with _MATERIALIZED_LOCK:
+        _MATERIALIZED.append(df)
     return df
 
 
@@ -169,8 +181,11 @@ def release_materialized(blocking: bool = False) -> int:
     teardown for direct library callers that don't want to nuke the
     whole cache with ``clearCache()``."""
     released = 0
-    while _MATERIALIZED:
-        df = _MATERIALIZED.pop()
+    while True:
+        with _MATERIALIZED_LOCK:
+            if not _MATERIALIZED:
+                break
+            df = _MATERIALIZED.pop()
         try:
             df.unpersist(blocking)
             released += 1
@@ -203,11 +218,13 @@ def materialized_scope(blocking: bool = False):
     intermediates — worst case a recompute) but defeats the pin, so
     concurrent streams should each use their own SparkSession-cloned
     engine or accept the recompute."""
-    mark = len(_MATERIALIZED)
+    with _MATERIALIZED_LOCK:
+        mark = len(_MATERIALIZED)
     try:
         yield
     finally:
-        scoped, _MATERIALIZED[mark:] = _MATERIALIZED[mark:], []
+        with _MATERIALIZED_LOCK:
+            scoped, _MATERIALIZED[mark:] = _MATERIALIZED[mark:], []
         for df in scoped:
             try:
                 df.unpersist(blocking)

@@ -539,6 +539,40 @@ def test_cc_exhaustion_fails_loud(spark):
     assert {r["cluster_id"] for r in star.collect()} == {0}
 
 
+def test_cc_exactly_max_iters_confirms_and_returns(spark):
+    """ADVICE r15 #1: a graph whose propagation finishes in EXACTLY
+    max_iters rounds holds final labels the loop never confirmed with
+    a zero-change round — it must CONFIRM (one unbudgeted probe
+    round) and return them, not raise. An n-vertex path needs n-1
+    one-hop min-label rounds; budgeting exactly that must succeed,
+    one fewer must still raise. Same contract for the star engine at
+    its own measured round count."""
+    from odoo_batch_processing_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 6
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    out = connected_components(verts, edges, max_iters=n - 1, local_cap=0)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iters=n - 2, local_cap=0)
+
+    # star: `rounds` includes the zero-change round that observed the
+    # fixed point, so rounds-1 productive rounds REACHED it — a budget
+    # of rounds-1 previously raised on exhaustion and must now succeed
+    # via the confirming probe
+    _, rounds = connected_components_star(verts, edges, max_iters=25)
+    assert rounds > 1
+    star, _ = connected_components_star(verts, edges, max_iters=rounds - 1)
+    assert {r["cluster_id"] for r in star.collect()} == {0}
+
+
 def test_probe_scope_releases_micro_batch_pins(spark):
     """Review r14 #4: materialized_scope must unpersist exactly the
     DataFrames materialize_once pinned inside it (the per-micro-batch
@@ -589,12 +623,34 @@ def test_indexed_lsh_cap_is_scan_local(spark):
         rows, "doc_id bigint, band int, band_key string, bucket_n bigint"
     )
     got = sorted(
-        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(bk, cap=2).collect()
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(bk, cap=2, precounted=True).collect()
     )
     assert got == [(4, 5)]  # hot bucket dropped wholesale
     # plan shape: the indexed path must not re-aggregate bucket counts
     # (cap_hot_buckets' count + semi-join) — the only aggregate left is
     # the final pair distinct, which computes no count at all
-    plan = lsh_candidate_pairs(bk, cap=2)._jdf.queryExecution().optimizedPlan().toString()
+    plan = (
+        lsh_candidate_pairs(bk, cap=2, precounted=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
     assert "count(" not in plan.lower()
     assert "LeftSemi" not in plan
+
+    # ADVICE r15 #2: the scan-local fast path is an EXPLICIT opt-in —
+    # a computed relation that coincidentally carries a bucket_n
+    # column must NOT silently reuse those (possibly stale/foreign)
+    # counts. Default path recomputes: with fresh counts the "hot"
+    # bucket (3 docs > cap=2) still drops even if the stored column
+    # lies about it.
+    lying = bk.withColumn("bucket_n", F.lit(1).cast("bigint"))
+    got_default = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(lying, cap=2).collect()
+    )
+    assert got_default == [(4, 5)]
+    # and precounted=True without the column fails loudly
+    with pytest.raises(ValueError, match="bucket_n"):
+        lsh_candidate_pairs(bk.drop("bucket_n"), cap=2, precounted=True)
