@@ -395,3 +395,104 @@ def manifest_source(
     if cursor is not None:
         reader = reader.option("cursor", cursor)
     return reader.load()
+
+
+class ManifestSpoolPump:
+    """The JVM-data-plane form of the manifest protocol (VERDICT r15
+    #3): keep the O(new) discovery, move every ROW through Spark's
+    built-in parquet file source instead of the Python DataSource.
+
+    The pump owns a :class:`ManifestTail` over the append-only
+    manifest. Each :meth:`pump` tail-reads only the NEW manifest bytes
+    and hard-links each newly listed parquet file into ``spool_dir`` —
+    O(new files) metadata work on the driver, zero bytes copied (a
+    hard link shares the inode) and zero rows through Python. The
+    built-in JVM file source watches the spool; with
+    ``cleanSource=delete`` it unlinks each spool entry after
+    processing, so the spool listing stays O(unprocessed) ≈ O(new)
+    rather than O(all ever ingested) — the listing knee that motivates
+    the manifest protocol (SCALE_BATCHES listing ladder) never forms,
+    and the staged originals survive (their inode keeps a second
+    link).
+
+    Production analog: a tiny notification-consumer daemon in front of
+    Auto-Loader-style file streams — the queue tells you what arrived,
+    the link publishes it to the watched prefix, the JVM scan (whole-
+    stage codegen, vectorized parquet) does the data plane. The pump
+    is pure driver-side file metadata and is unit-testable without
+    Spark.
+
+    ``cursor`` (optional sidecar file) makes the pump's position
+    durable across restarts the same way :func:`manifest_source`'s
+    cursor option does; already-linked files are skipped by name on
+    replay, so a crash between link and cursor write is idempotent.
+    """
+
+    def __init__(self, manifest_path: str, spool_dir: str, cursor: str | None = None):
+        self.manifest_path = manifest_path
+        self.spool_dir = spool_dir
+        self.cursor = cursor
+        os.makedirs(spool_dir, exist_ok=True)
+        self._tail = ManifestTail(manifest_path)
+        pos = _read_cursor(cursor)
+        if pos:
+            self._tail.fast_forward(pos)
+        self._linked = 0
+
+    def pump(self, max_files: int | None = None) -> int:
+        """Link up to ``max_files`` newly listed files into the spool;
+        returns how many were linked this call."""
+        start = self._tail.released
+        end = self._tail.poll(max_files)
+        base = os.path.dirname(os.path.abspath(self.manifest_path))
+        n = 0
+        for rel in read_manifest_range(self.manifest_path, start, end):
+            src = rel if os.path.isabs(rel) else os.path.join(base, rel)
+            dst = os.path.join(self.spool_dir, os.path.basename(src))
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                pass  # crash-replay of an already-linked file: idempotent
+            n += 1
+        self._linked += n
+        if self.cursor is not None and end > start:
+            _write_cursor(self.cursor, end)
+        return n
+
+
+def manifest_file_stream(
+    spark,
+    manifest_path: str,
+    spool_dir: str,
+    max_files_per_trigger: int | None = None,
+    cursor: str | None = None,
+    schema=None,
+):
+    """(stream_df, pump): the manifest protocol with a 100% JVM data
+    plane. ``stream_df`` is :func:`streaming.sources.change_source`
+    over the spool directory — the plain built-in parquet file stream
+    (vectorized scan, whole-stage codegen), with ``cleanSource=delete``
+    keeping the spool listing O(unprocessed). The caller drives
+    ``pump.pump(k)`` as notifications arrive (or on a timer), then the
+    engine's normal triggers pick the linked files up.
+
+    This is the measured answer to the Python DataSource's ~×2
+    data-plane overhead (SCALE_BATCHES dataplane ladder): same O(new)
+    discovery contract as :func:`manifest_source`, none of the
+    Arrow-over-Python row path."""
+    from odoo_batch_processing_spark.streaming.sources import change_source
+
+    pump = ManifestSpoolPump(manifest_path, spool_dir, cursor=cursor)
+    if schema is None:
+        # the ts-unit probe needs one real footer in the spool; prime
+        # it with the first already-listed file (no-op if the manifest
+        # is still empty AND a schema was given, hence the guard)
+        pump.pump(1)
+    df = change_source(
+        spark,
+        spool_dir,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+        clean_source="delete",
+    )
+    return df, pump

@@ -38,14 +38,21 @@ def change_source(
     directory: str,
     schema: T.StructType | None = None,
     max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
 ) -> DataFrame:
     """readStream over a directory of parquet files (events-shaped by
-    default). New file ≈ new list view (R22)."""
+    default). New file ≈ new list view (R22).
+
+    ``clean_source`` ("delete" / "archive") removes processed files so
+    a spool-style landing directory's listing stays O(unprocessed) —
+    used by :func:`sources.manifest.manifest_file_stream`."""
     configure(spark)
     unit = events_ts_unit(directory) if schema is None else None
     reader = spark.readStream.schema(schema or events_schema(unit))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
     df = reader.parquet(directory)
     if schema is None and unit == "ns":
         # same ns→µs floor conversion as the batch loader

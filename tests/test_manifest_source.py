@@ -504,3 +504,101 @@ def test_manifest_throttle_batches(spark):
     assert len(data_batches) == n_files
     if q.exception() is not None:
         pytest.fail(str(q.exception()))
+
+
+# ------------------------------------------------- spool twin (r16)
+
+def test_spool_pump_o_new_and_idempotent(tmp_path):
+    """ManifestSpoolPump: each pump links only NEWLY listed files
+    (O(new)), replays are idempotent, and the cursor sidecar makes the
+    position durable across pump restarts. Pure driver-side — no
+    Spark."""
+    from odoo_batch_processing_spark.sources.manifest import ManifestSpoolPump
+
+    files = tmp_path / "files"
+    files.mkdir()
+    for i in range(4):
+        (files / f"f{i}.parquet").write_bytes(b"x" * (10 + i))
+    man = tmp_path / "manifest.txt"
+    man.write_text("files/f0.parquet\nfiles/f1.parquet\n")
+    spool = tmp_path / "spool"
+    cursor = tmp_path / "cursor"
+
+    pump = ManifestSpoolPump(str(man), str(spool), cursor=str(cursor))
+    assert pump.pump(1) == 1
+    assert sorted(p.name for p in spool.iterdir()) == ["f0.parquet"]
+    assert pump.pump() == 1  # only the remaining listed file
+    assert sorted(p.name for p in spool.iterdir()) == ["f0.parquet", "f1.parquet"]
+    assert pump.pump() == 0  # nothing new
+
+    # new arrivals append to the manifest; only THEY link
+    with open(man, "a") as fh:
+        fh.write("files/f2.parquet\n")
+    assert pump.pump() == 1
+    # hard link, not copy: same inode as the staged original
+    assert (spool / "f2.parquet").stat().st_ino == (files / "f2.parquet").stat().st_ino
+
+    # restart: a fresh pump seeded from the cursor skips everything
+    # already delivered, even with the spool wiped (cleanSource did it)
+    for p in spool.iterdir():
+        p.unlink()
+    pump2 = ManifestSpoolPump(str(man), str(spool), cursor=str(cursor))
+    assert pump2.pump() == 0
+    with open(man, "a") as fh:
+        fh.write("files/f3.parquet\n")
+    assert pump2.pump() == 1
+    assert sorted(p.name for p in spool.iterdir()) == ["f3.parquet"]
+
+
+def test_spool_swap_values_plan_and_jvm_data_plane(spark, tmp_path):
+    """The spool twin (manifest discovery + built-in parquet file
+    source) must (a) keep the transformation plan identical to both
+    other R22 forms, (b) produce identical values, and (c) carry NO
+    Python data source in its scan — the whole point: rows never cross
+    the Python data plane (VERDICT r15 #3)."""
+    from odoo_batch_processing_spark.sources.manifest import (
+        manifest_file_stream,
+        manifest_source,
+    )
+    from odoo_batch_processing_spark.streaming.sources import change_source
+
+    files_dir, manifest = _staged(spark)
+    file_df = _downstream(change_source(spark, files_dir))
+    mf_df = _downstream(manifest_source(spark, manifest))
+    spool_raw, pump = manifest_file_stream(
+        spark, manifest, str(tmp_path / "spool"), max_files_per_trigger=1
+    )
+    spool_df = _downstream(spool_raw)
+
+    assert _plan_above_source(file_df) == _plan_above_source(spool_df)
+
+    # data plane: the Python DataSource twin scans via the registered
+    # python source; the spool twin is a plain file StreamingRelation
+    mf_plan = mf_df._jdf.queryExecution().analyzed().toString()
+    spool_plan = spool_df._jdf.queryExecution().analyzed().toString()
+    assert "manifest_parquet" in mf_plan
+    assert "manifest_parquet" not in spool_plan
+    assert "FileSource[" in spool_plan or "parquet" in spool_plan
+
+    q = (
+        spool_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mfs_spool")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        while pump.pump(1):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("mfs_spool").collect()))
+    spark.catalog.dropTempView("mfs_spool")
+    want = _run_to_completion(spark, file_df, "mfs_file_ref")
+    assert got == want
+    assert len(got) > 0
+
+    # cleanSource=delete consumed spool entries; the staged ORIGINALS
+    # survive (hard links share the inode, deletion only drops a name)
+    staged = sorted(glob.glob(os.path.join(files_dir, "part-*.parquet")))
+    assert len(staged) == 4

@@ -391,11 +391,25 @@ def run_dataplane_rung(spark, sf_dir: str, rows_per_file: int) -> dict:
     from odoo_batch_processing_spark.streaming.queries import _mem_name
     from odoo_batch_processing_spark.streaming.sources import change_source
 
+    from odoo_batch_processing_spark.sources.manifest import manifest_file_stream
+
     files_dir, manifest = _dataplane_farm(spark, sf_dir, rows_per_file)
+    # third twin (round 16, VERDICT r15 #3): manifest discovery with a
+    # JVM data plane — all files pumped into the spool up front so the
+    # measured triggers are pure file-source scans at 1 file/trigger,
+    # like-for-like with the other two twins
+    spool_df, pump = manifest_file_stream(
+        spark,
+        manifest,
+        scratch_dir(f"dpl-spool-{rows_per_file}"),
+        max_files_per_trigger=1,
+    )
+    pump.pump()
     out = {"rows_per_file": rows_per_file}
     for kind, df in (
         ("file", change_source(spark, files_dir, max_files_per_trigger=1)),
         ("manifest", manifest_source(spark, manifest, max_files_per_trigger=1)),
+        ("spool", spool_df),
     ):
         name = _mem_name(f"dpl_{kind}_{rows_per_file}")
         q = (
@@ -422,6 +436,8 @@ def run_dataplane_rung(spark, sf_dir: str, rows_per_file: int) -> dict:
         out[f"{kind}_trigger_rows"] = [int(p.get("numInputRows", 0)) for p in prog]
     f_mean, m_mean = out["file_addbatch_mean_sec"], out["manifest_addbatch_mean_sec"]
     out["overhead_ratio"] = round(m_mean / f_mean, 3) if f_mean > 0 else None
+    s_mean = out["spool_addbatch_mean_sec"]
+    out["spool_overhead_ratio"] = round(s_mean / f_mean, 3) if f_mean > 0 else None
     return out
 
 
@@ -430,18 +446,25 @@ def judge_dataplane(rungs: list[dict]) -> list[str]:
     exactly the rung's rows_per_file — otherwise the twins stopped
     measuring like-for-like batches; pure."""
     for r in rungs:
-        for kind in ("file", "manifest"):
-            if any(rows != r["rows_per_file"] for rows in r[f"{kind}_trigger_rows"]):
+        # "spool" joined in round 16; .get keeps the judge valid over
+        # two-twin artifacts from earlier rounds
+        for kind in ("file", "manifest", "spool"):
+            trig = r.get(f"{kind}_trigger_rows")
+            if trig is None:
+                continue
+            if any(rows != r["rows_per_file"] for rows in trig):
                 return ["dataplane_receipt_mismatch"]
     return []
 
 
-def dataplane_bind_point(rungs: list[dict]) -> int | None:
-    """Smallest rows/trigger where the manifest twin's data plane is
-    BOUND: addBatch mean ≥ BIND_RATIO × the file twin's AND past the
-    jitter floor. None = unbound at every measured rung; pure."""
+def dataplane_bind_point(rungs: list[dict], kind: str = "manifest") -> int | None:
+    """Smallest rows/trigger where ``kind``'s data plane is BOUND:
+    addBatch mean ≥ BIND_RATIO × the file twin's AND past the jitter
+    floor. None = unbound at every measured rung; pure."""
     for r in rungs:
-        f, m = r["file_addbatch_mean_sec"], r["manifest_addbatch_mean_sec"]
+        f, m = r["file_addbatch_mean_sec"], r.get(f"{kind}_addbatch_mean_sec")
+        if m is None:
+            continue
         if m > DATAPLANE_ABS_FLOOR and f > 0 and m >= DATAPLANE_BIND_RATIO * f:
             return r["rows_per_file"]
     return None
@@ -600,7 +623,8 @@ def main() -> int:
             print(
                 f"[R={rpf:6d}/file] addBatch file={r['file_addbatch_mean_sec']:.4f}s "
                 f"manifest={r['manifest_addbatch_mean_sec']:.4f}s "
-                f"ratio={r['overhead_ratio']}",
+                f"spool={r['spool_addbatch_mean_sec']:.4f}s "
+                f"ratio={r['overhead_ratio']} spool_ratio={r['spool_overhead_ratio']}",
                 file=sys.stderr,
             )
         top = drungs[-1]
@@ -621,7 +645,18 @@ def main() -> int:
                 if top["manifest_addbatch_mean_sec"] > 0
                 else None
             ),
+            "spool_rows_per_sec_top": (
+                round(top["rows_per_file"] / top["spool_addbatch_mean_sec"])
+                if top["spool_addbatch_mean_sec"] > 0
+                else None
+            ),
             "binds_at_rows_per_trigger": dataplane_bind_point(drungs),
+            # the spool twin is the claim-closer: manifest protocol,
+            # JVM data plane — bound nowhere on the ladder means the
+            # Python-DataSource tax is shed, not just asserted
+            "spool_binds_at_rows_per_trigger": dataplane_bind_point(
+                drungs, kind="spool"
+            ),
         }
 
     flags = judge(results) if results else ["missing_history_section"]
