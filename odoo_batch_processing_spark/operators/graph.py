@@ -256,7 +256,7 @@ def _q_g_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared edge builder: cap certified by the planted witness in
     # tests/test_cap_witness.py (a df=100 shingle cut at 64 while
     # POSTING_ABS_CAP keeps it, oracle hash-matched on the capped side)
-    return triangle_counts(_cooccurrence_edges(spark, sf_dir)).select(
+    return triangle_counts(_cooccurrence_edges(spark, sf_dir, halved=True)).select(
         F.col("id").alias("doc_id"), "deg", "tri"
     )
 
@@ -282,7 +282,9 @@ def doulion_p_eff(p: float) -> float:
     return round(p * 10_000) / 10_000
 
 
-def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, halved: bool = False
+) -> DataFrame:
     """Directed doc-pair edges of the GRAPH_DF_CAP-pruned trigram
     co-occurrence graph — the ONE shared builder for all three graph
     queries, so the cap certification (tests/test_cap_witness.py)
@@ -293,7 +295,16 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     where pair work grows with df² — the oracles prune at the same 64
     via GRAPH_DF_CAP_SQL (_PAIRS_CTES). Output is NOT deduplicated:
     the triangle consumers canonicalize downstream
-    (least/greatest + distinct), pagerank adds its own .distinct()."""
+    (least/greatest + distinct), pagerank adds its own .distinct().
+
+    ``halved=True`` (VERDICT r15 #2b) emits each doc pair in ONE
+    direction only (src < dst, a join-time filter): the self-join
+    still produces both orders, but half the pair stream dies at the
+    scan-side filter before the downstream canonicalize's Deduplicate
+    exchange — a 2× cut of the triangle pipeline's dominant shuffle.
+    Value-identical for undirected consumers (least/greatest was
+    already collapsing the two orders); pagerank must NOT use it (its
+    random walk needs both directions)."""
     from odoo_batch_processing_spark.operators.text import (
         GRAPH_DF_CAP,
         pruned_shingle_postings,
@@ -303,11 +314,8 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = pruned.select("doc_id", "shingle")
     a = pruned.select("shingle", F.col("doc_id").alias("src"))
     b = pruned.select("shingle", F.col("doc_id").alias("dst"))
-    return (
-        a.join(b, "shingle")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-    )
+    keep = F.col("src") < F.col("dst") if halved else F.col("src") != F.col("dst")
+    return a.join(b, "shingle").filter(keep).select("src", "dst")
 
 
 def doulion_triangle_estimate(
@@ -388,9 +396,9 @@ def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound's tightness is what makes the contract informative."""
     # one canonical edge build feeds BOTH the exact pass and the
     # sampled pass (the sample is a scan-local filter over it)
-    und = _canonical_undirected(_cooccurrence_edges(spark, sf_dir)).transform(
-        materialize_once
-    )
+    und = _canonical_undirected(
+        _cooccurrence_edges(spark, sf_dir, halved=True)
+    ).transform(materialize_once)
     tri, _deg = _triangle_relation(und)
     tri = tri.transform(materialize_once)  # reused: T and the k incidence
     t_exact = tri.agg(F.count(F.lit(1)).alias("n_tri_exact"))
@@ -612,12 +620,16 @@ ORACLES["g_pagerank_simgraph"] = ORACLES_EXT.pop("g_pagerank_simgraph")
 QUERIES["g_triangle_counts"] = QUERIES_EXT.pop("g_triangle_counts")
 ORACLES["g_triangle_counts"] = ORACLES_EXT.pop("g_triangle_counts")
 
-# ROTATION_R16 (registry.py): the DOULION sampled estimator — the
-# exact counter's 100 TB escape hatch — takes the slot, putting its
-# variance-bound est_ok contract under the external harness; the exact
-# counter (14.95 s = 34% of the r15 batch headline, cost intrinsic to
-# wedge volume) rotates to extended, still oracle-checked locally.
-QUERIES["g_doulion_triangles"] = QUERIES_EXT.pop("g_doulion_triangles")
-ORACLES["g_doulion_triangles"] = ORACLES_EXT.pop("g_doulion_triangles")
+# ROTATION_R16 (registry.py): the exact triangle counter (14.95 s =
+# 34% of the r15 batch headline, cost intrinsic to wedge volume even
+# after the halved-edge trim) rotates to extended, still oracle-checked
+# locally every round. Its seat goes to operators/ivm.py (a subsystem
+# with ZERO prior driver rows) rather than to g_doulion_triangles:
+# the DOULION catalog query embeds the exact pass for its est_ok
+# certification (measured ~1.35× the exact counter at sf0.1), so as a
+# CORE row it would re-introduce the very tax the estimator exists to
+# dodge. The graph family stays driver-covered by g_pagerank_simgraph;
+# the estimator's variance-bound contract stays certified in the
+# extended sweep every round.
 QUERIES_EXT["g_triangle_counts"] = QUERIES.pop("g_triangle_counts")
 ORACLES_EXT["g_triangle_counts"] = ORACLES.pop("g_triangle_counts")

@@ -281,10 +281,14 @@ def test_hot_bucket_cap_witness_incremental_index(
     exactly the one pair."""
     from odoo_batch_processing_spark.operators.dedup import (
         HOT_BUCKET_CAP,
-        ORACLES as DEDUP_ORACLES,
+        ORACLES as _DEDUP_O_CORE,
+        ORACLES_EXT as _DEDUP_O_EXT,
         _q_x3_incremental_neardup,
         ensure_minhash_index,
     )
+
+    # tier-agnostic (registry.ROTATION_R16 moved this query to ext)
+    DEDUP_ORACLES = {**_DEDUP_O_CORE, **_DEDUP_O_EXT}
     from odoo_batch_processing_spark.sources import sinks
 
     # keep the throwaway corpus's write-time index out of the real

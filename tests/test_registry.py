@@ -50,6 +50,8 @@ def test_operator_families_all_in_core():
         # first-ever driver rows for these two (round 14)
         "graph": {"g_pagerank_simgraph"},
         "profile": {"profile_checksum"},
+        # first-ever driver row for the IVM subsystem (round 16)
+        "ivm": {"ivm_refresh"},
     }
     missing = {f: qs for f, qs in families.items() if not (qs & core)}
     assert not missing, f"families without a core-tier query: {missing}"
