@@ -437,11 +437,13 @@ class ManifestSpoolPump:
         pos = _read_cursor(cursor)
         if pos:
             self._tail.fast_forward(pos)
-        self._linked = 0
 
     def pump(self, max_files: int | None = None) -> int:
         """Link up to ``max_files`` newly listed files into the spool;
-        returns how many were linked this call."""
+        returns how many manifest entries this call RELEASED (linked,
+        or found already linked on a crash-replay — callers drive
+        loops off "did the manifest advance", so replayed entries
+        count; 0 means nothing new is listed)."""
         start = self._tail.released
         end = self._tail.poll(max_files)
         base = os.path.dirname(os.path.abspath(self.manifest_path))
@@ -454,7 +456,6 @@ class ManifestSpoolPump:
             except FileExistsError:
                 pass  # crash-replay of an already-linked file: idempotent
             n += 1
-        self._linked += n
         if self.cursor is not None and end > start:
             _write_cursor(self.cursor, end)
         return n
