@@ -77,6 +77,7 @@ test_manifest_source_composes_with_stateful_recovery).
 
 from __future__ import annotations
 
+import errno
 import os
 import warnings
 
@@ -119,6 +120,17 @@ class ManifestTail:
         self._remainder = b""  #: trailing partial line
 
     def poll(self, max_lines: int | None = None) -> int:
+        _pos, _lines = self.poll_released(max_lines)
+        return _pos
+
+    def poll_released(
+        self, max_lines: int | None = None
+    ) -> tuple[int, list[bytes]]:
+        """:meth:`poll` that also RETURNS the raw released lines
+        (keepends) alongside the new byte offset — for callers like
+        :class:`ManifestSpoolPump` that act on the released range
+        directly, sparing a second disk read of bytes this object just
+        tail-read (review r16)."""
         try:
             size = os.path.getsize(self.path)
         except OSError:
@@ -135,10 +147,12 @@ class ManifestTail:
                 self._remainder = b""
             self._pending.extend(lines)
         n = len(self._pending) if max_lines is None else min(max_lines, len(self._pending))
+        released: list[bytes] = []
         if n:
-            self.released += sum(len(ln) for ln in self._pending[:n])
+            released = self._pending[:n]
+            self.released += sum(len(ln) for ln in released)
             del self._pending[:n]
-        return self.released
+        return self.released, released
 
     def fast_forward(self, pos: int) -> None:
         """Jump the release cursor to ``pos`` (a line boundary the
@@ -440,25 +454,51 @@ class ManifestSpoolPump:
 
     def pump(self, max_files: int | None = None) -> int:
         """Link up to ``max_files`` newly listed files into the spool;
-        returns how many manifest entries this call RELEASED (linked,
-        or found already linked on a crash-replay — callers drive
-        loops off "did the manifest advance", so replayed entries
-        count; 0 means nothing new is listed)."""
+        returns how many manifest LINES this call released (0 means
+        nothing new is listed — the loop-termination signal). Blank
+        manifest lines advance the count without linking anything
+        (review r16: returning files-linked instead made a released
+        blank line terminate every documented drain loop early,
+        silently dropping the entries behind it).
+
+        Spool names are ``{byte_offset:012d}-{basename}``: the offset
+        of the entry's manifest line is deterministic across restarts
+        and chunkings, so a crash-replay re-derives the SAME name
+        (FileExistsError → true idempotence) while two entries whose
+        basenames collide (``day=1/part-0.parquet`` vs
+        ``day=2/part-0.parquet``) get distinct names and BOTH deliver
+        (review r16: a bare-basename spool silently dropped the second
+        and advanced the cursor past it — unrecoverable data loss)."""
         start = self._tail.released
-        end = self._tail.poll(max_files)
+        end, lines = self._tail.poll_released(max_files)
         base = os.path.dirname(os.path.abspath(self.manifest_path))
-        n = 0
-        for rel in read_manifest_range(self.manifest_path, start, end):
-            src = rel if os.path.isabs(rel) else os.path.join(base, rel)
-            dst = os.path.join(self.spool_dir, os.path.basename(src))
-            try:
-                os.link(src, dst)
-            except FileExistsError:
-                pass  # crash-replay of an already-linked file: idempotent
-            n += 1
+        offset = start
+        for raw in lines:
+            rel = raw.decode("utf-8").strip()
+            if rel:
+                src = rel if os.path.isabs(rel) else os.path.join(base, rel)
+                dst = os.path.join(
+                    self.spool_dir, f"{offset:012d}-{os.path.basename(src)}"
+                )
+                try:
+                    os.link(src, dst)
+                except FileExistsError:
+                    pass  # crash-replay of an already-linked entry: idempotent
+                except OSError as exc:
+                    if exc.errno != errno.EXDEV:
+                        raise
+                    # spool on a different filesystem (tmpfs spool over
+                    # a data mount): fall back to a symlink — still
+                    # zero-copy, and cleanSource=delete removes only
+                    # the link, exactly like the hard-link form
+                    try:
+                        os.symlink(src, dst)
+                    except FileExistsError:
+                        pass
+            offset += len(raw)
         if self.cursor is not None and end > start:
             _write_cursor(self.cursor, end)
-        return n
+        return len(lines)
 
 
 def manifest_file_stream(
@@ -485,10 +525,23 @@ def manifest_file_stream(
 
     pump = ManifestSpoolPump(manifest_path, spool_dir, cursor=cursor)
     if schema is None:
-        # the ts-unit probe needs one real footer in the spool; prime
-        # it with the first already-listed file (no-op if the manifest
-        # is still empty AND a schema was given, hence the guard)
-        pump.pump(1)
+        # the ts-unit probe needs one real footer in the spool: prime
+        # it with the first already-listed file (skipping blank
+        # manifest lines), and fail LOUDLY if there is nothing to
+        # probe — a cold start with an empty manifest, or a restart
+        # whose cursor already consumed everything cleanSource
+        # deleted, cannot infer a schema (review r16: this previously
+        # surfaced as a bare FileNotFoundError from the unit probe)
+        import glob as _glob
+
+        while not _glob.glob(os.path.join(spool_dir, "*.parquet")):
+            if pump.pump(1) == 0:
+                raise ValueError(
+                    "manifest_file_stream: the spool is empty and the "
+                    "manifest lists no (further) files, so the events "
+                    "ts-unit probe has nothing to read — pass schema= "
+                    "to construct the stream before data arrives"
+                )
     df = change_source(
         spark,
         spool_dir,

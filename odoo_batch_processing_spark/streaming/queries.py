@@ -129,22 +129,16 @@ def _q_s_r22_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def _q_s_r22_manifest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R22 on the MANIFEST-fed Python DataSource (VERDICT r14 #5 —
-    the newest subsystem's first driver-window row): the same
-    counts-by-type shape and the same oracle as the file-arrival form
-    (`s_r22_change_counts`, now extended tier), but file discovery is
-    sources/manifest.py's O(new) tail-read of an append-only manifest
-    instead of a directory listing — the 100 TB ingest shape where
-    listing walls (measured 7.6–27 s at 512k files, SCALE_FILES) are
-    replaced by a ~1 ms cursor advance. The full events corpus is
-    staged once into 4 parquet files + a manifest naming them;
-    maxFilesPerTrigger=1 forces 4 genuine micro-batches through the
-    offset/cursor protocol (partitions() replan, per-unit ts
-    normalization) before the complete-mode counts land."""
+def _stage_r22_manifest(spark: SparkSession, sf_dir: str) -> str:
+    """Manifest path of the shared R22 staging: the full events corpus
+    as 4 parquet files + an append-only manifest naming them,
+    content-keyed via staged_once. ONE builder for both manifest-fed
+    twins (Python DataSource + JVM spool) — staged_once keys on the
+    source fingerprint, not the builder body, so a duplicated closure
+    drifting in one consumer would silently describe a layout the
+    other one built (review r16)."""
     import glob as _glob
 
-    from odoo_batch_processing_spark.sources.manifest import manifest_source
     from odoo_batch_processing_spark.sources.sinks import staged_once
 
     # route one load through the loader so session confs (nanosAsLong)
@@ -166,8 +160,26 @@ def _q_s_r22_manifest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write(f"files/{os.path.basename(p)}\n")
 
     root = staged_once("r22-manifest-src", src, _build)
+    return os.path.join(root, "manifest.txt")
+
+
+def _q_s_r22_manifest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R22 on the MANIFEST-fed Python DataSource (VERDICT r14 #5 —
+    the newest subsystem's first driver-window row): the same
+    counts-by-type shape and the same oracle as the file-arrival form
+    (`s_r22_change_counts`, now extended tier), but file discovery is
+    sources/manifest.py's O(new) tail-read of an append-only manifest
+    instead of a directory listing — the 100 TB ingest shape where
+    listing walls (measured 7.6–27 s at 512k files, SCALE_FILES) are
+    replaced by a ~1 ms cursor advance. The full events corpus is
+    staged once into 4 parquet files + a manifest naming them;
+    maxFilesPerTrigger=1 forces 4 genuine micro-batches through the
+    offset/cursor protocol (partitions() replan, per-unit ts
+    normalization) before the complete-mode counts land."""
+    from odoo_batch_processing_spark.sources.manifest import manifest_source
+
     stream = manifest_source(
-        spark, os.path.join(root, "manifest.txt"), max_files_per_trigger=1
+        spark, _stage_r22_manifest(spark, sf_dir), max_files_per_trigger=1
     )
     name = _mem_name("s_r22m")
     q = (
@@ -196,31 +208,11 @@ def _q_s_r22_spool_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleanSource=delete keeps the spool listing O(unprocessed). The
     pump is driven one file per step to force genuine micro-batches
     through the notification protocol."""
-    import glob as _glob
-
     from odoo_batch_processing_spark.sources.manifest import manifest_file_stream
-    from odoo_batch_processing_spark.sources.sinks import staged_once
 
-    load_table(spark, sf_dir, "events")
-    src = os.path.join(sf_dir, "events.parquet")
-
-    def _build(d):
-        files_dir = os.path.join(d, "files")
-        (
-            spark.read.parquet(src)
-            .repartition(4)
-            .write.mode("overwrite")
-            .parquet(files_dir)
-        )
-        parts = sorted(_glob.glob(os.path.join(files_dir, "part-*.parquet")))
-        with open(os.path.join(d, "manifest.txt"), "w") as fh:
-            for p in parts:
-                fh.write(f"files/{os.path.basename(p)}\n")
-
-    root = staged_once("r22-manifest-src", src, _build)
     stream, pump = manifest_file_stream(
         spark,
-        os.path.join(root, "manifest.txt"),
+        _stage_r22_manifest(spark, sf_dir),
         _scratch_dir("r22-spool"),
         max_files_per_trigger=1,
     )

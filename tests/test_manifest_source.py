@@ -508,6 +508,12 @@ def test_manifest_throttle_batches(spark):
 
 # ------------------------------------------------- spool twin (r16)
 
+def _spool_suffixes(spool):
+    """Spool entry names with the deterministic offset prefix
+    stripped — the stable part a test can assert on."""
+    return sorted(p.name.split("-", 1)[1] for p in spool.iterdir())
+
+
 def test_spool_pump_o_new_and_idempotent(tmp_path):
     """ManifestSpoolPump: each pump links only NEWLY listed files
     (O(new)), replays are idempotent, and the cursor sidecar makes the
@@ -526,9 +532,9 @@ def test_spool_pump_o_new_and_idempotent(tmp_path):
 
     pump = ManifestSpoolPump(str(man), str(spool), cursor=str(cursor))
     assert pump.pump(1) == 1
-    assert sorted(p.name for p in spool.iterdir()) == ["f0.parquet"]
+    assert _spool_suffixes(spool) == ["f0.parquet"]
     assert pump.pump() == 1  # only the remaining listed file
-    assert sorted(p.name for p in spool.iterdir()) == ["f0.parquet", "f1.parquet"]
+    assert _spool_suffixes(spool) == ["f0.parquet", "f1.parquet"]
     assert pump.pump() == 0  # nothing new
 
     # new arrivals append to the manifest; only THEY link
@@ -536,7 +542,8 @@ def test_spool_pump_o_new_and_idempotent(tmp_path):
         fh.write("files/f2.parquet\n")
     assert pump.pump() == 1
     # hard link, not copy: same inode as the staged original
-    assert (spool / "f2.parquet").stat().st_ino == (files / "f2.parquet").stat().st_ino
+    (f2_spool,) = [p for p in spool.iterdir() if p.name.endswith("f2.parquet")]
+    assert f2_spool.stat().st_ino == (files / "f2.parquet").stat().st_ino
 
     # restart: a fresh pump seeded from the cursor skips everything
     # already delivered, even with the spool wiped (cleanSource did it)
@@ -547,7 +554,96 @@ def test_spool_pump_o_new_and_idempotent(tmp_path):
     with open(man, "a") as fh:
         fh.write("files/f3.parquet\n")
     assert pump2.pump() == 1
-    assert sorted(p.name for p in spool.iterdir()) == ["f3.parquet"]
+    assert _spool_suffixes(spool) == ["f3.parquet"]
+
+
+def test_spool_pump_basename_collision_delivers_both(tmp_path):
+    """Review r16 #1: two manifest entries with the SAME basename in
+    different directories (day-partitioned ingest) must BOTH deliver —
+    the offset-prefixed spool name keeps them distinct, while a replay
+    of the same entry re-derives the identical name (idempotent)."""
+    from odoo_batch_processing_spark.sources.manifest import ManifestSpoolPump
+
+    for d in ("day=1", "day=2"):
+        (tmp_path / d).mkdir()
+    (tmp_path / "day=1" / "part-0.parquet").write_bytes(b"one")
+    (tmp_path / "day=2" / "part-0.parquet").write_bytes(b"two")
+    man = tmp_path / "manifest.txt"
+    man.write_text("day=1/part-0.parquet\nday=2/part-0.parquet\n")
+    spool = tmp_path / "spool"
+
+    pump = ManifestSpoolPump(str(man), str(spool))
+    assert pump.pump() == 2
+    entries = sorted(spool.iterdir())
+    assert len(entries) == 2
+    assert sorted(p.read_bytes() for p in entries) == [b"one", b"two"]
+
+    # replay the same range (fresh pump, no cursor): same names, no
+    # duplicates, no error
+    pump2 = ManifestSpoolPump(str(man), str(spool))
+    assert pump2.pump() == 2
+    assert len(list(spool.iterdir())) == 2
+
+
+def test_spool_pump_blank_lines_advance_the_loop(tmp_path):
+    """Review r16 #2: a released BLANK manifest line must count as
+    released (return > 0) so the documented `while pump.pump(1)` drain
+    loop keeps going and reaches the entries behind it."""
+    from odoo_batch_processing_spark.sources.manifest import ManifestSpoolPump
+
+    files = tmp_path / "files"
+    files.mkdir()
+    (files / "a.parquet").write_bytes(b"a")
+    (files / "b.parquet").write_bytes(b"b")
+    man = tmp_path / "manifest.txt"
+    man.write_text("files/a.parquet\n\nfiles/b.parquet\n")
+    spool = tmp_path / "spool"
+
+    pump = ManifestSpoolPump(str(man), str(spool))
+    pumped = 0
+    while pump.pump(1):
+        pumped += 1
+    assert pumped == 3  # two files + one blank line, all released
+    assert _spool_suffixes(spool) == ["a.parquet", "b.parquet"]
+
+
+def test_spool_pump_cross_device_falls_back_to_symlink(tmp_path, monkeypatch):
+    """Review r16 #4: a spool on a different filesystem (os.link →
+    EXDEV) must fall back to a symlink — still zero-copy, still
+    removable by cleanSource — instead of crashing the pump."""
+    import errno as _errno
+    import os as _os
+
+    from odoo_batch_processing_spark.sources import manifest as M
+
+    files = tmp_path / "files"
+    files.mkdir()
+    (files / "x.parquet").write_bytes(b"payload")
+    man = tmp_path / "manifest.txt"
+    man.write_text("files/x.parquet\n")
+    spool = tmp_path / "spool"
+
+    def _exdev(*_a, **_k):
+        raise OSError(_errno.EXDEV, "Invalid cross-device link")
+
+    monkeypatch.setattr(M.os, "link", _exdev)
+    pump = M.ManifestSpoolPump(str(man), str(spool))
+    assert pump.pump() == 1
+    (entry,) = spool.iterdir()
+    assert _os.path.islink(entry)
+    assert entry.read_bytes() == b"payload"
+
+
+def test_manifest_file_stream_empty_spool_requires_schema(spark, tmp_path):
+    """Review r16 #3: constructing the spool stream with schema=None
+    over an empty manifest must raise a CLEAR contract error (pass
+    schema=), not a FileNotFoundError from the ts-unit probe."""
+    from odoo_batch_processing_spark.sources.manifest import manifest_file_stream
+
+    man = tmp_path / "manifest.txt"
+    man.write_text("")
+    with pytest.raises(ValueError, match="pass schema="):
+        manifest_file_stream(spark, str(man), str(tmp_path / "spool"))
 
 
 def test_spool_swap_values_plan_and_jvm_data_plane(spark, tmp_path):
