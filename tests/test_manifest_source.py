@@ -698,3 +698,64 @@ def test_spool_swap_values_plan_and_jvm_data_plane(spark, tmp_path):
     # survive (hard links share the inode, deletion only drops a name)
     staged = sorted(glob.glob(os.path.join(files_dir, "part-*.parquet")))
     assert len(staged) == 4
+
+
+def test_spool_restart_exactly_once(spark, tmp_path):
+    """The spool twin's restart contract, END TO END (the pure-Python
+    pump/cursor tests above prove the driver-side protocol; this
+    composes it with the engine's checkpoint): drain half the manifest
+    through the JVM file stream with cleanSource=delete, stop, append
+    the other half, restart a FRESH pump (seeded from the durable
+    cursor sidecar) and a FRESH query on the SAME checkpoint. Receipt:
+    every row ingested exactly once across both incarnations — the
+    cursor prevents re-linking delivered entries, the offset-prefixed
+    names make any crash-replay link idempotent, and the file source's
+    seen-files log dedupes at the engine layer."""
+    import glob as _glob
+
+    from odoo_batch_processing_spark.sources.manifest import manifest_file_stream
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+
+    files_dir, _m = _staged(spark)
+    parts = sorted(_glob.glob(os.path.join(files_dir, "part-*.parquet")))
+    assert len(parts) == 4
+    manifest = str(tmp_path / "manifest.txt")
+    with open(manifest, "w") as fh:
+        for p in parts[:2]:
+            fh.write(p + "\n")
+    ckpt = scratch_dir("spool-restart-ckpt")
+    cursor = os.path.join(ckpt, "pump-cursor")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+
+    def _run():
+        stream, pump = manifest_file_stream(
+            spark, manifest, spool, max_files_per_trigger=1, cursor=cursor
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            while pump.pump(1):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out).collect()
+
+    first = _run()
+    assert 0 < len(first) < 256  # half the corpus, fully committed
+
+    with open(manifest, "a") as fh:
+        for p in parts[2:]:
+            fh.write(p + "\n")
+
+    second = _run()  # fresh pump from the cursor + same checkpoint
+
+    ids = [r["event_id"] for r in second]
+    assert len(ids) == 256  # nothing lost...
+    assert len(set(ids)) == 256  # ...nothing duplicated
