@@ -939,6 +939,118 @@ ORACLES_EXT["x5_unigram_surprisal"] = f"""
 """
 
 
+def _q_x5_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram (order-1 Markov) LM surprisal per document — one step up
+    the CCNet ladder from :func:`_q_x5_unigram_surprisal`: train
+    P(token | prev) on the corpus's adjacent-token pairs, score each
+    doc by its average conditional self-information. The conditional
+    model separates fluent-but-rare docs (low bigram bits despite rare
+    unigrams) from shuffled-token noise (every transition surprising)
+    — the distinction a perplexity quality filter actually exploits.
+
+    Same bit-exact contract as the unigram form: per-occurrence bits =
+    floor(log2 cnt(prev,*)) − floor(log2 cnt(prev,cur)), whole-bit
+    bigint sums under the hash oracle. Training on the corpus means
+    every scored bigram exists in the model — no backoff/smoothing
+    branch to mirror. Docs with fewer than two tokens have no bigrams
+    and drop out of the result (both engines, by construction).
+
+    100 TB shape: bigrams are built MAP-SIDE from each doc's token
+    array (arrays_zip over two slices — no self-join on position, no
+    window), tf per (doc, bigram) aggregates before the model joins,
+    the pair and prev-context models are shuffle hash joins on their
+    keys (vocabulary² scales with the corpus — never broadcast), and
+    both models derive from ONE bigram tf relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    sep = "chr(31)"  # unit separator: the tokenizer strips no bytes,
+    # so join on the composed pair string and re-derive the context
+    # key with the SAME prefix rule in both engines
+    bg_expr = (
+        "transform(arrays_zip(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)),"
+        f" x -> concat(x['0'], {sep}, x['1']))"
+    )
+    tf = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("t") >= 2, F.expr(bg_expr)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pair = tf.groupBy("bigram").agg(F.sum("tf").cast("bigint").alias("cnt_pair"))
+    prev = (
+        pair.groupBy(
+            F.substring_index("bigram", "\x1f", 1).alias("prev")
+        ).agg(F.sum("cnt_pair").cast("bigint").alias("cnt_prev"))
+    )
+    scored = (
+        tf.join(pair, "bigram")
+        .withColumn("prev", F.substring_index("bigram", "\x1f", 1))
+        .join(prev, "prev")
+        .select(
+            "doc_id",
+            "tf",
+            (
+                (floor_log2(F.col("cnt_prev")) - floor_log2(F.col("cnt_pair")))
+                * F.col("tf")
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("total_bits"),
+        (
+            F.sum("bits").cast("double") / F.sum("tf").cast("double")
+        ).alias("avg_bits"),
+    )
+
+
+QUERIES_EXT["x5_bigram_surprisal"] = _q_x5_bigram_surprisal
+
+# DuckDB mirror: bigram list via list_zip of the two token-array
+# slices (for len<2 the slices collapse to [] in both engines — Spark
+# behind the size>=2 guard, DuckDB by slice semantics), split_part /
+# substring_index agree on "text before the first separator".
+ORACLES_EXT["x5_bigram_surprisal"] = f"""
+    WITH tf AS (
+        SELECT doc_id, bigram, CAST(COUNT(1) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_zip(l[1:len(l)-1], l[2:len(l)]),
+                       x -> x[1] || chr(31) || x[2]
+                   )) AS bigram
+            FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+        )
+        GROUP BY doc_id, bigram
+    ), pair AS (
+        SELECT bigram, CAST(SUM(tf) AS BIGINT) AS cnt_pair
+        FROM tf GROUP BY bigram
+    ), prev AS (
+        SELECT split_part(bigram, chr(31), 1) AS prev,
+               CAST(SUM(cnt_pair) AS BIGINT) AS cnt_prev
+        FROM pair GROUP BY prev
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM((CAST(length(format('{{:b}}', cnt_prev)) - 1 AS BIGINT)
+                     - CAST(length(format('{{:b}}', cnt_pair)) - 1 AS BIGINT))
+                    * tf) AS BIGINT) AS total_bits,
+           CAST(SUM((CAST(length(format('{{:b}}', cnt_prev)) - 1 AS BIGINT)
+                     - CAST(length(format('{{:b}}', cnt_pair)) - 1 AS BIGINT))
+                    * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS avg_bits
+    FROM tf
+    JOIN pair USING (bigram)
+    JOIN prev ON prev.prev = split_part(bigram, chr(31), 1)
+    GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # BM25 retrieval: rank the corpus against a fixed query term set
 # ---------------------------------------------------------------------------
