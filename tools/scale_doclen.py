@@ -49,6 +49,11 @@ STAGES = (
     "x5_chunk_dedup_frac",  # chunk builder (width 10)
     "x9_curation_pipeline",  # quality gates: shingles(text, 5) + folds
     "x5_text_features",  # per-row token features (control: no shingles)
+    # bigram LM (round 16): bigrams per doc = tokens-1, so this axis
+    # is exactly its work driver; the map-side arrays_zip build must
+    # stay linear in T while the constant-volume model joins shrink
+    # with n_docs
+    "x5_bigram_surprisal",
     # multimodal: payload = utf-8(text), so tokens-per-doc IS the
     # payload-BYTES axis — the round-7 Θ(bytes²) finding's axis,
     # previously certified only via corpus count
