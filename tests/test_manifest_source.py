@@ -759,3 +759,59 @@ def test_spool_restart_exactly_once(spark, tmp_path):
     ids = [r["event_id"] for r in second]
     assert len(ids) == 256  # nothing lost...
     assert len(set(ids)) == 256  # ...nothing duplicated
+
+
+def test_spool_pump_property_arbitrary_interleavings(tmp_path):
+    """Property (review r16 follow-through): under ANY interleaving of
+    manifest appends (torn writes, blank lines, duplicate basenames
+    across directories) and throttled pumps, the spool ends holding
+    EVERY completely-listed file exactly once, with content intact —
+    the loss-free/dup-free invariant the JVM file stream inherits from
+    the pump. Pure-Python hypothesis sweep."""
+    from hypothesis import given, settings, strategies as st
+
+    from odoo_batch_processing_spark.sources.manifest import ManifestSpoolPump
+
+    # source files the manifests may list: three dirs sharing basenames
+    src_root = tmp_path / "src"
+    rels = []
+    for d in ("d1", "d2", "d3"):
+        (src_root / d).mkdir(parents=True)
+        for b in ("p.parquet", "q.parquet"):
+            (src_root / d / b).write_bytes(f"{d}/{b}".encode())
+            rels.append(f"src/{d}/{b}")
+
+    op = st.one_of(
+        st.tuples(st.just("list"), st.integers(min_value=0, max_value=5)),
+        st.tuples(st.just("blank"), st.just(None)),
+        st.tuples(st.just("pump"), st.integers(min_value=1, max_value=2)),
+        st.tuples(st.just("pump_all"), st.just(None)),
+    )
+
+    @given(st.lists(op, min_size=1, max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def run(ops):
+        key = f"{abs(hash(tuple(map(tuple, ops)))):x}"
+        man = tmp_path / f"m-{key}.txt"
+        man.write_bytes(b"")
+        spool = tmp_path / f"spool-{key}"
+        pump = ManifestSpoolPump(str(man), str(spool))
+        listed: list[str] = []
+        for kind, arg in ops:
+            if kind == "list":
+                rel = rels[arg]
+                listed.append(rel)
+                with open(man, "ab") as fh:
+                    fh.write(rel.encode() + b"\n")
+            elif kind == "blank":
+                with open(man, "ab") as fh:
+                    fh.write(b"\n")
+            else:
+                pump.pump(arg if kind == "pump" else None)
+        while pump.pump(1):  # drain
+            pass
+        got = sorted(p.read_bytes().decode() for p in spool.iterdir())
+        want = sorted(r.removeprefix("src/") for r in listed)
+        assert got == want  # every listed file once, content intact
+
+    run()

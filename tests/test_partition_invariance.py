@@ -58,6 +58,20 @@ INVARIANCE_QUERIES = (
     "x6_variant_shred",  # variant extraction + grouped aggregates
     "w_gap_fill_ffill",  # calendar scaffold + last-value forward fill
     "scd2_user_tiers",  # window-versioned type-2 history build
+    # round-16 core rotation (registry.ROTATION_R16): same de-risking
+    # for the seven batch promotions (s_x3_stream_incremental_neardup
+    # is the eighth but is stream-shuffle-pinned like
+    # s_r22_manifest_counts — its receipt is the exact oracle at
+    # three SFs plus the end-to-end restart test)
+    "ivm_refresh",  # additive-state merge vs full recompute
+    "pit_tier_at_purchase",  # SCD2 history + as-of probe composition
+    "w_rolling_median5",  # bounded-frame percentile with float output
+    "x4_ivf_indexed_multiprobe",  # standing-IVF-index nprobe top-k
+    "x5_gopher_repetition",  # dup-line/paragraph fractions + ngram share
+    "x7_event_transitions",  # lead-window transition matrix
+    "x9_difficulty_deciles",  # surprisal-ranked curriculum bucketing
+    # round-16 new op (ext tier): bigram LM, float mean per doc
+    "x5_bigram_surprisal",
 )
 
 
