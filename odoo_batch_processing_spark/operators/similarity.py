@@ -229,6 +229,20 @@ def write_ivf_index(unit_cells: DataFrame, path: str) -> None:
     unit_cells.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+# explicit read-back schema for every standing IVF index: an EMPTY
+# corpus writes a partitioned dir with zero data files, and schema
+# inference on it raises UNABLE_TO_INFER_SCHEMA — same contract (and
+# same fix) as the minhash standing index (dedup.py index_schema)
+IVF_INDEX_SCHEMA = "vec_id bigint, uv array<double>, cell int"
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read a `write_ivf_index` artifact back with its declared schema
+    so the probe path works on any corpus, including one that filtered
+    or ingested down to zero rows."""
+    return spark.read.schema(IVF_INDEX_SCHEMA).parquet(path)
+
+
 def _cached_ivf_index(sf_dir: str, name: str, build) -> str:
     """Build-or-reuse a write-time IVF index, content-keyed on the
     embeddings corpus (``sinks.staged_once`` — the discipline shared
@@ -260,7 +274,7 @@ def _q_x4_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf-signbit-index",
         lambda p: write_ivf_index(unit.select("vec_id", "cell", "uv"), p),
     )
-    idx = spark.read.parquet(path)
+    idx = read_ivf_index(spark, path)
     q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("uv").alias("qv"),
@@ -295,7 +309,7 @@ def _q_x4_ivf_indexed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf-signbit-index",
         lambda p: write_ivf_index(unit.select("vec_id", "cell", "uv"), p),
     )
-    idx = spark.read.parquet(path)
+    idx = read_ivf_index(spark, path)
     q = unit.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("uv").alias("qv"),
@@ -409,7 +423,7 @@ def _q_x4_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.write.mode("overwrite").parquet(os.path.join(p, "_centroids"))
 
     path = _cached_ivf_index(sf_dir, "ivf-trained-index", _build)
-    idx = spark.read.parquet(path).select(
+    idx = read_ivf_index(spark, path).select(
         "vec_id", F.col("cell").cast("bigint").alias("cell"), "uv"
     )
     cent = spark.read.parquet(os.path.join(path, "_centroids"))
