@@ -72,7 +72,21 @@ def events_ts_unit(path: str) -> str:
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not files:
-            raise FileNotFoundError(f"no *.parquet files under {path!r} to probe events.ts unit")
+            # spool-style dirs (sources.manifest) name entries
+            # "{offset:012d}-{basename}" where the basename need not
+            # end in .parquet; the file-stream source reads any
+            # non-hidden file regardless of suffix, so the probe must
+            # too (ADVICE r16) — skip Spark metadata (_SUCCESS, .crc)
+            files = sorted(
+                p
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+                and os.path.isfile(p := os.path.join(path, f))
+            )
+        if not files:
+            raise FileNotFoundError(
+                f"no parquet data files under {path!r} to probe events.ts unit"
+            )
         probe = files[0]
     st = os.stat(probe)
     return _events_ts_unit_cached(

@@ -452,11 +452,15 @@ class ManifestSpoolPump:
         if pos:
             self._tail.fast_forward(pos)
 
-    def pump(self, max_files: int | None = None) -> int:
-        """Link up to ``max_files`` newly listed files into the spool;
-        returns how many manifest LINES this call released (0 means
-        nothing new is listed — the loop-termination signal). Blank
-        manifest lines advance the count without linking anything
+    def pump(self, max_lines: int | None = None) -> int:
+        """Release up to ``max_lines`` manifest LINES, linking each
+        non-blank one's file into the spool; returns how many lines
+        this call released (0 means nothing new is listed — the
+        loop-termination signal). The budget and the return value are
+        both in LINE units, not files: a blank manifest line consumes
+        budget and counts in the return without linking anything, so
+        ``pump(k)`` may link fewer than ``k`` files (ADVICE r16 —
+        throttled callers sizing triggers should budget lines)
         (review r16: returning files-linked instead made a released
         blank line terminate every documented drain loop early,
         silently dropping the entries behind it).
@@ -470,7 +474,7 @@ class ManifestSpoolPump:
         (review r16: a bare-basename spool silently dropped the second
         and advanced the cursor past it — unrecoverable data loss)."""
         start = self._tail.released
-        end, lines = self._tail.poll_released(max_files)
+        end, lines = self._tail.poll_released(max_lines)
         base = os.path.dirname(os.path.abspath(self.manifest_path))
         offset = start
         for raw in lines:
@@ -532,15 +536,21 @@ def manifest_file_stream(
         # whose cursor already consumed everything cleanSource
         # deleted, cannot infer a schema (review r16: this previously
         # surfaced as a bare FileNotFoundError from the unit probe)
-        import glob as _glob
-
-        while not _glob.glob(os.path.join(spool_dir, "*.parquet")):
+        # any spool entry will do: the pump only links files the
+        # manifest listed, so don't insist on a *.parquet suffix —
+        # a suffix-matched glob here would pump the whole manifest
+        # and then raise "lists no files" even though files WERE
+        # linked (ADVICE r16)
+        while not any(
+            not f.startswith(("_", ".")) for f in os.listdir(spool_dir)
+        ):
             if pump.pump(1) == 0:
                 raise ValueError(
-                    "manifest_file_stream: the spool is empty and the "
-                    "manifest lists no (further) files, so the events "
-                    "ts-unit probe has nothing to read — pass schema= "
-                    "to construct the stream before data arrives"
+                    "manifest_file_stream: the spool is empty "
+                    f"({spool_dir!r} has 0 entries) and the manifest "
+                    "lists no (further) files, so the events ts-unit "
+                    "probe has nothing to read — pass schema= to "
+                    "construct the stream before data arrives"
                 )
     df = change_source(
         spark,

@@ -646,6 +646,33 @@ def test_manifest_file_stream_empty_spool_requires_schema(spark, tmp_path):
         manifest_file_stream(spark, str(man), str(tmp_path / "spool"))
 
 
+def test_manifest_file_stream_suffixless_entries_probe(spark, tmp_path):
+    """ADVICE r16 #3: the schema probe must accept spool entries whose
+    basenames lack a .parquet suffix — the pump links whatever the
+    manifest lists, and the JVM file stream reads any non-hidden file
+    regardless of extension. Before the fix the probe loop globbed
+    *.parquet, pumped the WHOLE manifest, then raised 'lists no
+    (further) files' even though files were linked."""
+    from odoo_batch_processing_spark.sources.manifest import manifest_file_stream
+
+    files_dir, _ = _staged(spark)
+    part = sorted(glob.glob(os.path.join(files_dir, "part-*.parquet")))[0]
+    data = tmp_path / "files"
+    data.mkdir()
+    # a valid parquet file with no .parquet suffix in its name
+    (data / "chunk-000.dat").write_bytes(open(part, "rb").read())
+    man = tmp_path / "manifest.txt"
+    man.write_text("files/chunk-000.dat\n")
+    stream, pump = manifest_file_stream(spark, str(man), str(tmp_path / "spool"))
+    assert stream.isStreaming
+    assert "event_type" in stream.columns
+    rows = _run_to_completion(spark, _downstream(stream), "spool_suffixless")
+    # _downstream touches only (value, event_type), so a plain batch
+    # read of the same single part file is the exact reference
+    ref = sorted(map(tuple, _downstream(spark.read.parquet(part)).collect()))
+    assert rows == ref and len(rows) > 0
+
+
 def test_spool_swap_values_plan_and_jvm_data_plane(spark, tmp_path):
     """The spool twin (manifest discovery + built-in parquet file
     source) must (a) keep the transformation plan identical to both
