@@ -685,6 +685,82 @@ def _q_x4_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
+RERANK_M = 40
+
+
+def _q_x4_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the composition every
+    production ANN stack runs (generate cheap candidates, re-score the
+    shortlist exactly):
+
+    * **generate** — the int8-quantized scan (``quantize_int8``; 1/4
+      the bytes of float32) ranks the corpus per query and keeps the
+      top ``RERANK_M`` candidates;
+    * **refine** — only those M rows fetch their full-precision unit
+      vectors (broadcast join on id — point lookups against the float
+      column at corpus scale) and re-score with the exact double dot;
+      final rank is over the EXACT score.
+
+    The output carries both ranks: ``rank`` (exact) and ``gen_rank``
+    (the stage-1 position), so the reordering the refine stage buys is
+    visible in the certified result. With M ≫ k the exact top-k is
+    recovered whenever stage-1 recall@M holds — the standard
+    bandwidth/recall trade (measured: int8 recall@10 is already ~1.0
+    on the fixture; M = 4k adds slack for the quantization ties).
+
+    100 TB shape: stage 1 is the same embarrassingly-parallel scan as
+    ``x4_int8_topk`` (broadcast query set, partial top-M per partition
+    under the window's rank pushdown); stage 2 touches M·|Q| rows —
+    independent of corpus size — via a broadcast hash join, no
+    shuffle of the corpus."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    unit = _unit(emb, "vec_id", "uv", "vec_id", "embedding")
+    qv, mx = quantize_int8(F.col("uv"))
+    qz = unit.select("vec_id", qv.alias("qvec"), mx.alias("mx"))
+    q8 = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qa"),
+        F.col("mx").alias("mxa"),
+    )
+    c8 = qz.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("qb"),
+        F.col("mx").alias("mxb"),
+    )
+    approx = c8.join(
+        F.broadcast(q8), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "approx_sim",
+        dot(to_double(F.col("qa")), to_double(F.col("qb")))
+        * (F.col("mxa") * F.col("mxb"))
+        / F.lit(float(INT8_TOP * INT8_TOP)),
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        approx.withColumn("gen_rank", F.row_number().over(wg).cast("bigint"))
+        .filter(F.col("gen_rank") <= RERANK_M)
+        .select("query_id", "neighbor_id", "gen_rank")
+    )
+    qfull = unit.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("uv").alias("qv")
+    )
+    refined = (
+        unit.join(F.broadcast(cands), unit["vec_id"] == F.col("neighbor_id"))
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn("cos_sim", dot(F.col("qv"), F.col("uv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim", "gen_rank")
+    )
+
+
 QUERIES = {
     "x4_cosine_topk": _q_x4_cosine_topk,
     "x4_ivf_topk": _q_x4_ivf_topk,
@@ -992,6 +1068,56 @@ QUERIES["x4_ivf_trained_recall"] = QUERIES_EXT.pop("x4_ivf_trained_recall")
 ORACLES["x4_ivf_trained_recall"] = ORACLES_EXT.pop("x4_ivf_trained_recall")
 QUERIES_EXT["x4_ivf_multiprobe"] = QUERIES.pop("x4_ivf_multiprobe")
 ORACLES_EXT["x4_ivf_multiprobe"] = ORACLES.pop("x4_ivf_multiprobe")
+
+
+QUERIES_EXT["x4_rerank_exact"] = _q_x4_rerank_exact
+
+# stage 1 verbatim from the x4_int8_topk chain at rank ≤ M, then the
+# shortlist joins back to the full-precision unit vectors for the
+# exact re-score — same operations in the same order as the Spark plan
+ORACLES_EXT["x4_rerank_exact"] = f"""
+    WITH unit AS ({_UNIT}),
+    qz AS (
+        SELECT vec_id,
+               list_transform(uv, x -> CAST(LEAST(127, GREATEST(-127,
+                   CAST(FLOOR(x * (127.0 / mx) + 0.5) AS INTEGER))) AS DOUBLE)) AS qvec,
+               mx
+        FROM (
+            SELECT vec_id, uv,
+                   list_aggregate(list_transform(uv, x -> abs(x)), 'max') AS mx
+            FROM unit
+        )
+    ),
+    q8 AS (
+        SELECT vec_id AS query_id, qvec AS qa, mx AS mxa FROM qz
+        WHERE vec_id < {N_QUERIES}
+    ), c8 AS (
+        SELECT vec_id AS neighbor_id, qvec AS qb, mx AS mxb FROM qz
+    ), approx AS (
+        SELECT q8.query_id, c8.neighbor_id,
+               list_dot_product(q8.qa, c8.qb) * (q8.mxa * c8.mxb) / 16129.0 AS approx_sim
+        FROM c8 JOIN q8 ON c8.neighbor_id <> q8.query_id
+    ), cands AS (
+        SELECT query_id, neighbor_id, gen_rank FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY approx_sim DESC, neighbor_id) AS BIGINT) AS gen_rank
+            FROM approx
+        ) WHERE gen_rank <= {RERANK_M}
+    ), refined AS (
+        SELECT c.query_id, c.neighbor_id, c.gen_rank,
+               list_dot_product(qu.uv, nu.uv) AS cos_sim
+        FROM cands c
+        JOIN unit nu ON nu.vec_id = c.neighbor_id
+        JOIN unit qu ON qu.vec_id = c.query_id
+    )
+    SELECT query_id, rank, neighbor_id, cos_sim, gen_rank FROM (
+        SELECT query_id, neighbor_id, cos_sim, gen_rank,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM refined
+    ) WHERE rank <= {TOP_K}
+"""
 
 
 # --- core-window rotation (round 14, VERDICT r13 #1) -------------------

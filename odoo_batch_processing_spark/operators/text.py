@@ -1051,6 +1051,247 @@ ORACLES_EXT["x5_bigram_surprisal"] = f"""
 """
 
 
+def _q_x5_trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram (order-2 Markov) LM surprisal with STUPID BACKOFF — the
+    top of the CCNet perplexity-filter ladder (unigram → bigram →
+    trigram). Unlike the lower rungs, which train and score on the
+    same corpus (so every scored n-gram exists in the model), this one
+    trains on the even-doc_id half and scores EVERY document — the
+    production train/score split — so unseen trigrams genuinely back
+    off: trigram → bigram → unigram → OOV floor.
+
+    Backoff is Brants et al.'s stupid backoff with α = 1/2, chosen
+    because halving is EXACTLY +1 bit — the whole ladder stays in the
+    whole-bit bigint arithmetic of the oracle contract
+    (:func:`floor_log2`; same quantize-then-sum discipline as the
+    unigram/bigram rungs):
+
+    * trigram hit:  bits = fl2(cnt(w1w2·)) − fl2(cnt(w1w2w3))
+    * bigram hop:   bits = 1 + fl2(cnt(w2·)) − fl2(cnt(w2w3))
+    * unigram hop:  bits = 2 + fl2(N_train) − fl2(cnt(w3))
+    * OOV floor:    bits = 3 + fl2(N_train)   (count-1 token, +1 more)
+
+    Docs with fewer than three tokens have no trigrams and drop out
+    (both engines, by slice construction).
+
+    100 TB shape: all n-grams are built MAP-SIDE from each doc's token
+    array (arrays_zip over shifted slices — no positional self-join);
+    per-(doc, trigram) tf aggregates before any model join; the three
+    model joins are LEFT shuffle hash joins on their n-gram keys
+    (model sizes scale with the corpus — never broadcast); N_train
+    rides along as a 1-row auto-broadcast aggregate. The training
+    filter (doc_id % 2 = 0) prunes at the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sep = "chr(31)"
+    tri_expr = (
+        "transform(arrays_zip(slice(t, 1, size(t)-2), slice(t, 2, size(t)-2),"
+        " slice(t, 3, size(t)-2)),"
+        f" x -> concat(x['0'], {sep}, x['1'], {sep}, x['2']))"
+    )
+    bg_expr = (
+        "transform(arrays_zip(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)),"
+        f" x -> concat(x['0'], {sep}, x['1']))"
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+
+    def _explode(df, expr, min_len, alias):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("t") >= min_len, F.expr(expr)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias(alias),
+        )
+
+    # per-(doc, trigram) tf over ALL docs — the scored relation
+    tf = (
+        _explode(toks, tri_expr, 3, "trigram")
+        .groupBy("doc_id", "trigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    tri_m = (
+        _explode(train, tri_expr, 3, "trigram")
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_tri"))
+    )
+    tri_ctx = tri_m.groupBy(
+        F.substring_index("trigram", "\x1f", 2).alias("ctx12")
+    ).agg(F.sum("cnt_tri").cast("bigint").alias("cnt_ctx3"))
+    bi_m = (
+        _explode(train, bg_expr, 2, "bigram")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_bi"))
+    )
+    bi_ctx = bi_m.groupBy(
+        F.substring_index("bigram", "\x1f", 1).alias("w2")
+    ).agg(F.sum("cnt_bi").cast("bigint").alias("cnt_ctx2"))
+    uni_m = (
+        train.select(F.explode("t").alias("w3"))
+        .groupBy("w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_uni"))
+    )
+    n_train = train.agg(
+        F.coalesce(F.sum(F.size("t")), F.lit(0)).cast("bigint").alias("n_train")
+    )
+
+    keyed = tf.select(
+        "doc_id",
+        "tf",
+        "trigram",
+        F.substring_index("trigram", "\x1f", 2).alias("ctx12"),
+        F.substring_index("trigram", "\x1f", -2).alias("bigram"),
+        F.substring_index("trigram", "\x1f", -1).alias("w3"),
+    ).withColumn("w2", F.substring_index(F.col("bigram"), "\x1f", 1))
+    scored = (
+        keyed.join(tri_m, "trigram", "left")
+        .join(tri_ctx, "ctx12", "left")
+        .join(bi_m, "bigram", "left")
+        .join(bi_ctx, "w2", "left")
+        .join(uni_m, "w3", "left")
+        .crossJoin(n_train)
+        .select(
+            "doc_id",
+            "tf",
+            F.when(F.col("cnt_tri").isNotNull(), F.lit(0))
+            .when(F.col("cnt_bi").isNotNull(), F.lit(1))
+            .when(F.col("cnt_uni").isNotNull(), F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("lvl"),
+            F.when(
+                F.col("cnt_tri").isNotNull(),
+                floor_log2(F.col("cnt_ctx3")) - floor_log2(F.col("cnt_tri")),
+            )
+            .when(
+                F.col("cnt_bi").isNotNull(),
+                F.lit(1) + floor_log2(F.col("cnt_ctx2")) - floor_log2(F.col("cnt_bi")),
+            )
+            .when(
+                F.col("cnt_uni").isNotNull(),
+                F.lit(2) + floor_log2(F.col("n_train")) - floor_log2(F.col("cnt_uni")),
+            )
+            .otherwise(F.lit(3) + floor_log2(F.col("n_train")))
+            .alias("per_occ_bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_trigrams"),
+        F.sum(F.col("per_occ_bits") * F.col("tf")).cast("bigint").alias("total_bits"),
+        (
+            F.sum(F.col("per_occ_bits") * F.col("tf")).cast("double")
+            / F.sum("tf").cast("double")
+        ).alias("avg_bits"),
+        F.sum(F.when(F.col("lvl") == 0, F.col("tf")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_tri_hits"),
+        F.sum(F.when(F.col("lvl") == 3, F.col("tf")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+
+
+QUERIES_EXT["x5_trigram_backoff_surprisal"] = _q_x5_trigram_backoff_surprisal
+
+_FL2 = "CAST(length(format('{:b}', %s)) - 1 AS BIGINT)"
+_TRI_BITS_SQL = f"""CASE
+    WHEN cnt_tri IS NOT NULL
+        THEN {_FL2 % 'cnt_ctx3'} - {_FL2 % 'cnt_tri'}
+    WHEN cnt_bi IS NOT NULL
+        THEN 1 + {_FL2 % 'cnt_ctx2'} - {_FL2 % 'cnt_bi'}
+    WHEN cnt_uni IS NOT NULL
+        THEN 2 + {_FL2 % 'n_train'} - {_FL2 % 'cnt_uni'}
+    ELSE 3 + {_FL2 % 'n_train'} END"""
+
+# DuckDB mirror: trigrams via list_zip of three shifted slices (for
+# len<3 every slice collapses to [] in both engines); split_part
+# composes the same chr(31)-joined context/backoff keys. The level
+# CASE is evaluated once per (doc, trigram) row, exactly like the
+# Spark `when` chain.
+ORACLES_EXT["x5_trigram_backoff_surprisal"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    tf AS (
+        SELECT doc_id, trigram, CAST(COUNT(1) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+                       x -> x[1] || chr(31) || x[2] || chr(31) || x[3]
+                   )) AS trigram
+            FROM toks WHERE len(l) >= 3
+        )
+        GROUP BY doc_id, trigram
+    ), tri_m AS (
+        SELECT trigram, CAST(COUNT(1) AS BIGINT) AS cnt_tri
+        FROM (
+            SELECT unnest(list_transform(
+                       list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+                       x -> x[1] || chr(31) || x[2] || chr(31) || x[3]
+                   )) AS trigram
+            FROM toks WHERE doc_id % 2 = 0 AND len(l) >= 3
+        )
+        GROUP BY trigram
+    ), tri_ctx AS (
+        SELECT split_part(trigram, chr(31), 1) || chr(31)
+                   || split_part(trigram, chr(31), 2) AS ctx12,
+               CAST(SUM(cnt_tri) AS BIGINT) AS cnt_ctx3
+        FROM tri_m GROUP BY ctx12
+    ), bi_m AS (
+        SELECT bigram, CAST(COUNT(1) AS BIGINT) AS cnt_bi
+        FROM (
+            SELECT unnest(list_transform(
+                       list_zip(l[1:len(l)-1], l[2:len(l)]),
+                       x -> x[1] || chr(31) || x[2]
+                   )) AS bigram
+            FROM toks WHERE doc_id % 2 = 0
+        )
+        GROUP BY bigram
+    ), bi_ctx AS (
+        SELECT split_part(bigram, chr(31), 1) AS w2,
+               CAST(SUM(cnt_bi) AS BIGINT) AS cnt_ctx2
+        FROM bi_m GROUP BY w2
+    ), uni_m AS (
+        SELECT w3, CAST(COUNT(1) AS BIGINT) AS cnt_uni
+        FROM (SELECT unnest(l) AS w3 FROM toks WHERE doc_id % 2 = 0)
+        GROUP BY w3
+    ), n_tr AS (
+        SELECT CAST(COALESCE(SUM(len(l)), 0) AS BIGINT) AS n_train
+        FROM toks WHERE doc_id % 2 = 0
+    ), keyed AS (
+        SELECT doc_id, tf, trigram,
+               split_part(trigram, chr(31), 1) || chr(31)
+                   || split_part(trigram, chr(31), 2) AS ctx12,
+               split_part(trigram, chr(31), 2) || chr(31)
+                   || split_part(trigram, chr(31), 3) AS bigram,
+               split_part(trigram, chr(31), 2) AS w2,
+               split_part(trigram, chr(31), 3) AS w3
+        FROM tf
+    ), scored AS (
+        SELECT doc_id, tf,
+               CASE WHEN cnt_tri IS NOT NULL THEN 0
+                    WHEN cnt_bi IS NOT NULL THEN 1
+                    WHEN cnt_uni IS NOT NULL THEN 2
+                    ELSE 3 END AS lvl,
+               {_TRI_BITS_SQL} AS per_occ_bits
+        FROM keyed
+        LEFT JOIN tri_m USING (trigram)
+        LEFT JOIN tri_ctx USING (ctx12)
+        LEFT JOIN bi_m USING (bigram)
+        LEFT JOIN bi_ctx USING (w2)
+        LEFT JOIN uni_m USING (w3)
+        CROSS JOIN n_tr
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+           CAST(SUM(per_occ_bits * tf) AS BIGINT) AS total_bits,
+           CAST(SUM(per_occ_bits * tf) AS DOUBLE)
+               / CAST(SUM(tf) AS DOUBLE) AS avg_bits,
+           CAST(SUM(CASE WHEN lvl = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_tri_hits,
+           CAST(SUM(CASE WHEN lvl = 3 THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+    FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # BM25 retrieval: rank the corpus against a fixed query term set
 # ---------------------------------------------------------------------------

@@ -188,12 +188,131 @@ def _q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_rewrite(
+    small_dir: str,
+    spark: SparkSession,
+    part_col: str,
+    target_bytes: int,
+    out_dir: str,
+    schema=None,
+) -> DataFrame:
+    """EXECUTE a compaction plan over a real small-file parquet layout
+    and return the read-back relation — the OPTIMIZE/rewrite half that
+    :func:`compaction_plan` only plans.
+
+    The listing comes from the scan's own ``_metadata`` columns
+    (file_path/file_size — no filesystem walk), the plan is the same
+    offset-binning prefix sum, and the apply is one broadcast join of
+    the metadata-scale plan onto the data followed by a shuffle on
+    (partition, group): each compaction group lands wholly in one
+    task, so the partitioned write emits exactly one data file per
+    group directory. Production would commit those files into the
+    table's metadata (Delta OPTIMIZE / Iceberg rewrite_data_files);
+    here the group directory level IS the rewrite manifest, and the
+    read-back drops it.
+
+    100 TB shape: the listing and plan are O(files) metadata rows, the
+    plan broadcast is tiny, and the rewrite shuffles each row once on
+    its (partition, group) key — embarrassingly parallel per group,
+    no driver-side iteration at any step.
+
+    ``schema`` (optional): declared read schema for both the small-file
+    dir and the compacted read-back — REQUIRED when the layout may
+    hold zero data files (a partitioned dir of an empty relation has
+    nothing to infer from; same contract as the standing-index
+    explicit-schema reads)."""
+    import pyspark.sql.types as T
+
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    data = reader.parquet(small_dir).select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.file_size").alias("__bytes"),
+    )
+    listing = data.groupBy(part_col, "__file").agg(
+        F.first("__bytes").alias("__fbytes")
+    )
+    plan = compaction_plan(listing, part_col, "__file", "__fbytes", target_bytes)
+    grouped = data.drop("__bytes").join(
+        F.broadcast(plan.select("__file", "group_id")), "__file"
+    )
+    (
+        grouped.drop("__file")
+        .repartition(F.col(part_col), F.col("group_id"))
+        .write.mode("overwrite")
+        .partitionBy(part_col, "group_id")
+        .parquet(out_dir)
+    )
+    if schema is not None:
+        back_schema = T.StructType(
+            list(schema.fields) + [T.StructField("group_id", T.IntegerType())]
+        )
+        return spark.read.schema(back_schema).parquet(out_dir).drop("group_id")
+    return spark.read.parquet(out_dir).drop("group_id")
+
+
+#: the roundtrip's staged small-file layout: enough files per
+#: partition that the 64 KB target folds several into each group at
+#: the test SFs
+_COMPACT_RT_FILES = 24
+_COMPACT_RT_TARGET = 64 * 1024
+
+
+def _q_lake_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end compaction: stage events as a many-small-files
+    layout partitioned by event_type (built once per corpus), rewrite
+    it with :func:`compact_rewrite`, and aggregate the READ-BACK — the
+    oracle aggregates the original table, so any row lost, duplicated,
+    or altered by the listing → plan → join → rewrite chain breaks the
+    hash. All aggregates are integer-exact (counts, bigint sums,
+    floor-quantized value) so the comparison is order-independent.
+    tests/test_layout.py separately certifies the layout effect: one
+    data file per planned group, every group within a file of target."""
+    import os
+
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir, staged_once
+
+    def _build(d):
+        (
+            load_table(spark, sf_dir, "events")
+            .repartition(_COMPACT_RT_FILES)
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(d)
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    small = staged_once(
+        "events-smallfiles", os.path.join(sf_dir, "events.parquet"), _build
+    )
+    back = compact_rewrite(
+        small,
+        spark,
+        "event_type",
+        _COMPACT_RT_TARGET,
+        scratch_dir("lake-compacted"),
+        schema=ev.schema,
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_mvalue"),
+        F.sum(F.length("props")).cast("bigint").alias("sum_props_len"),
+    )
+
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 QUERIES_EXT = {
     "lake_zorder_keys": _q_lake_zorder_keys,
     "lake_compaction_plan": _q_lake_compaction_plan,
+    "lake_compact_roundtrip": _q_lake_compact_roundtrip,
 }
 
 _MASK = (1 << Z_BITS) - 1
@@ -220,5 +339,20 @@ ORACLES_EXT = {
                CAST(SUM(bytes) AS BIGINT) AS group_bytes,
                MIN(file_id) AS first_file, MAX(file_id) AS last_file
         FROM plan GROUP BY source, group_id
+    """,
+    # the roundtrip is lossless — the oracle aggregates the ORIGINAL
+    # events relation; floor(value*1000) is IEEE-identical in both
+    # engines on the same stored doubles, so every column is an exact
+    # integer and the hash is order-independent
+    "lake_compact_roundtrip": """
+        SELECT event_type,
+               CAST(COUNT(1) AS BIGINT) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               CAST(MIN(event_id) AS BIGINT) AS min_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_id,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_mvalue,
+               CAST(SUM(length(props)) AS BIGINT) AS sum_props_len
+        FROM events GROUP BY event_type
     """,
 }

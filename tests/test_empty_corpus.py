@@ -61,6 +61,12 @@ EMPTY_SAFE = [
     "w_rolling_median5",
     "x9_difficulty_deciles",
     "x5_bigram_surprisal",
+    # round-17 new ops: trigram backoff (empty train half AND empty
+    # score set), two-stage rerank (empty candidate shortlist),
+    # compaction rewrite (explicit-schema read of an empty layout)
+    "x5_trigram_backoff_surprisal",
+    "x4_rerank_exact",
+    "lake_compact_roundtrip",
 ]
 
 

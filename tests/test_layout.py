@@ -127,3 +127,38 @@ def test_compaction_plan_on_real_file_listing(spark, tmp_path):
         # undershoot bounded by one file (except the tail group)
         if gid != last_gid:
             assert gbytes > target - max_file
+
+
+def test_compact_rewrite_one_file_per_group(spark, tmp_path):
+    """compact_rewrite (r17): the rewrite must (a) emit exactly ONE
+    data file per planned (partition, group) directory, (b) shrink the
+    total file count vs the small-file layout, and (c) preserve the
+    relation exactly."""
+    from odoo_batch_processing_spark.sources.layout import compact_rewrite
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    small = str(tmp_path / "small")
+    ev = load_table(spark, SF_CORRECT, "events")
+    ev.repartition(12).write.partitionBy("event_type").mode("overwrite").parquet(small)
+    n_small = len(glob.glob(os.path.join(small, "event_type=*", "*.parquet")))
+    assert n_small >= 30  # 12 files × 5 partitions, minus empties
+
+    out = str(tmp_path / "compacted")
+    total = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(small, "event_type=*", "*.parquet"))
+    )
+    back = compact_rewrite(
+        small, spark, "event_type", max(total // 10, 1), out, schema=ev.schema
+    )
+
+    group_dirs = glob.glob(os.path.join(out, "event_type=*", "group_id=*"))
+    assert group_dirs, "rewrite produced no group directories"
+    for d in group_dirs:
+        files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+        assert len(files) == 1, f"{d} has {len(files)} data files, want 1"
+    assert len(group_dirs) < n_small
+
+    want = sorted(map(tuple, ev.select("event_id", "event_type", "value").collect()))
+    got = sorted(map(tuple, back.select("event_id", "event_type", "value").collect()))
+    assert got == want

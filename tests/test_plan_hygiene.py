@@ -54,6 +54,13 @@ _ALLOWED_NESTED_LOOP = {
     # same deliberate broadcast(5-row query batch) BNLJ as
     # x4_cosine_topk, over the quantized relation
     "x4_int8_topk",
+    # stage 1 IS the x4_int8_topk scan (same bounded-batch BNLJ);
+    # stage 2's joins are equi (broadcast hash) on the M·|Q|-row
+    # shortlist — bounded by construction, not by SF
+    "x4_rerank_exact",
+    # N_train rides as a ONE-row aggregate — the same free scalar
+    # shape as x5_unigram_surprisal
+    "x5_trigram_backoff_surprisal",
     # corpus totals (N tokens / N docs + avgdl) ride as ONE-row
     # aggregates — the same free scalar shape as q22/q11/q15
     "x5_unigram_surprisal",
@@ -325,6 +332,10 @@ _ALLOWED_HINTED = {
     "x4_ivf_recall",
     "x4_ivf_trained_recall",  # composes the two audited chains above
     "x4_int8_topk",  # same bounded query batch, int8-quantized
+    # bounded hints only: the 5-row query batch (stage 1, as
+    # x4_int8_topk) and the M·|Q|-row rerank shortlist (stage 2) —
+    # both fixed-cardinality by construction, independent of SF
+    "x4_rerank_exact",
 }
 
 

@@ -369,3 +369,48 @@ def test_cumsum_chunked_equals_window_form(spark):
     ).select("o_custkey", "o_orderkey", F.col("rt").cast("double").alias("rt"))
     got = sorted((r.o_custkey, r.o_orderkey, r.rt) for r in got_df.collect())
     assert got == expected
+
+
+def test_trigram_backoff_ladder_planted(spark, tmp_path):
+    """Pin every rung of the stupid-backoff ladder on a corpus built
+    to hit each one exactly once — the fixture corpus's shared
+    vocabulary never reaches the OOV floor (n_oov = 0 at every SF),
+    so without this test the lvl-2/lvl-3 branches would be certified
+    only by construction.
+
+    Train half (even doc_id): "a b c a b c" and "a b d" →
+    tri counts {abc:2, bca:1, cab:1, abd:1}, ctx3 {ab:3, bc:1, ca:1};
+    bi counts {ab:3, bc:2, ca:1, bd:1}, ctx2 {a:3, b:3, c:1};
+    uni {a:3, b:3, c:2, d:1}, N_train = 9 (fl2 = 3).
+    """
+    import os
+
+    from odoo_batch_processing_spark.registry import all_queries
+
+    rows = [
+        (0, "a b c a b c"),  # train
+        (2, "a b d"),        # train
+        (1, "a b c"),        # tri hit:      fl2(3) - fl2(2) = 0
+        (5, "a b e"),        # OOV floor:    3 + fl2(9)      = 6
+        (9, "b d a"),        # unigram hop:  2 + fl2(9) - fl2(3) = 4
+        (11, "d a b"),       # bigram hop:   1 + fl2(3) - fl2(3) = 1
+        (13, "x"),           # <3 tokens: drops out entirely
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.total_bits, r.n_tri_hits, r.n_oov)
+        for r in all_queries(extended=True)["x5_trigram_backoff_surprisal"](
+            spark, d
+        ).collect()
+    }
+    assert got == {
+        0: (4, 0, 4, 0),   # abc×2: fl2(3)-fl2(2)=0; bca,cab: fl2(1)-fl2(1)=0
+        2: (1, 1, 1, 0),   # abd: fl2(3) - fl2(1) = 1
+        1: (1, 0, 1, 0),
+        5: (1, 6, 0, 1),
+        9: (1, 4, 0, 0),
+        11: (1, 1, 0, 0),
+    }
