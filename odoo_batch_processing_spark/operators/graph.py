@@ -367,6 +367,70 @@ def doulion_triangle_estimate(
     )
 
 
+def _doulion_cert_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact certification scalars for the DOULION gate —
+    ``(n_tri_exact, k_shared)`` with k = Σ_e C(t_e, 2) — computed ONCE
+    per corpus and cached (``sinks.staged_once``, content-keyed on the
+    documents table like every standing index).
+
+    This is the r16→r17 decoupling (VERDICT r16 #3): both scalars are
+    pure deterministic functions of the corpus, and re-enumerating the
+    full exact triangle relation on every catalog invocation made the
+    "estimator" cost ~1.35× the exact counter. In production the
+    trusted exact count is exactly this kind of one-time audit
+    artifact; the recurring estimator run reads two cached numbers.
+    Explicit-schema read-back: the cache must load even if a future
+    corpus yields zero triangles (1 row is always written, but the
+    contract matches the index-read discipline)."""
+    import os
+
+    from odoo_batch_processing_spark.sources.sinks import staged_once
+
+    def _build(d: str) -> None:
+        und = _canonical_undirected(
+            _cooccurrence_edges(spark, sf_dir, halved=True)
+        ).transform(materialize_once)
+        tri, _deg = _triangle_relation(und)
+        tri = tri.transform(materialize_once)  # reused: T and the k incidence
+        t_exact = tri.agg(F.count(F.lit(1)).alias("n_tri_exact"))
+        # k = Σ_e C(t_e, 2): explode each triangle into its 3 canonical
+        # edges, count triangles per edge, sum the pair counts
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "v1").alias("ea"),
+                        F.greatest("u", "v1").alias("eb"),
+                    ),
+                    F.struct(
+                        F.least("u", "v2").alias("ea"),
+                        F.greatest("u", "v2").alias("eb"),
+                    ),
+                    F.struct(
+                        F.least("v1", "v2").alias("ea"),
+                        F.greatest("v1", "v2").alias("eb"),
+                    ),
+                )
+            ).alias("e")
+        )
+        k_shared = (
+            tri_edges.groupBy("e")
+            .agg(F.count(F.lit(1)).alias("t_e"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("t_e") * (F.col("t_e") - F.lit(1)) / F.lit(2)),
+                    F.lit(0.0),
+                ).alias("k_shared")
+            )
+        )
+        t_exact.crossJoin(k_shared).coalesce(1).write.mode("overwrite").parquet(d)
+
+    path = staged_once(
+        "doulion-cert-scalars", os.path.join(sf_dir, "documents.parquet"), _build
+    )
+    return spark.read.schema("n_tri_exact bigint, k_shared double").parquet(path)
+
+
 def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION estimate vs exact count over the same GRAPH_DF_CAP
     trigram co-occurrence graph as ``g_triangle_counts``, under the
@@ -376,11 +440,13 @@ def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``est_ok`` asserts the estimate sits within 4σ of the exact count
     using the paper's OWN variance — both terms: σ² = T·(1/p³ − 1) +
-    2k·(1/p − 1), with k = Σ_e C(t_e, 2) computed exactly from the
-    triangle relation the exact count already enumerates (one extra
-    groupBy over 3·T short rows) — plus a +8 additive floor so the
-    bound is non-vacuous in the T≈0 regime. Everything is a 1-row
-    aggregate cross-joined (the q22/x8 free-scalar shape); no
+    2k·(1/p − 1) — plus a +8 additive floor so the bound is
+    non-vacuous in the T≈0 regime. T and k come from the CACHED
+    one-time exact audit (:func:`_doulion_cert_scalars`, VERDICT r16
+    #3): the recurring catalog cost is the sampled pass alone — edge
+    build, scan-local p-filter, triangle join on the p³-thinned graph
+    — which is what an estimator should cost. Everything else is a
+    1-row relation cross-joined (the q22/x8 free-scalar shape); no
     collect.
 
     Deterministic-miss procedure (ADVICE r10): the estimate is a
@@ -394,40 +460,8 @@ def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive miss at the new seed is code, not luck — stop and
     debug. Do not widen the 4σ/+8 bound instead of re-seeding: the
     bound's tightness is what makes the contract informative."""
-    # one canonical edge build feeds BOTH the exact pass and the
-    # sampled pass (the sample is a scan-local filter over it)
-    und = _canonical_undirected(
-        _cooccurrence_edges(spark, sf_dir, halved=True)
-    ).transform(materialize_once)
-    tri, _deg = _triangle_relation(und)
-    tri = tri.transform(materialize_once)  # reused: T and the k incidence
-    t_exact = tri.agg(F.count(F.lit(1)).alias("n_tri_exact"))
-    # k = Σ_e C(t_e, 2): explode each triangle into its 3 canonical
-    # edges, count triangles per edge, sum the pair counts
-    tri_edges = tri.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.least("u", "v1").alias("ea"), F.greatest("u", "v1").alias("eb")
-                ),
-                F.struct(
-                    F.least("u", "v2").alias("ea"), F.greatest("u", "v2").alias("eb")
-                ),
-                F.struct(
-                    F.least("v1", "v2").alias("ea"), F.greatest("v1", "v2").alias("eb")
-                ),
-            )
-        ).alias("e")
-    )
-    k_shared = (
-        tri_edges.groupBy("e")
-        .agg(F.count(F.lit(1)).alias("t_e"))
-        .agg(
-            F.coalesce(
-                F.sum(F.col("t_e") * (F.col("t_e") - F.lit(1)) / F.lit(2)), F.lit(0.0)
-            ).alias("k_shared")
-        )
-    )
+    cert = _doulion_cert_scalars(spark, sf_dir)
+    und = _canonical_undirected(_cooccurrence_edges(spark, sf_dir, halved=True))
     est = doulion_triangle_estimate(
         und, p=DOULION_P, seed=DOULION_SEED, already_canonical=True
     )
@@ -438,16 +472,12 @@ def _q_g_doulion_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tri_exact") * F.lit(1.0 / p**3 - 1.0)
         + F.lit(2.0) * F.col("k_shared") * F.lit(1.0 / p - 1.0)
     )
-    return (
-        t_exact.crossJoin(k_shared)
-        .crossJoin(est)
-        .select(
-            "n_tri_exact",
-            (
-                F.abs(F.col("est") - F.col("n_tri_exact"))
-                <= F.lit(4.0) * F.sqrt(var) + F.lit(8.0)
-            ).alias("est_ok"),
-        )
+    return cert.crossJoin(est).select(
+        "n_tri_exact",
+        (
+            F.abs(F.col("est") - F.col("n_tri_exact"))
+            <= F.lit(4.0) * F.sqrt(var) + F.lit(8.0)
+        ).alias("est_ok"),
     )
 
 

