@@ -1335,3 +1335,16 @@ ORACLES_EXT["r09_zip_join_hashkey"] = """
     SELECT l_orderkey, l_linenumber, l_returnflag
     FROM lineitem WHERE NOT (l_linestatus = 'O')
 """.format(tb=_r09_tb_sql())
+
+
+# ROTATION_R17 (registry.py): three reference-semantics rows vacate
+# seats for the never-audited promotions — r06 (counting), r13/r14
+# (coercion/clamp) and r20 (coalesce cascade) have been driver-audited
+# every round since round 1 and stay under the local oracle + the R-row
+# parity tests; the family keeps five core rows (r02/r07/r09/r10/r16).
+QUERIES_EXT["r06_counts"] = QUERIES.pop("r06_counts")
+ORACLES_EXT["r06_counts"] = ORACLES.pop("r06_counts")
+QUERIES_EXT["r13_r14_coerce_clamp"] = QUERIES.pop("r13_r14_coerce_clamp")
+ORACLES_EXT["r13_r14_coerce_clamp"] = ORACLES.pop("r13_r14_coerce_clamp")
+QUERIES_EXT["r20_coalesce_cascade"] = QUERIES.pop("r20_coalesce_cascade")
+ORACLES_EXT["r20_coalesce_cascade"] = ORACLES.pop("r20_coalesce_cascade")

@@ -955,3 +955,13 @@ QUERIES["x9_difficulty_deciles"] = QUERIES_EXT.pop("x9_difficulty_deciles")
 ORACLES["x9_difficulty_deciles"] = ORACLES_EXT.pop("x9_difficulty_deciles")
 QUERIES_EXT["x9_weighted_sample"] = QUERIES.pop("x9_weighted_sample")
 ORACLES_EXT["x9_weighted_sample"] = ORACLES.pop("x9_weighted_sample")
+
+
+# ROTATION_R17 (registry.py): the crypto-shred (GDPR erasure via key
+# deletion) row gives the curation family's governance surface its
+# first external audit; the stratified group sampler rotates out after
+# two audited rounds, still under the determinism harness.
+QUERIES["x9_crypto_shred"] = QUERIES_EXT.pop("x9_crypto_shred")
+ORACLES["x9_crypto_shred"] = ORACLES_EXT.pop("x9_crypto_shred")
+QUERIES_EXT["x9_group_sample"] = QUERIES.pop("x9_group_sample")
+ORACLES_EXT["x9_group_sample"] = ORACLES.pop("x9_group_sample")

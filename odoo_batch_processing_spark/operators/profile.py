@@ -581,3 +581,16 @@ ORACLES_EXT["profile_robust_outliers"] = f"""
 # core. Family coverage is preserved — see registry.py ROTATION_R14.
 QUERIES["profile_checksum"] = QUERIES_EXT.pop("profile_checksum")
 ORACLES["profile_checksum"] = ORACLES_EXT.pop("profile_checksum")
+
+
+# ROTATION_R17 (registry.py): the profiling seat upgrades from the
+# table checksum (audited r14-r16) to the MAD robust-outlier profile,
+# and the data-quality expectations engine gets its first driver row —
+# the two together give the profiling/DQ family live coverage of both
+# its statistical and its rule-based halves.
+QUERIES["profile_robust_outliers"] = QUERIES_EXT.pop("profile_robust_outliers")
+ORACLES["profile_robust_outliers"] = ORACLES_EXT.pop("profile_robust_outliers")
+QUERIES["dq_expectations"] = QUERIES_EXT.pop("dq_expectations")
+ORACLES["dq_expectations"] = ORACLES_EXT.pop("dq_expectations")
+QUERIES_EXT["profile_checksum"] = QUERIES.pop("profile_checksum")
+ORACLES_EXT["profile_checksum"] = ORACLES.pop("profile_checksum")

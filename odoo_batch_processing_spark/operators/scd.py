@@ -255,3 +255,10 @@ ORACLES = {"scd2_user_tiers": ORACLES_EXT.pop("scd2_user_tiers")}
 # the first driver row composing the SCD2 history with an ASOF probe.
 QUERIES["pit_tier_at_purchase"] = QUERIES_EXT.pop("pit_tier_at_purchase")
 ORACLES["pit_tier_at_purchase"] = ORACLES_EXT.pop("pit_tier_at_purchase")
+
+
+# ROTATION_R17 (registry.py): the SCD2 history build rotates out after
+# two audited rounds (r15/r16); the family's driver seat stays with
+# the point-in-time probe, which composes the same history build.
+QUERIES_EXT["scd2_user_tiers"] = QUERIES.pop("scd2_user_tiers")
+ORACLES_EXT["scd2_user_tiers"] = ORACLES.pop("scd2_user_tiers")

@@ -1039,3 +1039,14 @@ QUERIES_EXT["w_interval_sweep"] = QUERIES.pop("w_interval_sweep")
 ORACLES_EXT["w_interval_sweep"] = ORACLES.pop("w_interval_sweep")
 QUERIES["x7_event_transitions"] = QUERIES_EXT.pop("x7_event_transitions")
 ORACLES["x7_event_transitions"] = ORACLES_EXT.pop("x7_event_transitions")
+
+
+# ROTATION_R17 (registry.py): the funnel-step analysis (ordered
+# event-sequence matching) takes the calendar-scaffold seat; gap-fill
+# rotates out after two audited rounds (r15/r16), its forward-fill
+# mechanism still pinned by the partition-invariance and empty-corpus
+# suites.
+QUERIES["x7_funnel_steps"] = QUERIES_EXT.pop("x7_funnel_steps")
+ORACLES["x7_funnel_steps"] = ORACLES_EXT.pop("x7_funnel_steps")
+QUERIES_EXT["w_gap_fill_ffill"] = QUERIES.pop("w_gap_fill_ffill")
+ORACLES_EXT["w_gap_fill_ffill"] = ORACLES.pop("w_gap_fill_ffill")

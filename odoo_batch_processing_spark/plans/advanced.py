@@ -727,3 +727,16 @@ ORACLES_EXT["sql_pipe_syntax"] = """
 # extended tier; its X1 family stays driver-covered by q01/q03/q09.
 QUERIES_EXT["q22_inactive_customers"] = QUERIES.pop("q22_inactive_customers")
 ORACLES_EXT["q22_inactive_customers"] = ORACLES.pop("q22_inactive_customers")
+
+
+# ROTATION_R17 (registry.py): two never-audited SQL-surface rows —
+# GROUPING SETS rollup and the recursive-CTE hierarchy walk — face the
+# external harness; expr_breadth (driver-stable since round 2, and the
+# widest single-query expression sweep in the catalog) rotates to
+# extended, where the local oracle still runs it every round.
+QUERIES["agg_grouping_sets"] = QUERIES_EXT.pop("agg_grouping_sets")
+ORACLES["agg_grouping_sets"] = ORACLES_EXT.pop("agg_grouping_sets")
+QUERIES["sql_recursive_hierarchy"] = QUERIES_EXT.pop("sql_recursive_hierarchy")
+ORACLES["sql_recursive_hierarchy"] = ORACLES_EXT.pop("sql_recursive_hierarchy")
+QUERIES_EXT["expr_breadth"] = QUERIES.pop("expr_breadth")
+ORACLES_EXT["expr_breadth"] = ORACLES.pop("expr_breadth")

@@ -146,6 +146,36 @@ ROTATION_R16 = {
 }
 
 
+#: Round-17 rotation (VERDICT r16 #2), fourth tranche, drawn entirely
+#: from the never-audited set the external-coverage debt accounting
+#: names: GROUPING SETS, the recursive-CTE hierarchy, the funnel-step
+#: sequence matcher, the MAD robust-outlier profile, the DQ
+#: expectations engine and the GDPR crypto-shred each face the
+#: driver's independent DuckDB harness for the first time, and the
+#: storage-layout (``lake_*``) and non-parquet-source (``src_*``)
+#: families get their first driver rows ever (the compaction rewrite
+#: — NEW this round — and the JSONL roundtrip). Seats come from
+#: long-stable representatives: three R-rows audited every round
+#: since round 1 (r06/r13_r14/r20 — the bulk family keeps five core
+#: rows), expr_breadth (stable since round 2), and the twice-audited
+#: r15 promotions w_gap_fill_ffill / x9_group_sample /
+#: scd2_user_tiers (the SCD seat stays with pit_tier_at_purchase,
+#: which composes the same history build). profile_checksum hands the
+#: profiling seat to the robust-outlier profile directly. Everything
+#: rotated out stays DuckDB-checked locally per round via
+#: tools/oracle_check.py --extended.
+ROTATION_R17 = {
+    "x9_group_sample": "x9_crypto_shred",
+    "w_gap_fill_ffill": "x7_funnel_steps",
+    "expr_breadth": "agg_grouping_sets",
+    "r06_counts": "sql_recursive_hierarchy",
+    "r13_r14_coerce_clamp": "dq_expectations",
+    "profile_checksum": "profile_robust_outliers",
+    "r20_coalesce_cascade": "lake_compact_roundtrip",
+    "scd2_user_tiers": "src_jsonl_roundtrip",
+}
+
+
 def _collect(extended: bool = False) -> tuple[dict[str, QueryFn], dict[str, str]]:
     import importlib
 

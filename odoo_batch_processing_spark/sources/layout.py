@@ -356,3 +356,10 @@ ORACLES_EXT = {
         FROM events GROUP BY event_type
     """,
 }
+
+
+# ROTATION_R17 (registry.py): the storage-layout family's first driver
+# row — the end-to-end compaction rewrite (listing -> plan -> rewrite
+# -> lossless read-back) lands in the core window the round it ships.
+QUERIES["lake_compact_roundtrip"] = QUERIES_EXT.pop("lake_compact_roundtrip")
+ORACLES["lake_compact_roundtrip"] = ORACLES_EXT.pop("lake_compact_roundtrip")

@@ -546,3 +546,10 @@ ORACLES_EXT = {
 # the ACID path must land on byte-identical content as the emulation
 if _has_delta():
     ORACLES_EXT["r21_merge_delta"] = ORACLES["r21_merge"]
+
+
+# ROTATION_R17 (registry.py): the non-parquet source family's first
+# driver row — the JSONL interchange roundtrip (schema-on-read over
+# free text) audits the read path the raw-crawl landing format uses.
+QUERIES["src_jsonl_roundtrip"] = QUERIES_EXT.pop("src_jsonl_roundtrip")
+ORACLES["src_jsonl_roundtrip"] = ORACLES_EXT.pop("src_jsonl_roundtrip")

@@ -72,11 +72,30 @@ INVARIANCE_QUERIES = (
     "x9_difficulty_deciles",  # surprisal-ranked curriculum bucketing
     # round-16 new op (ext tier): bigram LM, float mean per doc
     "x5_bigram_surprisal",
+    # round-17 core rotation (registry.ROTATION_R17): same de-risking
+    # for all 8 batch promotions — each faces the external harness's
+    # partition layout for the first time
+    "x9_crypto_shred",  # key-join erasure + surviving-rows aggregate
+    "x7_funnel_steps",  # ordered event-sequence step matching
+    "agg_grouping_sets",  # multi-grain rollup with grouping ids
+    "sql_recursive_hierarchy",  # iterative CTE hierarchy walk
+    "dq_expectations",  # rule-based expectation pass/fail counts
+    "profile_robust_outliers",  # median/MAD per-type outlier counts
+    "lake_compact_roundtrip",  # listing->plan->rewrite lossless agg
+    "src_jsonl_roundtrip",  # schema-on-read JSONL interchange agg
+    # round-17 new ops (ext tier)
+    "x5_trigram_backoff_surprisal",  # backoff LM, float mean per doc
+    "x4_rerank_exact",  # int8 shortlist + exact re-rank top-k
 )
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # None-safe total order: NULL grouping keys (GROUPING SETS rollup
+    # rows) sort before any value of their column's type
+    def key(row):
+        return tuple((v is not None, v) for v in row)
+
+    return sorted((tuple(r) for r in df.collect()), key=key)
 
 
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)

@@ -49,7 +49,14 @@ def test_operator_families_all_in_core():
         "asof": {"asof_last_purchase", "pit_tier_at_purchase"},
         # first-ever driver rows for these two (round 14)
         "graph": {"g_pagerank_simgraph"},
-        "profile": {"profile_checksum"},
+        # profile_robust_outliers / dq_expectations took the seat in
+        # ROTATION_R17 (checksum rotated to extended)
+        "profile": {"profile_checksum", "profile_robust_outliers",
+                    "dq_expectations"},
+        # first-ever driver rows for these two families (round 17)
+        "layout": {"lake_compact_roundtrip"},
+        "src_formats": {"src_jsonl_roundtrip", "src_csv_roundtrip",
+                        "src_orc_roundtrip"},
         # first-ever driver row for the IVM subsystem (round 16)
         "ivm": {"ivm_refresh"},
     }
