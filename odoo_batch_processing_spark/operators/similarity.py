@@ -291,6 +291,40 @@ def _q_x4_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
+def ivf_index_probe_topk(
+    spark: SparkSession, sf_dir: str, queries_df: DataFrame, nprobe: int = 2
+) -> DataFrame:
+    """Probe the standing sign-bit IVF index with an ARBITRARY batch
+    of query vectors (``vec_id``, ``embedding``) — the O(batch) probe
+    core shared by the batch catalog query and its streaming
+    (per-micro-batch) twin, the ANN analogue of
+    ``dedup.probe_standing_index``. The index is built once per corpus
+    (``_cached_ivf_index``); each call pays only the query batch's
+    normalize/quantize plus a broadcast probe join that dynamic
+    partition pruning narrows to the probed ``cell=`` directories."""
+    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
+    path = _cached_ivf_index(
+        sf_dir,
+        "ivf-signbit-index",
+        lambda p: write_ivf_index(unit.select("vec_id", "cell", "uv"), p),
+    )
+    idx = read_ivf_index(spark, path)
+    q = _unit_cells(queries_df).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("uv").alias("qv"),
+        F.explode(ivf_probe_cells(F.col("embedding"), nprobe=nprobe)).alias("pcell"),
+    )
+    scored = (
+        idx.join(
+            F.broadcast(q),
+            (idx["cell"] == F.col("pcell")) & (idx["vec_id"] != F.col("query_id")),
+        )
+        .withColumn("cos_sim", dot(F.col("qv"), idx["uv"]))
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    return _topk(scored)
+
+
 def _q_x4_ivf_indexed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nprobe=2 against the WRITE-TIME partitioned index — the
     composition that actually runs at corpus scale: the exploded probe
@@ -302,28 +336,11 @@ def _q_x4_ivf_indexed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider scan. Same output contract and oracle as x4_ivf_multiprobe;
     only the physical access path differs. Probes the SAME cached
     sign-bit index as x4_ivf_indexed (identical content — the probe
-    set, not the index, is what differs between the two)."""
-    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
-    path = _cached_ivf_index(
-        sf_dir,
-        "ivf-signbit-index",
-        lambda p: write_ivf_index(unit.select("vec_id", "cell", "uv"), p),
-    )
-    idx = read_ivf_index(spark, path)
-    q = unit.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("uv").alias("qv"),
-        F.explode(ivf_probe_cells(F.col("embedding"), nprobe=2)).alias("pcell"),
-    )
-    scored = (
-        idx.join(
-            F.broadcast(q),
-            (idx["cell"] == F.col("pcell")) & (idx["vec_id"] != F.col("query_id")),
-        )
-        .withColumn("cos_sim", dot(F.col("qv"), idx["uv"]))
-        .withColumnRenamed("vec_id", "neighbor_id")
-    )
-    return _topk(scored)
+    set, not the index, is what differs between the two); the probe
+    core is :func:`ivf_index_probe_topk`, shared with the streaming
+    twin ``s_x4_stream_index_probe``."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    return ivf_index_probe_topk(spark, sf_dir, emb.filter(F.col("vec_id") < N_QUERIES))
 
 
 K_CELLS = 8

@@ -399,6 +399,31 @@ def _q_s_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def x3_stream_staged_src(spark: SparkSession, sf_dir: str) -> str:
+    """The x3 stream's content-keyed 3-file staged source (the top
+    doc_id decile split across three files) — factored out so the
+    trigger-cadence floor probe (tools/streaming_floors.py
+    floor_3file_foreach_ckpt) measures its zero-work twin over the
+    IDENTICAL source layout, and so bench reps share one staging."""
+    from odoo_batch_processing_spark.sources.sinks import staged_once
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build(d):
+        t = docs.agg(
+            F.floor(F.lit(9.0) * F.max("doc_id") / F.lit(10.0))
+            .cast("bigint")
+            .alias("t")
+        ).first()["t"]
+        docs.filter(F.col("doc_id") > t).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(d)
+
+    return staged_once(
+        "x3-stream-batch", os.path.join(sf_dir, "documents.parquet"), _build
+    )
+
+
 def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily-ingest near-dup as a STREAM: today's batch (the top
     doc_id decile, same slice as core `x3_incremental_neardup`) arrives
@@ -414,23 +439,8 @@ def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
     from odoo_batch_processing_spark.schemas import SCHEMAS
     from odoo_batch_processing_spark.session import materialized_scope
     from odoo_batch_processing_spark.sources.loader import fan_out
-    from odoo_batch_processing_spark.sources.sinks import staged_once
 
-    docs = load_table(spark, sf_dir, "documents")
-
-    def _build(d):
-        t = docs.agg(
-            F.floor(F.lit(9.0) * F.max("doc_id") / F.lit(10.0))
-            .cast("bigint")
-            .alias("t")
-        ).first()["t"]
-        docs.filter(F.col("doc_id") > t).repartition(3).write.mode(
-            "overwrite"
-        ).parquet(d)
-
-    staging = staged_once(
-        "x3-stream-batch", os.path.join(sf_dir, "documents.parquet"), _build
-    )
+    staging = x3_stream_staged_src(spark, sf_dir)
     out_dir = _scratch_dir("x3-stream-pairs")
     # seed an empty, correctly-typed epoch so the final partitioned
     # read works even if a run yields zero pairs (epoch=-1 can never
@@ -474,6 +484,72 @@ def _q_s_x3_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> Data
     # partition discovery surfaces the epoch column; the relation the
     # oracle certifies is the epoch-independent union
     return spark.read.parquet(out_dir).select("doc_a", "doc_b", "jaccard")
+
+
+def _q_s_x4_stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN — the vector-search analogue of
+    ``s_x3_stream_incremental_neardup``: query vectors arrive as files
+    (the fixture query set staged as two mtime-ordered batches); each
+    micro-batch probes the standing write-time sign-bit IVF index
+    (``similarity.ivf_index_probe_topk`` — O(batch) per trigger, the
+    corpus never re-scanned beyond the probed ``cell=`` directories)
+    and writes its exact per-query top-k to a per-epoch parquet sink
+    (idempotent overwrite — the at-least-once foreachBatch replay
+    discipline shared with the x3 stream). Each query id lives in
+    exactly one staged file, so the union over micro-batches equals
+    the batch ``x4_ivf_indexed_multiprobe`` result EXACTLY, and the
+    same DuckDB oracle certifies it."""
+    from odoo_batch_processing_spark.operators.similarity import (
+        ivf_index_probe_topk,
+        N_QUERIES,
+    )
+    from odoo_batch_processing_spark.schemas import SCHEMAS
+    from odoo_batch_processing_spark.session import materialized_scope
+    from odoo_batch_processing_spark.sources.loader import fan_out
+    from odoo_batch_processing_spark.sources.sinks import staged_once
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build(d):
+        emb.filter(F.col("vec_id") < N_QUERIES).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+
+    staging = staged_once(
+        "x4-stream-queries", os.path.join(sf_dir, "embeddings.parquet"), _build
+    )
+    out_dir = _scratch_dir("x4-stream-topk")
+    empty = spark.createDataFrame(
+        [], "query_id bigint, rank bigint, neighbor_id bigint, cos_sim double"
+    )
+    empty.write.mode("overwrite").parquet(os.path.join(out_dir, "epoch=-1"))
+
+    def _probe(batch_df, epoch_id):
+        with materialized_scope():
+            topk = ivf_index_probe_topk(
+                spark, sf_dir, fan_out(batch_df, spark, "vec_id")
+            )
+            topk.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={int(epoch_id)}")
+            )
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", _scratch_dir("x4-stream-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select(
+        "query_id", "rank", "neighbor_id", "cos_sim"
+    )
 
 
 def _q_s_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,6 +1328,7 @@ QUERIES_EXT = {
     "s_x3_stream_incremental_neardup": _with_stream_shuffle(
         _q_s_x3_stream_incremental_neardup
     ),
+    "s_x4_stream_index_probe": _with_stream_shuffle(_q_s_x4_stream_index_probe),
     "s_x2_stream_dedup": _with_stream_shuffle(_q_s_x2_stream_dedup),
     "s_stream_static_join": _with_stream_shuffle(_q_s_stream_static_join),
     "s_merge_upsert": _with_stream_shuffle(_q_s_merge_upsert),
@@ -1449,6 +1526,17 @@ from odoo_batch_processing_spark.operators import windows as _win  # noqa: E402
 ORACLES_EXT["s_x7_transitions"] = {**_win.ORACLES, **_win.ORACLES_EXT}[
     "x7_event_transitions"
 ]
+
+# streamed standing-IVF probe: the contract is "unions to the batch
+# indexed-multiprobe result exactly", so reuse that SQL verbatim
+# (merged-tier lookup — x4_ivf_indexed_multiprobe is a core row since
+# ROTATION_R16, but its tier is a rotation decision)
+from odoo_batch_processing_spark.operators import similarity as _sim  # noqa: E402
+
+ORACLES_EXT["s_x4_stream_index_probe"] = {
+    **_sim.ORACLES,
+    **_sim.ORACLES_EXT,
+}["x4_ivf_indexed_multiprobe"]
 
 # ROTATION_R15 (registry.py): the manifest-fed R22 twin takes the core
 # slot so the external DuckDB harness audits the newest subsystem (the

@@ -56,12 +56,12 @@ MAPPING = {
     "s_r19_cancel": "floor_trigger_cancel",
     "s_x2_stream_dedup_wm": "floor_2file_append_ckpt",
     "s_stream_stream_join": "floor_dual_stream_append_ckpt",
-    "s_stream_stream_left_join": "floor_3file_append_ckpt",
+    "s_stream_stream_left_join": "floor_leftjoin_2file_append_ckpt",
     # ROTATION_R16: the streaming incremental near-dup (3 staged files
     # at maxFilesPerTrigger=1, foreachBatch + checkpoint) — the
     # 3-trigger checkpoint-commit floor is the closest twin; the
     # foreachBatch probe work on top of it is the query's real cost.
-    "s_x3_stream_incremental_neardup": "floor_3file_append_ckpt",
+    "s_x3_stream_incremental_neardup": "floor_3file_foreach_ckpt",
 }
 
 
@@ -224,11 +224,12 @@ def floor_2file_append_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(spark, q, name)
 
 
-def floor_3file_append_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three mtime-ordered micro-batches over the IDENTICAL staged
-    source the left-outer join reads (corpus + 2 sentinel batches),
-    checkpointed append, trivial projection — the left join minus join
-    state, watermark eviction and the sentinel-flush wait."""
+def floor_leftjoin_2file_append_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two mtime-ordered micro-batches over the IDENTICAL staged
+    source the left-outer join reads (corpus + the merged sentinel
+    batch, r17 layout), checkpointed append, trivial projection — the
+    left join minus join state, watermark eviction and the
+    sentinel-flush wait."""
     from odoo_batch_processing_spark.sources.loader import load_table
     from odoo_batch_processing_spark.sources.sinks import scratch_dir
     from odoo_batch_processing_spark.streaming.queries import (
@@ -238,7 +239,7 @@ def floor_3file_append_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     d = left_join_staged_src(spark, sf_dir)
-    name = _mem_name("fl_3f")
+    name = _mem_name("fl_2f")
     q = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -247,10 +248,43 @@ def floor_3file_append_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", scratch_dir("fl-3f-ckpt"))
+        .option("checkpointLocation", scratch_dir("fl-2f-ckpt"))
         .start()
     )
     return _drain_memory_sink(spark, q, name)
+
+
+def floor_3file_foreach_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three mtime-ordered micro-batches over the IDENTICAL staged
+    source the x3 stream reads (top decile across three document
+    files), checkpointed foreachBatch with a trivial per-epoch count —
+    the x3 stream minus the probe pipeline and the per-epoch sink
+    write. Split out of the old shared floor_3file_append_ckpt (r17):
+    the left join dropped to a 2-file layout, and sharing its floor
+    would under-count this query's cadence by one trigger."""
+    from odoo_batch_processing_spark.schemas import SCHEMAS
+    from odoo_batch_processing_spark.sources.sinks import scratch_dir
+    from odoo_batch_processing_spark.streaming.queries import x3_stream_staged_src
+
+    d = x3_stream_staged_src(spark, sf_dir)
+    seen = []
+
+    def _noop(batch_df, epoch_id):
+        seen.append((int(epoch_id), batch_df.count()))
+
+    q = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .writeStream.foreachBatch(_noop)
+        .option("checkpointLocation", scratch_dir("fl-3ff-ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(seen or [(-1, 0)], "epoch int, n bigint")
 
 
 def floor_dual_stream_append_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,7 +327,8 @@ FLOORS = {
         floor_foreach_availnow,
         floor_trigger_cancel,
         floor_2file_append_ckpt,
-        floor_3file_append_ckpt,
+        floor_leftjoin_2file_append_ckpt,
+        floor_3file_foreach_ckpt,
         floor_dual_stream_append_ckpt,
     )
 }
