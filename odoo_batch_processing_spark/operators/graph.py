@@ -71,14 +71,14 @@ def pagerank(
     multi-hour job — the same fail-loud discipline as
     distributed_ordinal's validate_unique.
     """
+    # materialize unconditionally (ADVICE r5 #3, widened this round):
+    # the edge relation feeds BOTH the degree aggregate and the
+    # out_edges join — for the similarity-graph caller it is the
+    # expensive trigram-postings self-join, and without the pin each
+    # branch would recompute it. Under edge_budget the guard's count
+    # doubles as the warm-up.
+    edges = edges.transform(materialize_once)
     if edge_budget is not None:
-        # materialize BEFORE counting (ADVICE r5 #3): for the
-        # similarity-graph caller the edge list is the expensive
-        # trigram-postings self-join, and an uncached count would
-        # compute it once for the guard and again for the iterations —
-        # persisted, the guard's count doubles as the warm-up and every
-        # downstream branch (deg, out_edges) reads the cached blocks
-        edges = edges.transform(materialize_once)
         m = edges.count()
         if m * iters > edge_budget:
             raise ValueError(
@@ -101,10 +101,20 @@ def pagerank(
             F.col("deg"),
             F.lit(None).cast("double").alias("rank"),
         )
-    out_edges = edges.join(deg, src).transform(materialize_once)
-    ranks = nodes.select(
-        "id", F.lit(1.0 / float(n)).alias("rank")
-    ).transform(truncate_lineage)
+    # cache the (edge, degree) relation HASH-PARTITIONED ON src: the
+    # iteration join below then satisfies its distribution requirement
+    # straight from the InMemoryRelation's output partitioning, so the
+    # |E|-row side never re-shuffles — only the |V|-row rank relation
+    # moves, once per iteration. Without the explicit repartition the
+    # cached partitioning depends on how the deg join happened to plan
+    # (a broadcast deg leaves the upstream distinct's (src,dst)
+    # partitioning, which does NOT satisfy hash(src)), and each
+    # iteration paid a full exchange + sort of the edge relation —
+    # measured 1.27 s/iteration at sf0.1 vs ~0.3 s co-partitioned.
+    out_edges = (
+        edges.join(deg, src).repartition(F.col(src)).transform(materialize_once)
+    )
+    ranks = nodes.select("id", F.lit(1.0 / float(n)).alias("rank"))
     base = F.lit(0.15) / F.lit(float(n))  # literal 0.15, NOT 1-damping:
     # Python's (1-0.85) is 0.15000000000000002 — one ulp off the 0.15
     # the SQL oracle parses, which would leak into every rank.
@@ -117,8 +127,19 @@ def pagerank(
             f"pagerank: damping={damping} unsupported — the base term "
             "(and the DuckDB oracle) are unrolled for the standard 0.85"
         )
-    for _ in range(iters):
-        contrib = out_edges.join(ranks, out_edges[src] == ranks["id"]).select(
+    for _i in range(iters):
+        # SHUFFLE_HASH on the rank side: ranks is |V| rows (≪ |E|) and
+        # already hash-partitioned on id by the previous iteration's
+        # aggregate, so the planner builds the per-partition hash table
+        # from it and streams the cached co-partitioned edge relation
+        # with no exchange and no sort. A plain join would plan
+        # sort-merge here (the rank relation's stats are unknown after
+        # an iteration), paying a per-iteration sort of |E|; a
+        # BROADCAST would be a per-iteration |V|-sized driver collect —
+        # illegal for an SF-scaling vertex set (plan-hygiene rule).
+        contrib = out_edges.join(
+            ranks.hint("shuffle_hash"), out_edges[src] == ranks["id"]
+        ).select(
             F.col(dst).alias("id"),
             F.floor(F.col("rank") / F.col("deg") * F.lit(QUANT_SCALE))
             .cast("bigint")
@@ -141,8 +162,17 @@ def pagerank(
                     * (F.coalesce(F.col("qs"), F.lit(0)).cast("double") / F.lit(QUANT_SCALE))
                 ).alias("rank"),
             )
-            .transform(truncate_lineage)
         )
+        # Lineage is NOT cut per iteration: the unrolled plan grows
+        # linearly (one join + one aggregate per hop) and Catalyst
+        # handles the catalog's 3 hops easily, while the old
+        # per-iteration eager localCheckpoint cost a blocking job plus
+        # block-store writes per hop AND erased the rank relation's
+        # partitioning/stats (an ExistingRDD scan — the reason the
+        # edge side re-shuffled every iteration). A periodic cut every
+        # 8 hops keeps plan depth bounded for large-iters callers.
+        if (_i + 1) % 8 == 0 and (_i + 1) < iters:
+            ranks = truncate_lineage(ranks)
     return ranks.join(deg.select(F.col(src).alias("id"), "deg"), "id").select(
         "id", "deg", "rank"
     )
