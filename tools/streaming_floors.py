@@ -48,6 +48,10 @@ MAPPING = {
     # listing form in core; its cadence floor is the 4-trigger one
     # (4 manifest entries at maxFilesPerTrigger=1), the closest twin —
     # the complete-mode re-emit adds a few ms on 5 output rows.
+    # OPTIMIZATION r17: the row's data plane moved to the JVM spool
+    # (same 4-trigger cadence, pump-driven), so the floor mapping is
+    # unchanged; the gap the floor used to expose was the Python
+    # DataSource row path, now gone.
     "s_r22_manifest_counts": "floor_multi4_append",
     "s_x7_stream_hourly": "floor_single_complete",
     "s_stateful_totals": "floor_single_append",
