@@ -301,13 +301,23 @@ def ivf_index_probe_topk(
     ``dedup.probe_standing_index``. The index is built once per corpus
     (``_cached_ivf_index``); each call pays only the query batch's
     normalize/quantize plus a broadcast probe join that dynamic
-    partition pruning narrows to the probed ``cell=`` directories."""
-    unit = _unit_cells(fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id"))
-    path = _cached_ivf_index(
-        sf_dir,
-        "ivf-signbit-index",
-        lambda p: write_ivf_index(unit.select("vec_id", "cell", "uv"), p),
-    )
+    partition pruning narrows to the probed ``cell=`` directories.
+
+    The corpus-side plan (scan → fan_out → normalize) is constructed
+    INSIDE the build closure: on the hot path (index already built —
+    every bench rep, every micro-batch of the streaming twin) the
+    closure never runs, so the probe pays no corpus plan construction
+    and no ``fan_out`` partition probe (a ``df.rdd`` conversion,
+    driver-side but ~100 ms per call — measured as the bb18093
+    refactor's regression on this row)."""
+
+    def _build(p: str) -> None:
+        unit = _unit_cells(
+            fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+        )
+        write_ivf_index(unit.select("vec_id", "cell", "uv"), p)
+
+    path = _cached_ivf_index(sf_dir, "ivf-signbit-index", _build)
     idx = read_ivf_index(spark, path)
     q = _unit_cells(queries_df).select(
         F.col("vec_id").alias("query_id"),
@@ -338,8 +348,12 @@ def _q_x4_ivf_indexed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-bit index as x4_ivf_indexed (identical content — the probe
     set, not the index, is what differs between the two); the probe
     core is :func:`ivf_index_probe_topk`, shared with the streaming
-    twin ``s_x4_stream_index_probe``."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
+    twin ``s_x4_stream_index_probe``. No ``fan_out`` on the query
+    side: the filter keeps N_QUERIES rows, and widening a 5-row scan
+    costs a partition probe plus an exchange for nothing — the heavy
+    side of the probe join is the index scan, already split by its
+    ``cell=`` directories."""
+    emb = load_table(spark, sf_dir, "embeddings")
     return ivf_index_probe_topk(spark, sf_dir, emb.filter(F.col("vec_id") < N_QUERIES))
 
 
