@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.functions.exprs import avg_as_double, charge, dec, money_sum, revenue
-from odoo_batch_processing_spark.sources.loader import load_table
+from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,10 +34,30 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercises: parquet scan with predicate pushdown, partial+final
     aggregation, 8 aggregates over 2 grouping keys (6 groups → the
     shuffle moves ~48 values per map partition).
+
+    OPTIMIZATION r17 (guide §2.5 input skew): the fixture ships
+    lineitem as one unsplittable row group, so the decimal-heavy map
+    side (revenue/charge multiplies + 8 partial aggregates) ran on ONE
+    core; the filtered 7-column projection is ``fan_out`` so that work
+    parallelizes (no-op at corpus scale where the scan arrives split).
+    All sums are exact DECIMAL — order-independent, result
+    bit-identical.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
-        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        fan_out(
+            lineitem.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+            ).select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            ),
+            spark,
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_sum(dec("l_quantity"), "sum_qty"),
