@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Sequence
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -294,18 +295,29 @@ def minhash_signatures(doc_sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
     same way — and keeping them would hash all short docs into one
     degenerate band bucket).
     """
+    return doc_sets.filter(F.size(F.col("sh_set")) > 0).select(
+        "doc_id", *_signature_cols(k)
+    )
+
+
+@lru_cache(maxsize=None)
+def _signature_cols(k: int) -> tuple:
+    """The k min-hash signature Column expressions over ``sh_set``,
+    built ONCE per process (OPTIMIZATION r17): Column objects are
+    immutable unresolved expression trees, reusable across DataFrames
+    and sessions, and constructing these k nested
+    array_min(transform(md5(concat_ws))) trees is ~0.3 s of driver-side
+    py4j chatter — which the streaming probe paid once per MICRO-BATCH
+    (measured: plan construction was half the per-trigger wall)."""
     # NB: the seed must be bound via a closure factory — a two-arg
     # lambda (x, s=s) would be read by F.transform as (element, index)
     def _seeded(s: int):
         seed = F.lit(str(s))
         return lambda x: F.md5(F.concat_ws("|", seed, x))
 
-    return doc_sets.filter(F.size(F.col("sh_set")) > 0).select(
-        "doc_id",
-        *[
-            F.array_min(F.transform(F.col("sh_set"), _seeded(s))).alias(f"m{s}")
-            for s in range(k)
-        ],
+    return tuple(
+        F.array_min(F.transform(F.col("sh_set"), _seeded(s))).alias(f"m{s}")
+        for s in range(k)
     )
 
 
@@ -316,22 +328,34 @@ def minhash_band_keys(
     :func:`minhash_signatures` folded into ``bands`` band keys
     (rows-per-band = k/bands). Input is the (doc_id, sh_set) per-doc
     shingle-array relation."""
-    rows_per_band = k // bands
     sig = minhash_signatures(doc_sets, k)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
     return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+        "doc_id", F.explode(_band_struct_array(k, bands)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+@lru_cache(maxsize=None)
+def _band_struct_array(k: int, bands: int) -> F.Column:
+    """The banded (band, band_key) struct-array Column over m0..m{k-1},
+    built once per process — same rationale as :func:`_signature_cols`."""
+    rows_per_band = k // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"m{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def lsh_candidate_pairs(
@@ -521,15 +545,22 @@ def _q_x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_doc_shingles(spark, sf_dir))
 
 
+@lru_cache(maxsize=None)
+def _shingle_set_cols() -> tuple:
+    """(sh_set, n_sh) Column expressions over ``text``, built once per
+    process — same rationale as :func:`_signature_cols` (the nested
+    bind/transform shingle tree is ~0.1 s of py4j construction)."""
+    sh = shingles(F.col("text"))
+    return (sh.alias("sh_set"), F.size(sh).alias("n_sh"))
+
+
 def _shingle_sets_of(docs: DataFrame) -> DataFrame:
     """(doc_id, sh_set, n_sh) for an ALREADY-SELECTED document slice —
     the shingle expressions are attached after whatever filter/semi-join
     the caller applied, so only surviving rows pay the tokenize+shingle
     CPU (load-bearing for the incremental path, which shingles the
     verify set, not the corpus)."""
-    return docs.select("doc_id", shingles(F.col("text")).alias("sh_set")).withColumn(
-        "n_sh", F.size(F.col("sh_set"))
-    )
+    return docs.select("doc_id", *_shingle_set_cols())
 
 
 def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,17 +963,18 @@ def verify_candidate_pairs(
     b = doc_shingle_sets.select(
         F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"), F.col("n_sh").alias("n_b")
     )
+    # one select, not a withColumn chain: every withColumn re-analyzes
+    # a grown plan driver-side (the streaming probe pays this per
+    # micro-batch); the optimizer collapsed the chain to exactly this
+    # projection anyway, with codegen eliminating the repeated n_inter
+    # subexpression — plan- and value-identical.
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jaccard = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
