@@ -29,9 +29,15 @@ Scale shapes:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from odoo_batch_processing_spark.operators.dedup import cap_hot_buckets, shingles
+from odoo_batch_processing_spark.operators.dedup import (
+    cap_hot_buckets,
+    shingles,
+    shingles_of_text,
+)
 from odoo_batch_processing_spark.operators.text import quality_features, tokens
 from odoo_batch_processing_spark.session import materialize_once
 from odoo_batch_processing_spark.sources.loader import fan_out, load_table
@@ -143,7 +149,13 @@ def distinct_5gram_ratio(text: Column) -> Column:
     return F.size(shingles(text, 5)).cast("double") / F.when(total > 0, total)
 
 
+@lru_cache(maxsize=None)
 def _gate_columns() -> dict[str, Column]:
+    """Built once per process (OPTIMIZATION r17, the dedup
+    _signature_cols rationale): the five gate features are deep
+    HOF expression trees over the canonical ``text`` column —
+    immutable and reusable — and rebuilding them cost ~0.2 s of
+    driver-side py4j chatter per gate-consuming query."""
     f = quality_features(F.col("text"))
     return {
         "n_tokens": f["n_tokens"],
@@ -242,7 +254,7 @@ def _q_x9_decontaminate(
     # index feeds the cap count, the benchmark side, and the corpus
     # side — three plan branches that would each re-explode
     doc_sh = docs.select(
-        "doc_id", "source", F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh")
+        "doc_id", "source", F.explode(shingles_of_text(CONTAM_N)).alias("sh")
     ).transform(materialize_once)
     # a shingle present in huge numbers of docs (boilerplate) is a skew
     # bomb on the join key — same guard as the LSH band join; the cap
@@ -429,12 +441,12 @@ def _q_x9_curation_pipeline(
     )
     bench_sh = (
         docs.filter(F.col("source") == BENCH_SOURCE)
-        .select(F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh"))
+        .select(F.explode(shingles_of_text(CONTAM_N)).alias("sh"))
         .distinct()
     )
     corpus_sh = (
         kept.filter(F.col("source") != BENCH_SOURCE)
-        .select("doc_id", F.explode(shingles(F.col("text"), CONTAM_N)).alias("sh"))
+        .select("doc_id", F.explode(shingles_of_text(CONTAM_N)).alias("sh"))
         # materialize: the skew cap below reads the index twice (bucket
         # count + semi-join) and the 5-gram construction dominates the
         # whole pipeline — one shingle pass, not two

@@ -202,6 +202,14 @@ def shingles(text: F.Column, n: int = SHINGLE_N) -> F.Column:
     )
 
 
+@lru_cache(maxsize=None)
+def shingles_of_text(n: int = SHINGLE_N) -> F.Column:
+    """``shingles(F.col("text"), n)`` built once per process per n —
+    the canonical-column cache (see :func:`_signature_cols`) for
+    callers that explode shingles straight off the ``text`` column."""
+    return shingles(F.col("text"), n)
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exploded (doc_id, shingle) inverted-index relation,
     materialized once: every consumer fans out into several plan
@@ -216,7 +224,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     single parquet split."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+        "doc_id", F.explode(shingles_of_text()).alias("sh")
     ).transform(materialize_once)
 
 
@@ -550,7 +558,7 @@ def _shingle_set_cols() -> tuple:
     """(sh_set, n_sh) Column expressions over ``text``, built once per
     process — same rationale as :func:`_signature_cols` (the nested
     bind/transform shingle tree is ~0.1 s of py4j construction)."""
-    sh = shingles(F.col("text"))
+    sh = shingles_of_text()
     return (sh.alias("sh_set"), F.size(sh).alias("n_sh"))
 
 
