@@ -434,8 +434,13 @@ def _q_x9_curation_pipeline(
     cols = _gate_columns()
     passes, _ = quality_gate(cols)
     kept = (
-        docs.filter(passes)
-        .filter(hash_bucket(F.col("doc_id")) < F.lit(50))  # wider 50% cut
+        # OPTIMIZATION r17 (the module's own filter-order lever, one
+        # step further): the O(1) hash cut runs BEFORE the
+        # O(tokens·log) gate features, so only the surviving 50% pays
+        # the array_sort/5-gram scans. Conjunctive filters —
+        # value-identical in any order.
+        docs.filter(hash_bucket(F.col("doc_id")) < F.lit(50))  # wider 50% cut
+        .filter(passes)
         .select("doc_id", "source", "text", cols["n_tokens"].alias("n_tokens"))
         .transform(materialize_once)
     )
