@@ -375,6 +375,16 @@ def test_no_broadcast_hints_on_sf_scaling_relations(spark):
         for node in _iter_jnodes(analyzed):
             if node.nodeName() != "ResolvedHint":
                 continue
+            # only the BROADCAST strategy is the guaranteed-OOM class
+            # this invariant guards (unconditional driver collect +
+            # per-executor copy, AQE cannot demote it). SHUFFLE_HASH /
+            # MERGE hints on scaling relations are legitimate
+            # deliberate strategy picks (guide §3.1): no driver
+            # collect, the build side is per-partition and scales with
+            # the shuffle partition count — pagerank's rank-side
+            # SHUFFLE_HASH (r17) is the first such use.
+            if "strategy=broadcast" not in node.hints().toString():
+                continue
             for sub in _iter_jnodes(node):
                 if sub.children().size() != 0:
                     continue
