@@ -467,7 +467,45 @@ def main() -> int:
         fh.write(line + "\n")
     sys.stdout.flush()
     print(line, flush=True)
+    # Tail-survivable summary (OPTIMIZATION r18, VERDICT r17 #2 — a
+    # measurement-robustness fix, not a methodology change): the full
+    # line above grew past the driver's 2000-char stdout-tail window
+    # (2157 chars at 50 queries), so the ROUND-OVER-ROUND comparison
+    # in PERF_r{N} silently lost its `prev` side (BENCH_r16's stored
+    # tail begins mid-line; PERF_r17: prev_bench_ok=false, n_common=0).
+    # This SECOND line is additive — the full line keeps every key at
+    # full precision and is still printed first — and carries the same
+    # schema with per-query values rounded to 3 decimals (1 ms, below
+    # host noise) plus only the scalar context fields, which keeps it
+    # ~1.6k chars: a 2000-char tail always ends with one complete,
+    # parseable JSON line that includes all per-query numbers.
+    print(summary_line(payload), flush=True)
     return 0
+
+
+def summary_line(payload: dict) -> str:
+    """The ≤2000-char summary form of the bench payload (same keys the
+    driver contract names — metric/value/unit/queries/sf — queries at
+    3-decimal precision, verbose prose/preflight-detail fields dropped,
+    marked ``line: summary-v1``). Guarded by tests/test_bench_summary.py
+    so growth past the driver's tail window fails loudly."""
+    return json.dumps(
+        {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            "unit": payload["unit"],
+            "queries": {k: round(v, 3) for k, v in payload["queries"].items()},
+            "headline_batch": payload["headline_batch"],
+            "headline_streaming": payload["headline_streaming"],
+            "sf": payload["sf"],
+            "reps": payload["reps"],
+            "stat": payload["stat"],
+            "calibration_sec": payload["calibration_sec"],
+            "window": payload["window"],
+            "line": "summary-v1",
+        },
+        separators=(",", ":"),
+    )
 
 
 if __name__ == "__main__":
