@@ -75,11 +75,25 @@ def pagerank(
     # the edge relation feeds BOTH the degree aggregate and the
     # out_edges join — for the similarity-graph caller it is the
     # expensive trigram-postings self-join, and without the pin each
-    # branch would recompute it. Under edge_budget the guard's count
-    # doubles as the warm-up.
+    # branch would recompute it.
     edges = edges.transform(materialize_once)
+    # deg is read three times (the |E|/|V| scalars below, the out_edges
+    # join, the final degree attach) — pin it too, and take BOTH
+    # driver scalars from ONE aggregate over it: |E| = Σ deg and
+    # |V| = COUNT(deg rows), exactly the numbers edges.count() and
+    # nodes.count() used to compute in two separate jobs
+    # (OPTIMIZATION r18, guide §1.2 — two full-relation scalar jobs
+    # folded into one |V|-row aggregate; this one job also populates
+    # the edge and degree caches for the iterations).
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg")).transform(
+        materialize_once
+    )
+    scalars = deg.agg(
+        F.coalesce(F.sum("deg"), F.lit(0)).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    m, n = int(scalars["m"]), int(scalars["n"])
     if edge_budget is not None:
-        m = edges.count()
         if m * iters > edge_budget:
             raise ValueError(
                 f"pagerank: |E|·iters = {m}·{iters} = {m * iters:,} exceeds "
@@ -87,11 +101,7 @@ def pagerank(
                 "iterations, or tighten the upstream edge cap "
                 "(text.POSTING_ABS_CAP for the shingle graph)"
             )
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col(src).alias("id")).transform(materialize_once)
-    # one column-pruned count over the (already aggregated) degree
-    # table — the same driver-side scalar idiom as x5_tfidf_top_terms
-    n = nodes.count()
+    nodes = deg.select(F.col(src).alias("id"))
     if n == 0:
         # empty graph: 1/n below would divide by zero — return the
         # correctly-typed empty relation so the operator composes
@@ -340,7 +350,14 @@ def _cooccurrence_edges(
         pruned_shingle_postings,
     )
 
-    pruned, _n_docs = pruned_shingle_postings(spark, sf_dir, abs_cap=GRAPH_DF_CAP)
+    # with_tf=False (OPTIMIZATION r18): the pair join below ignores tf,
+    # so the postings come as the distinct (doc_id, shingle) set —
+    # no per-(doc, shingle) hash aggregate, and the tokenize+explode
+    # pass is materialized once instead of re-running for the df
+    # filter and both sides of the self-join (guide §1.2/§2.3).
+    pruned, _n_docs = pruned_shingle_postings(
+        spark, sf_dir, abs_cap=GRAPH_DF_CAP, with_tf=False
+    )
     pruned = pruned.select("doc_id", "shingle")
     a = pruned.select("shingle", F.col("doc_id").alias("src"))
     b = pruned.select("shingle", F.col("doc_id").alias("dst"))

@@ -232,13 +232,16 @@ def _q_x5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from odoo_batch_processing_spark.sources.loader import table_row_count
+
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     doc_terms = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = docs.count()  # scalar: fixed per sf_dir, folds into the plan
+    # exact footer count, no scan job (loader.table_row_count, r18)
+    n_docs = table_row_count(sf_dir, "documents")
     df_counts = doc_terms.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -534,8 +537,11 @@ def _q_x5_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     same idiom as x5_tfidf_top_terms)."""
     import math
 
+    from odoo_batch_processing_spark.sources.loader import table_row_count
+
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    n_docs = docs.count()  # scalar: fixed per sf_dir, folds into the plan
+    # exact footer count, no scan job (loader.table_row_count, r18)
+    n_docs = table_row_count(sf_dir, "documents")
     min_df = max(2, int(math.ceil(0.01 * n_docs)))
     return (
         docs.select(F.explode(F.array_distinct(_trigrams(tokens(F.col("text"))))).alias("shingle"))
@@ -580,7 +586,10 @@ GRAPH_DF_CAP_SQL = _df_cap_sql(GRAPH_DF_CAP)
 
 
 def pruned_shingle_postings(
-    spark: SparkSession, sf_dir: str, abs_cap: int = POSTING_ABS_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    abs_cap: int = POSTING_ABS_CAP,
+    with_tf: bool = True,
 ):
     """The shared trigram inverted index: (doc_id, shingle, tf)
     postings with the standard bilateral df pruning — shingles in one
@@ -603,17 +612,46 @@ def pruned_shingle_postings(
     ``abs_cap`` lets consumers with steeper fan-out pick a tighter
     ceiling: the graph queries pass GRAPH_DF_CAP because their
     triangle work grows with df³ through co-occurrence cliques, not
-    df² (see the constant's doc block)."""
+    df² (see the constant's doc block).
+
+    ``with_tf=False`` (OPTIMIZATION r18, guide §2.3 "shuffle fewer
+    bytes" / §1.2 "don't compute things you throw away") is for
+    consumers that only need the distinct (doc_id, shingle) SET — the
+    graph queries, whose co-occurrence join ignores multiplicity. The
+    per-(doc, shingle) tf aggregate is replaced by a per-row
+    ``array_distinct`` BEFORE the explode: the (doc_id, shingle)
+    output relation is row-identical (a doc's shingle list dedups to
+    exactly the aggregate's key set, so the df counts below are
+    unchanged), but the hash-aggregate over the full posting stream —
+    and its map-side hash tables — disappear from the plan, and the
+    cached relation is one bigint+string narrower. The pruned relation
+    is additionally materialized once here: its build is the expensive
+    tokenize+explode pass, and every graph consumer reads it at least
+    twice (df filter + both sides of the pair self-join), which
+    otherwise re-tokenized the corpus 2-3× per run."""
     import math
 
+    from odoo_batch_processing_spark.session import materialize_once
+    from odoo_batch_processing_spark.sources.loader import table_row_count
+
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    n_docs = docs.count()  # scalar (see x5_tfidf_top_terms)
+    # exact footer count — the unfiltered corpus cardinality needs no
+    # scan job (loader.table_row_count; OPTIMIZATION r18, guide §1.2)
+    n_docs = table_row_count(sf_dir, "documents")
     max_df = min(max(2, int(math.ceil(0.05 * n_docs))), abs_cap)
-    doc_terms = (
-        docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
-        .groupBy("doc_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if with_tf:
+        doc_terms = (
+            docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
+            .groupBy("doc_id", "shingle")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    else:
+        doc_terms = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(_trigrams(tokens(F.col("text"))))).alias(
+                "shingle"
+            ),
+        ).transform(materialize_once)
     keep = (
         doc_terms.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

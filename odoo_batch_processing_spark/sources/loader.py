@@ -94,6 +94,49 @@ def events_ts_unit(path: str) -> str:
     )
 
 
+@lru_cache(maxsize=None)
+def _footer_row_count_cached(path: str, cache_token: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from its parquet FOOTER —
+    the driver-side twin of :func:`stats_probe` for the many query
+    prologues that need an UNFILTERED corpus cardinality as a plan
+    scalar (df caps, idf, relative thresholds).
+
+    Why (OPTIMIZATION r18, guide §1.2 "don't compute things you throw
+    away"): ``df.count()`` on a fixture scan is a full Spark job —
+    scan + (after fan_out) an exchange — ~0.1-0.2 s per call at sf0.1,
+    repeated in every invocation of postings/idf-style queries. The
+    footer count is the same EXACT number (parquet footers store exact
+    row counts, not estimates) read in <1 ms with no job. At 100 TB
+    the same discipline holds: row counts of an unchanging table come
+    from table metadata, not a petabyte scan (stats_probe's rationale,
+    R6).
+
+    Keyed like :func:`events_ts_unit` on (path, mtime_ns, size), so an
+    in-session rewrite of the fixture re-probes instead of reusing a
+    stale count. Single-file fixtures only (``{name}.parquet`` IS a
+    file in every testdata generation); a directory-shaped table would
+    need per-file summation — fail loudly rather than miscount."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            st = os.stat(f)
+            total += _footer_row_count_cached(
+                f, f"{os.path.basename(f)}:{st.st_mtime_ns}:{st.st_size}"
+            )
+        return total
+    st = os.stat(path)
+    return _footer_row_count_cached(
+        path, f"{os.path.basename(path)}:{st.st_mtime_ns}:{st.st_size}"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema.
 
@@ -137,8 +180,15 @@ def fan_out(df: DataFrame, spark: SparkSession, *key_cols: str) -> DataFrame:
     # InternalRow→pickle conversion stage just to ask for a partition
     # count — ~2.3× the driver-side cost of the bare toRdd() probe
     # (measured 30 vs 13 ms/call; fan_out runs in nearly every catalog
-    # query, several times in some)
-    if df._jdf.queryExecution().toRdd().getNumPartitions() >= n:
+    # query, several times in some). The fast path reads private
+    # internals (_jdf / queryExecution), which Spark Connect does not
+    # expose and upgrades may churn — fall back to the public probe
+    # rather than break (ADVICE r17 #2).
+    try:
+        parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # pragma: no cover - Connect / private-API churn
+        parts = df.rdd.getNumPartitions()
+    if parts >= n:
         return df
     return df.repartition(n, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(n)
 
