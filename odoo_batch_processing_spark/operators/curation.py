@@ -150,12 +150,19 @@ def distinct_5gram_ratio(text: Column) -> Column:
 
 
 @lru_cache(maxsize=None)
-def _gate_columns() -> dict[str, Column]:
+def _gate_columns_cached() -> dict[str, Column]:
     """Built once per process (OPTIMIZATION r17, the dedup
     _signature_cols rationale): the five gate features are deep
     HOF expression trees over the canonical ``text`` column —
     immutable and reusable — and rebuilding them cost ~0.2 s of
-    driver-side py4j chatter per gate-consuming query."""
+    driver-side py4j chatter per gate-consuming query.
+
+    Single-gateway assumption (shared by every lru_cache'd Column
+    factory in this repo — dedup._signature_cols etc.): the cached
+    trees pin py4j objects of THE process's one JVM gateway; under
+    Spark Connect or a gateway restart the cache would hold dead
+    handles. Classic PySpark with one JVM per process is the engine's
+    documented deployment (session.get_spark)."""
     f = quality_features(F.col("text"))
     return {
         "n_tokens": f["n_tokens"],
@@ -164,6 +171,15 @@ def _gate_columns() -> dict[str, Column]:
         "top_token_ratio": top_token_ratio(F.col("text")),
         "distinct_5gram_ratio": distinct_5gram_ratio(F.col("text")),
     }
+
+
+def _gate_columns() -> dict[str, Column]:
+    """Defensive-copy accessor (ADVICE r17 #1): the cache holds ONE
+    mutable dict — handing it out directly would let any future caller
+    corrupt every later gate-consuming query by mutating it. The
+    Column values are immutable expression trees; copying the dict per
+    call is nanoseconds against the ~0.2 s the cache saves."""
+    return dict(_gate_columns_cached())
 
 
 def quality_gate(cols: dict[str, Column]) -> tuple[Column, Column]:

@@ -338,6 +338,16 @@ _ALLOWED_HINTED = {
     "x4_rerank_exact",
 }
 
+#: queries allowed to carry a NON-broadcast strategy hint
+#: (SHUFFLE_HASH / MERGE) — vetted build sides only (ADVICE r17 #3):
+#: - pagerank's per-hop SHUFFLE_HASH builds from the |V|-row rank
+#:   vector, uniformly hash(id)-partitioned by the previous hop's
+#:   aggregate: the per-partition hash table is |V|/partitions rows of
+#:   (id, double), bounded and skew-free by construction.
+_ALLOWED_NONBROADCAST_HINTED = {
+    "g_pagerank_simgraph",
+}
+
 
 def _iter_jnodes(jnode):
     stack = [jnode]
@@ -382,8 +392,17 @@ def test_no_broadcast_hints_on_sf_scaling_relations(spark):
             # deliberate strategy picks (guide §3.1): no driver
             # collect, the build side is per-partition and scales with
             # the shuffle partition count — pagerank's rank-side
-            # SHUFFLE_HASH (r17) is the first such use.
+            # SHUFFLE_HASH (r17) is the first such use. They are still
+            # ALLOWLISTED per query (ADVICE r17 #3), not exempted
+            # blanket: a shuffle_hash hint whose build side is a
+            # skew-heavy SF-scaling relation is the per-partition-OOM
+            # class, and a new one must be argued here, not slipped in.
             if "strategy=broadcast" not in node.hints().toString():
+                if name not in _ALLOWED_NONBROADCAST_HINTED:
+                    bad_tables.add(
+                        f"<non-broadcast strategy hint: "
+                        f"{node.hints().toString()}>"
+                    )
                 continue
             for sub in _iter_jnodes(node):
                 if sub.children().size() != 0:

@@ -68,7 +68,12 @@ def main() -> int:
             fh.write(plan)
         print(f"[ok  ] {path}")
     if skipped:
+        # nonzero exit (ADVICE r17 #4): a sweep that failed to dump
+        # before/after plan evidence must not look like success — a
+        # hole in an optimization round's receipts was previously only
+        # visible by reading stderr
         print(f"skipped: {skipped}", file=sys.stderr)
+        return 1
     return 0
 
 
