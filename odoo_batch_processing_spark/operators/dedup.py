@@ -50,7 +50,7 @@ from odoo_batch_processing_spark.functions.exprs import bind
 from odoo_batch_processing_spark.functions.vector import cosine, to_double
 from odoo_batch_processing_spark.operators.text import fingerprint, tokens
 from odoo_batch_processing_spark.session import materialize_once, truncate_lineage
-from odoo_batch_processing_spark.sources.loader import fan_out, load_table
+from odoo_batch_processing_spark.sources.loader import fan_out, load_table, table_row_count
 
 SHINGLE_N = 3
 MINHASH_K = 12
@@ -863,8 +863,10 @@ def _q_x3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from odoo_batch_processing_spark.operators.similarity import ivf_bucket
 
     raw = load_table(spark, sf_dir, "embeddings")
-    # count the RAW scan (parquet footer metadata, no fan-out shuffle)
-    bits = emb_subcell_bits(raw.count())
+    # exact corpus cardinality from the parquet FOOTER (r18:
+    # loader.table_row_count) — the depth rule is a pure function of
+    # COUNT(*), and an unfiltered count needs no scan job
+    bits = emb_subcell_bits(table_row_count(sf_dir, "embeddings"))
     emb = fan_out(raw, spark, "vec_id")
     unit = (
         emb.select(
@@ -910,8 +912,10 @@ def _q_x3_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> Dat
     from odoo_batch_processing_spark.operators.similarity import ivf_bucket
 
     raw = load_table(spark, sf_dir, "embeddings")
-    # count the RAW scan (parquet footer metadata, no fan-out shuffle)
-    bits = emb_subcell_bits(raw.count())
+    # exact corpus cardinality from the parquet FOOTER (r18:
+    # loader.table_row_count) — the depth rule is a pure function of
+    # COUNT(*), and an unfiltered count needs no scan job
+    bits = emb_subcell_bits(table_row_count(sf_dir, "embeddings"))
     emb = fan_out(raw, spark, "vec_id")
     unit = (
         emb.select(

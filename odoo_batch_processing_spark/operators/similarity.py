@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from functools import lru_cache
+
 from odoo_batch_processing_spark.functions.exprs import bind
 from odoo_batch_processing_spark.functions.vector import dot, norm, normalized, to_double
 from odoo_batch_processing_spark.sources.loader import fan_out, load_table
@@ -36,15 +38,47 @@ N_QUERIES = 5  # fixture query set: vec_id < 5
 TOP_K = 10
 
 
+@lru_cache(maxsize=None)
+def _unit_cols(
+    id_alias: str, out: str, id_col: str, vec_col: str
+) -> tuple[F.Column, ...]:
+    """The four Column trees :func:`_unit` selects, built once per
+    distinct signature (OPTIMIZATION r18, the curation/dedup
+    lru_cache'd-factory pattern): the normalize block is three nested
+    higher-order-function trees, ~100 py4j round-trips per
+    construction, and every x4 query builds it at least twice per
+    invocation. Columns are immutable unresolved expressions — safe to
+    reuse across DataFrames/queries; single-JVM-gateway assumption as
+    documented at curation._gate_columns_cached."""
+    return (
+        F.col(id_col).alias(id_alias),
+        to_double(F.col(vec_col)).alias("__v"),
+        norm(F.col("__v")),
+        normalized(F.col("__v"), F.col("__n")).alias(out),
+    )
+
+
 def _unit(df: DataFrame, id_alias: str, out: str, id_col: str, vec_col: str) -> DataFrame:
     """Project to (id, unit-normalized double vector). Normalizing once
     per row turns pairwise cosine into a bare dot product — 3× fewer
     folds and O(n) norm work instead of O(n²)."""
-    dv = to_double(F.col(vec_col))
+    c_id, c_v, c_n, c_u = _unit_cols(id_alias, out, id_col, vec_col)
     return (
-        df.select(F.col(id_col).alias(id_alias), dv.alias("__v"))
-        .withColumn("__n", norm(F.col("__v")))
-        .select(id_alias, normalized(F.col("__v"), F.col("__n")).alias(out))
+        df.select(c_id, c_v)
+        .withColumn("__n", c_n)
+        .select(id_alias, c_u)
+    )
+
+
+@lru_cache(maxsize=None)
+def _unit_cells_cols(id_col: str, vec_col: str) -> tuple[F.Column, ...]:
+    """Column trees for :func:`_unit_cells`, cached like
+    :func:`_unit_cols` (same rationale, same gateway assumption)."""
+    return (
+        to_double(F.col(vec_col)).alias("__v"),
+        norm(F.col("__v")),
+        ivf_bucket(F.col(vec_col)).alias("cell"),
+        normalized(F.col("__v"), F.col("__n")).alias("uv"),
     )
 
 
@@ -56,16 +90,11 @@ def _unit_cells(
     reads its leading-dimension signs/magnitudes). Shared by every IVF
     query so the normalize/quantize block has one canonical form;
     Catalyst prunes the embedding column wherever a consumer drops it."""
-    dv = to_double(F.col(vec_col))
+    c_v, c_n, c_cell, c_uv = _unit_cells_cols(id_col, vec_col)
     return (
-        df.select(id_col, vec_col, dv.alias("__v"))
-        .withColumn("__n", norm(F.col("__v")))
-        .select(
-            id_col,
-            vec_col,
-            ivf_bucket(F.col(vec_col)).alias("cell"),
-            normalized(F.col("__v"), F.col("__n")).alias("uv"),
-        )
+        df.select(id_col, vec_col, c_v)
+        .withColumn("__n", c_n)
+        .select(id_col, vec_col, c_cell, c_uv)
     )
 
 
@@ -688,6 +717,27 @@ def quantize_int8(unit_vec: F.Column) -> tuple[F.Column, F.Column]:
     return q, mx
 
 
+@lru_cache(maxsize=None)
+def _quantized_cols(vec_name: str) -> tuple[F.Column, F.Column]:
+    """:func:`quantize_int8` over a named column, built once per
+    process (r18, the _unit_cols rationale — the clamp/floor transform
+    plus the bound array_max is another ~80 py4j round-trips, and the
+    int8 queries build it per invocation)."""
+    return quantize_int8(F.col(vec_name))
+
+
+@lru_cache(maxsize=None)
+def _int8_rescored_sim() -> F.Column:
+    """The exact int8 re-scoring expression shared by x4_int8_topk and
+    x4_rerank_exact stage 1 (cached: two to_double transforms + the
+    dot fold per construction)."""
+    return (
+        dot(to_double(F.col("qa")), to_double(F.col("qb")))
+        * (F.col("mxa") * F.col("mxb"))
+        / F.lit(float(INT8_TOP * INT8_TOP))
+    )
+
+
 def _q_x4_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute top-k over int8-quantized vectors: the write-time asset is
     the ``(vec_id, array<tinyint>, mx)`` relation; scoring is an exact
@@ -695,7 +745,7 @@ def _q_x4_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact) rescaled by the two max-magnitudes."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     unit = _unit(emb, "vec_id", "uv", "vec_id", "embedding")
-    qv, mx = quantize_int8(F.col("uv"))
+    qv, mx = _quantized_cols("uv")
     qz = unit.select("vec_id", qv.alias("qvec"), mx.alias("mx"))
     q = qz.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -709,9 +759,7 @@ def _q_x4_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
         "cos_sim",
-        dot(to_double(F.col("qa")), to_double(F.col("qb")))
-        * (F.col("mxa") * F.col("mxb"))
-        / F.lit(float(INT8_TOP * INT8_TOP)),
+        _int8_rescored_sim(),
     )
     return _topk(scored)
 
@@ -746,7 +794,7 @@ def _q_x4_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the corpus."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     unit = _unit(emb, "vec_id", "uv", "vec_id", "embedding")
-    qv, mx = quantize_int8(F.col("uv"))
+    qv, mx = _quantized_cols("uv")
     qz = unit.select("vec_id", qv.alias("qvec"), mx.alias("mx"))
     q8 = qz.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -762,9 +810,7 @@ def _q_x4_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q8), F.col("neighbor_id") != F.col("query_id")
     ).withColumn(
         "approx_sim",
-        dot(to_double(F.col("qa")), to_double(F.col("qb")))
-        * (F.col("mxa") * F.col("mxb"))
-        / F.lit(float(INT8_TOP * INT8_TOP)),
+        _int8_rescored_sim(),
     )
     wg = Window.partitionBy("query_id").orderBy(
         F.col("approx_sim").desc(), F.col("neighbor_id")

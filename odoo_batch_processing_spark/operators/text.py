@@ -15,6 +15,8 @@ only shuffles below are the explicit groupBy queries (term frequency).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from odoo_batch_processing_spark.functions.exprs import bind
@@ -165,7 +167,7 @@ def _q_x5_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(vocabulary), not O(tokens)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     return (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        docs.select("doc_id", _token_explode_col().alias("token"))
         .groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("tf"),
@@ -236,7 +238,7 @@ def _q_x5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     doc_terms = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        docs.select("doc_id", _token_explode_col().alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -468,6 +470,22 @@ def _trigrams(toks: Column) -> Column:
     )
 
 
+@lru_cache(maxsize=None)
+def _gopher_base_cols() -> tuple[Column, ...]:
+    """The three per-row Gopher feature trees over the canonical
+    ``text`` column, built once per process (OPTIMIZATION r18 — the
+    curation._gate_columns pattern: _bigrams is a bind()+transform HOF
+    tree, ~100 py4j round-trips per construction, rebuilt per bench
+    rep / per catalog invocation). Same single-JVM-gateway assumption
+    as every cached Column factory (curation._gate_columns_cached)."""
+    toks = tokens(F.col("text"))
+    return (
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_tok_distinct"),
+        _bigrams(toks).alias("bigrams"),
+    )
+
+
 def _q_x5_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters (public Rae et al. 2021
     heuristics): per-document duplicate-token fraction, duplicate-bigram
@@ -485,13 +503,8 @@ def _q_x5_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bigint counts — bit-identical across engines.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    toks = tokens(F.col("text"))
-    base = docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tok"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_tok_distinct"),
-        _bigrams(toks).alias("bigrams"),
-    )
+    n_tok_col, n_tok_distinct_col, bigrams_col = _gopher_base_cols()
+    base = docs.select("doc_id", n_tok_col, n_tok_distinct_col, bigrams_col)
     bg = (
         base.select("doc_id", F.explode("bigrams").alias("bigram"))
         .groupBy("doc_id", "bigram")
@@ -544,13 +557,31 @@ def _q_x5_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = table_row_count(sf_dir, "documents")
     min_df = max(2, int(math.ceil(0.01 * n_docs)))
     return (
-        docs.select(F.explode(F.array_distinct(_trigrams(tokens(F.col("text"))))).alias("shingle"))
+        docs.select(_shingle_explode_col(True).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
         .orderBy(F.col("df").desc(), "shingle")
         .limit(100)
     )
+
+
+@lru_cache(maxsize=None)
+def _shingle_explode_col(distinct: bool) -> Column:
+    """``explode(trigrams(tokens(text)))`` — optionally deduped per
+    row — built once per process (r18, the _gopher_base_cols
+    rationale: the trigram tree is two nested HOF lambdas and is the
+    single most-reconstructed expression in the catalog — postings,
+    boilerplate, and every graph query build it)."""
+    tg = _trigrams(tokens(F.col("text")))
+    return F.explode(F.array_distinct(tg) if distinct else tg)
+
+
+@lru_cache(maxsize=None)
+def _token_explode_col() -> Column:
+    """``explode(tokens(text))`` — the unigram stream projection shared
+    by surprisal/tf-idf/heavy-hitter queries (cached, r18)."""
+    return F.explode(tokens(F.col("text")))
 
 
 #: absolute posting-list ceiling for the shared trigram index (same
@@ -641,16 +672,13 @@ def pruned_shingle_postings(
     max_df = min(max(2, int(math.ceil(0.05 * n_docs))), abs_cap)
     if with_tf:
         doc_terms = (
-            docs.select("doc_id", F.explode(_trigrams(tokens(F.col("text")))).alias("shingle"))
+            docs.select("doc_id", _shingle_explode_col(False).alias("shingle"))
             .groupBy("doc_id", "shingle")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
     else:
         doc_terms = docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(_trigrams(tokens(F.col("text"))))).alias(
-                "shingle"
-            ),
+            "doc_id", _shingle_explode_col(True).alias("shingle")
         ).transform(materialize_once)
     keep = (
         doc_terms.groupBy("shingle")
@@ -913,7 +941,7 @@ def _q_x5_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto-broadcast aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        docs.select("doc_id", _token_explode_col().alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1374,7 +1402,7 @@ def _q_x5_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        docs.select("doc_id", _token_explode_col().alias("token"))
         .filter(F.col("token").isin(BM25_QUERY_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
