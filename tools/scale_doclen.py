@@ -63,10 +63,16 @@ STAGES = (
 )
 
 
-def build_corpus(spark, out: str, n_docs: int, n_tokens: int) -> None:
+def build_corpus(
+    spark, out: str, n_docs: int, n_tokens: int, vocab: int = 500
+) -> None:
     """n_docs synthetic docs of exactly n_tokens tokens from a small
     shared vocabulary (so shingles do collide across docs, exercising
-    the df/pair paths like real text)."""
+    the df/pair paths like real text). ``vocab`` widens the vocabulary
+    for callers that need LOW cross-doc similarity (tools/scale_cores:
+    at 16k docs the default 500-word vocabulary welds the corpus into
+    one giant near-dup component and CC hits its iteration cap —
+    per-doc compute is the thing under test there, not pair volume)."""
     from pyspark.sql import functions as F
 
     docs = spark.range(n_docs).select(
@@ -76,7 +82,7 @@ def build_corpus(spark, out: str, n_docs: int, n_tokens: int) -> None:
                 F.sequence(F.lit(1), F.lit(n_tokens)),
                 lambda i: F.concat(
                     F.lit("w"),
-                    ((F.xxhash64(F.col("id") * 7 + i) % 500) + 500).cast("string"),
+                    ((F.xxhash64(F.col("id") * 7 + i) % vocab) + vocab).cast("string"),
                 ),
             ),
             " ",
@@ -88,7 +94,12 @@ def build_corpus(spark, out: str, n_docs: int, n_tokens: int) -> None:
         F.lit("synthetic").alias("source"),
         F.length("text").alias("n_chars"),
     )
-    docs.repartition(8).write.mode("overwrite").parquet(
+    # 64 files: the scan must ARRIVE split past the core counts under
+    # test (8/32), so the map side parallelizes without the fan_out
+    # widening leg being throttled by an 8-way upstream read — this is
+    # exactly the documented corpus-scale shape where fan_out no-ops
+    # (r18; an 8-file layout capped every pure-map c8/c32 ratio at ~2).
+    docs.repartition(64).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
 
