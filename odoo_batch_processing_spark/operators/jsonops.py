@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
-from odoo_batch_processing_spark.sources.loader import load_table
+from odoo_batch_processing_spark.sources.loader import fan_out, load_table
 
 PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
 
@@ -108,8 +108,14 @@ def _q_x6_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     field, array element, typed int through the embedded props object,
     and a missing path that must yield NULL via `try_variant_get`.
     The scan-side cost is one decode per row regardless of how many
-    paths are read (vs one re-parse per `get_json_object` call)."""
-    ev = load_table(spark, sf_dir, "events")
+    paths are read (vs one re-parse per `get_json_object` call).
+
+    OPTIMIZATION r18 (guide §2.5 input skew, the q01/q09 treatment):
+    the events fixture is one row group, so the parse_json + five
+    variant_get extractions ran on ONE core — ``fan_out`` spreads the
+    per-row decode (no-op at corpus scale); per-row projection, so
+    results are identical."""
+    ev = fan_out(load_table(spark, sf_dir, "events"), spark, "event_id")
     v = F.parse_json(synth_nested_payload())
     return ev.select(
         "event_id",
