@@ -38,7 +38,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPTIMIZATION r17 (guide §2.5 input skew): the fixture ships
     lineitem as one unsplittable row group, so the decimal-heavy map
     side (revenue/charge multiplies + 8 partial aggregates) ran on ONE
-    core; the filtered 7-column projection is ``fan_out`` so that work
+    core; the filtered 6-column projection is ``fan_out`` so that work
     parallelizes (no-op at corpus scale where the scan arrives split).
     All sums are exact DECIMAL — order-independent, result
     bit-identical.
