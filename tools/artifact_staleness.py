@@ -73,6 +73,7 @@ ARTIFACT_TOOLS: dict[str, str] = {
     "SCALE_STATE_rocksdb.json": "tools/scale_state.py",
     "SCALE_SPILL.json": "tools/scale_spill.py",
     "SCALE_BATCHES.json": "tools/scale_batches.py",
+    "SCALE_CORES.json": "tools/scale_cores.py",
     "SCALE_SUITE.json": "tools/scale_suite.py",
     "SKEW_SESSION.json": "tools/profile_session_skew.py",
     "STREAM_FLOORS_cpus32.json": "tools/streaming_floors.py",

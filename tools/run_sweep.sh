@@ -22,6 +22,7 @@ log "scale_files";             python tools/scale_files.py
 log "scale_state hdfs";        python tools/scale_state.py
 log "scale_state rocksdb";     python tools/scale_state.py --provider rocksdb
 log "scale_batches";           python tools/scale_batches.py
+log "scale_cores";             python tools/scale_cores.py
 log "scale_smoke";             python tools/scale_smoke.py
 log "scale_suite";             python tools/scale_suite.py
 log "staleness check";         python tools/artifact_staleness.py
