@@ -76,8 +76,12 @@ def _child(cpus: int, docs: int, tokens: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     corpus = scratch_dir(f"cores-{docs}x{tokens}-v50k")
     # wide vocabulary: per-doc compute is the thing under test, not
-    # cross-doc pair volume (see build_corpus's vocab docstring)
-    build_corpus(spark, corpus, docs, tokens, vocab=50_000)
+    # cross-doc pair volume (see build_corpus's vocab docstring);
+    # 64 files so the scan ARRIVES split past both core counts — the
+    # corpus-scale shape where fan_out no-ops (an 8-file layout capped
+    # every pure-map c8/c32 ratio at ~2: the scan+fan_out leg ran
+    # 8-wide at any core count)
+    build_corpus(spark, corpus, docs, tokens, vocab=50_000, files=64)
     queries = all_queries(extended=True)
     out: dict[str, float] = {}
     for name in QUERIES:

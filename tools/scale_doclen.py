@@ -64,7 +64,7 @@ STAGES = (
 
 
 def build_corpus(
-    spark, out: str, n_docs: int, n_tokens: int, vocab: int = 500
+    spark, out: str, n_docs: int, n_tokens: int, vocab: int = 500, files: int = 8
 ) -> None:
     """n_docs synthetic docs of exactly n_tokens tokens from a small
     shared vocabulary (so shingles do collide across docs, exercising
@@ -72,7 +72,13 @@ def build_corpus(
     for callers that need LOW cross-doc similarity (tools/scale_cores:
     at 16k docs the default 500-word vocabulary welds the corpus into
     one giant near-dup component and CC hits its iteration cap —
-    per-doc compute is the thing under test there, not pair volume)."""
+    per-doc compute is the thing under test there, not pair volume).
+    ``files`` controls the written layout: THIS ladder keeps the
+    historical 8-file layout so its rung timings stay comparable to
+    the committed artifact (r18 measured: an 8→64 re-layout speeds the
+    many-doc rung 0 ~25%, which alone shifts every divergence ratio);
+    scale_cores passes 64 so its scan arrives split past the core
+    counts under test."""
     from pyspark.sql import functions as F
 
     docs = spark.range(n_docs).select(
@@ -94,12 +100,7 @@ def build_corpus(
         F.lit("synthetic").alias("source"),
         F.length("text").alias("n_chars"),
     )
-    # 64 files: the scan must ARRIVE split past the core counts under
-    # test (8/32), so the map side parallelizes without the fan_out
-    # widening leg being throttled by an 8-way upstream read — this is
-    # exactly the documented corpus-scale shape where fan_out no-ops
-    # (r18; an 8-file layout capped every pure-map c8/c32 ratio at ~2).
-    docs.repartition(64).write.mode("overwrite").parquet(
+    docs.repartition(files).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
 
