@@ -53,9 +53,13 @@ def test_divergence_flags_prefix_int8_at_d16():
 
 def test_healthy_families_stay_unflagged():
     """No false positives on the worst recorded non-hazard rows: the
-    committed round-8 artifacts (incl. mm_neardup's output-bound ×1.7
-    and the falling x6 family where a flat stage must not flag) pass
-    both rules clean."""
+    committed artifacts (incl. mm_neardup's output-bound growth and
+    the falling x6 family where a flat stage must not flag) pass both
+    rules clean — with the same output-rows exemption the generating
+    tools apply (r18: the round's optimizations lowered every OTHER
+    doclen stage's top-rung ratio, so the unchanged, pair-emitting
+    mm_neardup crossed the leave-one-out median with no code change;
+    its rows grow ×29 for ×1.6 sec, exactly the output-bound case)."""
     for fname in ("SCALE_DIM.json", "SCALE_DOCLEN.json", "SCALE_JSONSIZE.json"):
         with open(os.path.join(REPO, fname)) as fh:
             art = json.load(fh)
@@ -63,8 +67,38 @@ def test_healthy_families_stay_unflagged():
             name: [r["stages"][name]["sec"] for r in art["results"]]
             for name in art["results"][0]["stages"]
         }
-        flagged, div = flagged_stages(stage_secs, art["flag_ratio"])
+        stage_rows = {
+            name: [r["stages"][name].get("rows", 0) for r in art["results"]]
+            for name in art["results"][0]["stages"]
+        }
+        flagged, div = flagged_stages(
+            stage_secs, art["flag_ratio"], stage_rows=stage_rows
+        )
         assert flagged == [], (fname, flagged, div)
+
+
+def test_output_bound_exemption_requires_rows_to_outgrow_time():
+    """The exemption waives a divergent rung ONLY when output rows grow
+    at least as fast as seconds; a stage whose time outgrows its output
+    still flags (that is the real superlinearity the rule hunts)."""
+    fam = {
+        "a": [1.0, 0.9, 0.8],
+        "b": [1.0, 0.95, 0.75],
+        "c": [1.0, 0.85, 0.7],
+        "pairs": [1.0, 1.2, 1.6],
+    }
+    rows = {"a": [10, 10, 10], "b": [10, 10, 10], "c": [10, 10, 10],
+            "pairs": [100, 640, 2800]}
+    flagged, div = flagged_stages(fam, flag_ratio=4.0, stage_rows=rows)
+    assert flagged == []
+    assert div["pairs"]["output_bound_exempt_rungs"] == [2]
+    # same timings, but the output does NOT grow → still flagged
+    rows["pairs"] = [100, 100, 100]
+    flagged, div = flagged_stages(fam, flag_ratio=4.0, stage_rows=rows)
+    assert flagged == ["pairs"]
+    # and with no rows data at all the exemption never applies
+    flagged, _ = flagged_stages(fam, flag_ratio=4.0)
+    assert flagged == ["pairs"]
 
 
 def test_min_ratio_guards_flat_stage_in_falling_family():

@@ -81,16 +81,47 @@ def flagged_stages(
     stage_secs: dict[str, list[float]],
     flag_ratio: float,
     floor_sec: float = 0.01,
+    stage_rows: dict[str, list[int]] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Apply both rules; returns (flagged stage names, divergence map).
 
     A stage is flagged if its TOP-rung ratio exceeds ``flag_ratio``
     (absolute rule) or ANY rung is family-divergent — the mid-rung
-    case is exactly the one the absolute rule misses."""
+    case is exactly the one the absolute rule misses.
+
+    **Output-bound exemption** (r18, ``stage_rows``): a stage whose
+    OUTPUT CARDINALITY grows at least as fast as its seconds is doing
+    work proportional to its output relation, not a per-doc
+    superlinearity — mm_neardup emits near-dup PAIRS, and at fixed
+    token volume longer docs legitimately produce ×29 the pairs for
+    ×1.6 the time (sec/pair FALLS). That stage had always sat "just
+    under factor 2.0" (module docstring); the r18 optimizations
+    lowered every OTHER stage's top-rung ratio, dropped the
+    leave-one-out median, and the unchanged mm_neardup crossed the
+    relative line with no code change to it at all. When callers pass
+    per-stage output rows, a divergent rung is exempt iff
+    ``rows_i/rows_0 >= sec_i/sec_0`` (rows_0 > 0 required; the
+    ABSOLUTE rule is untouched — a family-wide blowup still flags).
+    The exemption is recorded in the divergence map
+    (``output_bound_exempt_rungs``) so the receipt shows what was
+    waived and why, rather than silently passing."""
     div = family_divergence(stage_secs, floor_sec=floor_sec)
     flagged = []
     for s, secs in stage_secs.items():
+        divergent = list(div[s]["divergent_rungs"])
+        rows = (stage_rows or {}).get(s)
+        if rows and rows[0] > 0 and divergent:
+            exempt = []
+            for i in divergent:
+                sec_ratio = secs[i] / max(secs[0], floor_sec)
+                rows_ratio = rows[i] / rows[0]
+                if rows_ratio >= sec_ratio:
+                    exempt.append(i)
+            if exempt:
+                div[s]["output_bound_exempt_rungs"] = exempt
+                divergent = [i for i in divergent if i not in exempt]
+                div[s]["divergent_rungs"] = divergent
         top = secs[-1] / max(secs[0], floor_sec)
-        if top > flag_ratio or div[s]["divergent_rungs"]:
+        if top > flag_ratio or divergent:
             flagged.append(s)
     return flagged, div

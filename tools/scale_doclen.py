@@ -161,7 +161,16 @@ def main() -> int:
     stage_secs = {
         name: [r["stages"][name]["sec"] for r in results] for name in STAGES
     }
-    flagged, divergence = flagged_stages(stage_secs, FLAG_RATIO)
+    # output rows per rung feed the output-bound exemption: a stage
+    # emitting an output relation that grows as fast as its seconds
+    # (mm_neardup's pairs, ×29 rows for ×1.6 sec at T×16) is linear in
+    # its output, not per-doc superlinear — see ladder_flags docstring
+    stage_rows = {
+        name: [r["stages"][name]["rows"] for r in results] for name in STAGES
+    }
+    flagged, divergence = flagged_stages(
+        stage_secs, FLAG_RATIO, stage_rows=stage_rows
+    )
     print(f"{'stage':26s} " + "  ".join(f"T*{m:<4d}" for m in MULTS), file=sys.stderr)
     for name in STAGES:
         secs = stage_secs[name]
