@@ -101,7 +101,7 @@ def _child(cpus: int, docs: int, tokens: int) -> None:
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--docs", type=int, default=16000)
+    parser.add_argument("--docs", type=int, default=32000)
     parser.add_argument("--tokens", type=int, default=1024)
     parser.add_argument("--child-cpus", type=int, default=None)
     args = parser.parse_args()
